@@ -1,0 +1,114 @@
+"""Replay the verification driver's contract check locally.
+
+Usage:
+    python scripts/driver_replay.py            # all queries at sf0.01
+    python scripts/driver_replay.py A1 J       # only names with these prefixes
+    SF_DIR=/root/testdata/sf0.001 python scripts/driver_replay.py
+
+Builds a BARE SparkSession (like the driver would), imports
+``__spark_entry__`` and compares every query with an oracle against DuckDB:
+row count + sorted schema names + order-insensitive value compare.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+from test_dataengineer2026_spark import tables
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm(v):
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def main() -> int:
+    prefixes = tuple(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]")
+        .appName("driver-replay")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = entry_mod.entry(spark)
+    n = len(df.collect())
+    print(f"entry(): {n} rows, schema={[f.name for f in df.schema.fields]}")
+    assert n > 0
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle keys must be a subset of query keys"
+    print(f"{len(qs)} queries, {len(oracles)} with oracles")
+
+    con = duckdb.connect()
+    for t in tables.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    fails = []
+    for name in sorted(qs):
+        if prefixes and not name.startswith(prefixes):
+            continue
+        try:
+            d = qs[name](spark, SF_DIR)
+            sp_cols = sorted(d.columns)
+            sp = sorted(
+                (tuple(norm(r[c]) for c in sp_cols) for r in d.collect()), key=str
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            fails.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: rows-only, {len(sp)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            names = [x[0] for x in res.description]
+            order = sorted(range(len(names)), key=lambda i: names[i])
+            dk_cols = [names[i] for i in order]
+            dk = sorted(
+                (tuple(norm(row[i]) for i in order) for row in res.fetchall()), key=str
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            fails.append(name)
+            continue
+        ok = sp_cols == dk_cols and sp == dk
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(sp)} rows)")
+        if not ok:
+            fails.append(name)
+            if sp_cols != dk_cols:
+                print(f"  cols: spark={sp_cols} duck={dk_cols}")
+            elif len(sp) != len(dk):
+                print(f"  rows: spark={len(sp)} duck={len(dk)}")
+            else:
+                for a, b in zip(sp, dk):
+                    if a != b:
+                        print(f"  first diff:\n    spark={a}\n    duck ={b}")
+                        break
+    print("RESULT:", "ALL MATCH" if not fails else f"FAILS={fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,92 @@
+"""Cross-engine bit-determinism helpers.
+
+Floating-point SUM/AVG are order-dependent; Spark and DuckDB will not in
+general produce bit-identical doubles for the same aggregation, and the
+driver compares value hashes. The fix: aggregate in exact DECIMAL space
+(addition of decimals is associative and exact), then cast the final
+result to DOUBLE — a single deterministic rounding that both engines
+perform identically (IEEE-754 round-to-nearest).
+
+Scales chosen so products stay exact: money columns carry <=2 fractional
+digits, rates (discount/tax) <=4, so DECIMAL(18,4) x DECIMAL(8,4) etc.
+never overflows DECIMAL(38,_) and never rounds.
+
+Every Spark helper here has a mirror-image SQL builder for the DuckDB
+oracle so both sides express literally the same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- Spark side
+
+MONEY = "decimal(18,4)"  # prices, balances, values (2dp data, room to spare)
+RATE = "decimal(8,4)"  # discounts/taxes in [0,1] with 2dp
+
+#: Final narrowing type applied to every exact decimal sum before the cast
+#: to DOUBLE. Source data carries <=6 fractional digits, so this cast drops
+#: nothing; crucially it is int64-backed in DuckDB (precision <= 18), so
+#: decimal->double is a single correctly-rounded conversion on both engines
+#: (wide int128-backed decimals double-round in DuckDB and can differ from
+#: Java BigDecimal by 1 ulp). Constraint: |sum| < 1e12, true at oracle
+#: scale sf0.01 for every column we aggregate.
+FINAL = "decimal(18,6)"
+
+
+def dec(col: Column | str, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def dnarrow(c: Column) -> Column:
+    """Narrow an exact decimal aggregate to DOUBLE deterministically."""
+    return c.cast(FINAL).cast("double")
+
+
+def dsum(col: Column | str, typ: str = MONEY) -> Column:
+    """Exact sum of a double column, returned as DOUBLE."""
+    return dnarrow(F.sum(dec(col, typ)))
+
+
+def davg(col: Column | str, typ: str = MONEY) -> Column:
+    """Deterministic mean: exact decimal sum / count, divided as doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dnarrow(F.sum(dec(c, typ))) / F.count(c)
+
+
+def dstddev(col: Column | str, typ: str = MONEY) -> Column:
+    """Deterministic sample stddev via exact decimal sums.
+
+    sqrt((sum(x^2) - sum(x)^2/n) / (n-1)) with both sums exact, so the only
+    fp ops are the final few — identical on both engines. Constraint: use
+    on small-magnitude columns (|x| <= ~1e3) so sum(x^2) fits FINAL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c).cast("double")
+    s = dnarrow(F.sum(dec(c, typ)))
+    s2 = dnarrow(F.sum(dec(c, typ) * dec(c, typ)))
+    return F.sqrt((s2 - s * s / n) / (n - F.lit(1.0)))
+
+
+# --------------------------------------------------------------- DuckDB side
+
+
+def sql_dnarrow(expr: str) -> str:
+    return f"CAST(CAST({expr} AS {FINAL}) AS DOUBLE)"
+
+
+def sql_dsum(expr: str, typ: str = MONEY) -> str:
+    return sql_dnarrow(f"SUM(CAST({expr} AS {typ}))")
+
+
+def sql_davg(expr: str, typ: str = MONEY) -> str:
+    return f"{sql_dsum(expr, typ)} / COUNT({expr})"
+
+
+def sql_dstddev(expr: str, typ: str = MONEY) -> str:
+    s = sql_dsum(expr, typ)
+    s2 = sql_dnarrow(f"SUM(CAST({expr} AS {typ}) * CAST({expr} AS {typ}))")
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    return f"SQRT(({s2} - {s} * {s} / {n}) / ({n} - 1.0))"

@@ -1,0 +1,351 @@
+"""Aggregation operators A1-A10 (SURVEY.md §2.5).
+
+Reference basis: grouped metal/tonnage summaries required by the spec's
+extraction tables (TEST_TECNICO_INGENIERO_DATOS.md:38-48) and the
+driver-mandated analytics surface (repo:BASELINE.json:6). Expressed over
+the harness star schema; every aggregate is bit-deterministic vs DuckDB
+via exact-decimal sums (see determinism.py).
+
+Scale notes (100 TB design point): all of these are single-shuffle
+hash aggregations — Spark plans partial (map-side) + final aggregation
+automatically, so network traffic is O(groups), not O(rows). Cardinality
+of every grouping key here is tiny-to-moderate; for high-cardinality keys
+AQE's coalesce/skew handling applies. approx_count_distinct (HLL++) is
+the 100 TB path for cardinality; exact countDistinct is kept for parity
+checking at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import (
+    MONEY,
+    RATE,
+    davg,
+    dec,
+    dnarrow,
+    dstddev,
+    dsum,
+    sql_davg,
+    sql_dnarrow,
+    sql_dstddev,
+    sql_dsum,
+)
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-style pricing summary over lineitem."""
+    apply_runtime_confs(spark)
+    one = F.lit(1).cast(RATE)
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", MONEY) * (one - dec("l_discount", RATE))
+    charge = disc_price * (one + dec("l_tax", RATE))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dnarrow(F.sum(disc_price)).alias("sum_disc_price"),
+            dnarrow(F.sum(charge)).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", RATE).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dnarrow(f"SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS {RATE}) - CAST(l_discount AS {RATE})))")} AS sum_disc_price,
+  {sql_dnarrow(f"SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS {RATE}) - CAST(l_discount AS {RATE})) * (CAST(1 AS {RATE}) + CAST(l_tax AS {RATE})))")} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount', RATE)} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+register("A1_group_agg", oracle=PRICING_SUMMARY_ORACLE, tags=("agg", "flagship"))(
+    pricing_summary
+)
+
+
+@register(
+    "A2_global_agg",
+    oracle=f"""
+SELECT
+  COUNT(*) AS n_rows,
+  {sql_dsum('o_totalprice')} AS total_value,
+  {sql_davg('o_totalprice')} AS avg_value,
+  MIN(o_totalprice) AS min_value,
+  MAX(o_totalprice) AS max_value,
+  CAST(MIN(o_orderdate) AS DATE) AS first_order,
+  CAST(MAX(o_orderdate) AS DATE) AS last_order
+FROM orders
+""",
+    tags=("agg",),
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: whole-table aggregate (no grouping -> single reduced row)."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_value"),
+        davg("o_totalprice").alias("avg_value"),
+        F.min("o_totalprice").alias("min_value"),
+        F.max("o_totalprice").alias("max_value"),
+        F.min("o_orderdate").cast("date").alias("first_order"),
+        F.max("o_orderdate").cast("date").alias("last_order"),
+    )
+
+
+@register(
+    "A3_count_distinct",
+    oracle="""
+SELECT
+  l_returnflag,
+  COUNT(DISTINCT l_partkey) AS n_parts,
+  COUNT(DISTINCT l_suppkey) AS n_supps,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: exact distinct cardinality per group (expand+two-phase agg)."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "A4_approx_count_distinct",
+    oracle="""
+SELECT
+  l_linestatus,
+  COUNT(DISTINCT l_returnflag) AS n_flags,
+  COUNT(DISTINCT l_linenumber) AS n_linenums
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("agg", "approx"),
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HLL++ cardinality — the 100 TB path for distinct counts.
+
+    At the tiny cardinalities used here HLL++ linear counting is exact, so
+    the query stays oracle-checkable against exact COUNT(DISTINCT); at
+    production cardinalities the same plan holds with bounded error and
+    O(registers) memory instead of O(distinct values).
+    """
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_returnflag", 0.01).alias("n_flags"),
+        F.approx_count_distinct("l_linenumber", 0.01).alias("n_linenums"),
+    )
+
+
+@register(
+    "A5_agg_filtered",
+    oracle=f"""
+SELECT
+  l_linestatus,
+  {sql_dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_returned_a,
+  {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_returned_r,
+  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
+  {sql_dsum("CASE WHEN l_quantity > 25 THEN l_extendedprice END")} AS big_order_value
+FROM lineitem
+GROUP BY l_linestatus
+""",
+    tags=("agg",),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: conditional aggregates (per-category columns like the spec's
+    resource tables, TEST_TECNICO_INGENIERO_DATOS.md:38-42)."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        dnarrow(F.sum(F.when(F.col("l_returnflag") == "A", dec("l_quantity")))).alias("qty_returned_a"),
+        dnarrow(F.sum(F.when(F.col("l_returnflag") == "R", dec("l_quantity")))).alias("qty_returned_r"),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_high_discount"),
+        dnarrow(F.sum(F.when(F.col("l_quantity") > 25, dec("l_extendedprice")))).alias("big_order_value"),
+    )
+
+
+@register(
+    "A6_grouping_sets_rollup",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+  COUNT(*) AS n,
+  {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: rollup subtotals — the 'Measured + Indicated' / 'Proven +
+    Probable' rollup rows seen in the reference sample PDF's Table 1-2."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") + F.lit(2) * F.grouping("l_linestatus"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "A7_pivot",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS "O",
+  {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS "F"
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: category rows -> columns (report-shaped output, TEST.md:15)."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+@register(
+    "A8_collect_agg",
+    oracle="""
+SELECT
+  c_nationkey,
+  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segments,
+  COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+""",
+    tags=("agg",),
+)
+def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-group array gathering (all grades per doc, TEST.md:38-42);
+    rendered as a sorted joined string for cross-engine comparison."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "A9_stats_agg",
+    oracle=f"""
+SELECT
+  l_returnflag,
+  {sql_dstddev('l_quantity')} AS sd_qty,
+  median(l_quantity) AS med_qty,
+  quantile_cont(l_extendedprice, 0.90) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: dispersion/quantile QA stats for extracted numerics (TEST.md:119).
+
+    stddev is computed via exact decimal sums (order-independent); median /
+    exact percentile interpolate identically on both engines.
+    """
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dstddev("l_quantity").alias("sd_qty"),
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("p90_price"),
+    )
+
+
+@register(
+    "A10_mode_first_last",
+    oracle="""
+WITH counted AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), ranked AS (
+  SELECT o_orderstatus, o_orderpriority, n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n DESC, o_orderpriority) AS rk
+  FROM counted
+), extremes AS (
+  SELECT o_orderstatus,
+         min_by(o_orderpriority, o_orderkey) AS first_priority,
+         max_by(o_orderpriority, o_orderkey) AS last_priority
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT r.o_orderstatus,
+       r.o_orderpriority AS modal_priority,
+       r.n AS modal_count,
+       e.first_priority,
+       e.last_priority
+FROM ranked r JOIN extremes e USING (o_orderstatus)
+WHERE r.rk = 1
+""",
+    tags=("agg",),
+)
+def mode_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: representative value per group — deterministic mode (ties broken
+    by value) plus min_by/max_by over the unique order key."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window as W
+
+    o = tables.load(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    modal = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+    extremes = o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+    )
+    return modal.join(extremes, "o_orderstatus")

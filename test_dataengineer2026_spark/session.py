@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+Designed so the same code runs on local[N] (tests, bench) and on a real
+multi-executor cluster: everything scale-sensitive (shuffle partitions,
+AQE, broadcast threshold) is a config knob, not hard-coded logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs applied to every session we build, and defensively re-applied
+#: (runtime-settable subset) to sessions handed to us by the harness.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive/UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing, skew-join splitting, dynamic join selection.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: we use try_cast explicitly where safety matters and want
+    # permissive casts elsewhere (matches DuckDB TRY_CAST usage in oracles).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Re-apply runtime-settable confs to an externally provided session.
+
+    The verification driver builds its own SparkSession; query results must
+    not depend on that session's timezone or Arrow settings.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # config may be static-only on some builds
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "test_dataengineer2026_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local session.
+
+    On a real cluster the master/memory settings come from spark-submit;
+    only the sql confs here matter. In local mode the driver is the whole
+    cluster, so we size shuffle partitions to the core count — the default
+    200 merely adds task-scheduling overhead at test scale while a real
+    100 TB run would raise it (or let AQE coalesce from a high initial
+    number).
+    """
+    n = shuffle_partitions or default_parallelism()
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
