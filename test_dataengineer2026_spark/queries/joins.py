@@ -1,0 +1,302 @@
+"""Join operators J1-J8, J11, J13 (SURVEY.md §2.4).
+
+(J9 range / J10 as-of live in asof_range.py; J12 similarity join in
+similarity.py.)
+
+Reference basis: the spec's four extraction tables share document
+identity (TEST_TECNICO_INGENIERO_DATOS.md:32-54) and the star-schema
+surface is driver-mandated (repo:TESTDATA.md:13-14, repo:BASELINE.json:6).
+
+Scale notes (100 TB):
+- fact-to-fact joins (lineitem⋈orders) shuffle both sides on the key;
+  AQE handles skew splitting. On a real cluster, bucketing both tables
+  on the join key removes the shuffle entirely (see sources/sinks.py).
+- dimension joins must broadcast: region/nation/supplier/part are tiny;
+  J7 pins the hint explicitly, the others rely on the
+  autoBroadcastJoinThreshold which any sane deployment sets >= dim size.
+- semi/anti joins ship only the join key of the right side when
+  broadcast — they never materialize the match payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import dsum, sql_dsum
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+
+@register(
+    "J1_inner_equi_join",
+    oracle=f"""
+SELECT o.o_orderpriority, COUNT(*) AS n_lines, {sql_dsum('l.l_extendedprice')} AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+""",
+    tags=("join",),
+)
+def inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact-to-fact equi join; Catalyst picks the physical strategy
+    (sort-merge at scale, broadcast if one side fits)."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "J2_left_outer_join",
+    oracle=f"""
+SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+       COALESCE({sql_dsum('o.o_totalprice')}, 0.0) AS total_spent
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+    tags=("join",),
+)
+def left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: keep left rows without matches (projects lacking economics,
+    TEST.md:30) — customers with zero orders appear with n_orders=0."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "J3_right_outer_join",
+    oracle="""
+SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+FROM supplier s
+RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join",),
+)
+def right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: right outer — every nation appears even with no suppliers."""
+    apply_runtime_confs(spark)
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "J4_full_outer_join",
+    oracle="""
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+  FROM customer GROUP BY c_nationkey
+), supp AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM cust c FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+""",
+    tags=("join",),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: reconcile two aggregates keeping keys present in either side
+    (reconciliation across extraction runs, TEST.md:161)."""
+    apply_runtime_confs(spark)
+    c = (
+        tables.load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        tables.load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "J5_left_semi_join",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+)
+""",
+    tags=("join",),
+)
+def left_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: EXISTS — customers having at least one large order; only the
+    join key of the right side travels."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "J6_left_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+""",
+    tags=("join",),
+)
+def left_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: NOT EXISTS — the gap report (documents with no extracted
+    economics, TEST.md:30, TEST.md:151-152)."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "J7_broadcast_join",
+    oracle=f"""
+SELECT r.r_name AS region_name, COUNT(*) AS n_lines,
+       {sql_dsum('l.l_extendedprice')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("join", "broadcast"),
+)
+def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: dim-chain join with explicit broadcast hints — zero shuffle of
+    the fact table; the only exchange is the final tiny aggregation."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "J8_theta_join",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_pairs
+FROM supplier s
+JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join", "theta"),
+)
+def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: mixed equi + inequality predicate join. The equi part keys the
+    shuffle; the theta predicate filters within matched buckets, so this
+    stays a hash/sort-merge join, not a nested-loop."""
+    apply_runtime_confs(spark)
+    s = tables.load(spark, sf_dir, "supplier")
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "J11_cross_join",
+    oracle="""
+SELECT r.r_name, t.l_linestatus
+FROM region r
+CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) t
+""",
+    tags=("join", "cross"),
+)
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: Cartesian product (the building block under similarity search
+    J12) — kept to provably tiny inputs; at scale the cross join must
+    always be blocked/bucketed (see similarity.py)."""
+    apply_runtime_confs(spark)
+    r = tables.load(spark, sf_dir, "region").select("r_name")
+    t = tables.load(spark, sf_dir, "lineitem").select("l_linestatus").distinct()
+    return r.crossJoin(t)
+
+
+@register(
+    "J13_self_join",
+    oracle="""
+SELECT s1.s_suppkey AS supp_a, s2.s_suppkey AS supp_b, s1.s_nationkey AS nationkey
+FROM supplier s1
+JOIN supplier s2
+  ON s1.s_nationkey = s2.s_nationkey AND s1.s_suppkey < s2.s_suppkey
+""",
+    tags=("join", "self"),
+)
+def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: self-join with ordered-pair dedup (a.id < b.id) — the pair
+    enumeration pattern under near-duplicate detection (dedup.py)."""
+    apply_runtime_confs(spark)
+    s = tables.load(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_suppkey").alias("supp_a"),
+        F.col("b.s_suppkey").alias("supp_b"),
+        F.col("a.s_nationkey").alias("nationkey"),
+    )

@@ -1,0 +1,187 @@
+"""Window-function operators W1-W5 (SURVEY.md §2.6).
+
+Reference basis: ranking resources by contained metal within documents
+(TEST_TECNICO_INGENIERO_DATOS.md:38-42 tables), event deltas and
+retry-dedup (TEST.md:161), driver analytics surface (repo:TESTDATA.md:13).
+
+Every window uses a TOTAL order (unique tiebreaker column last) so row
+selection is deterministic and hash-comparable against the oracle.
+
+Scale notes: a window = one shuffle on partitionBy keys + per-partition
+sort. Partition keys here (nation, customer, user) are high-cardinality,
+so partitions are small and AQE balances them; a window WITHOUT
+partitionBy (global rank) would serialize onto one task and is only used
+on pre-aggregated tiny data (see sorts_sets.py O1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import FINAL, MONEY, dec, dnarrow
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+
+@register(
+    "W1_rank_topn",
+    oracle="""
+SELECT * FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER w AS rn,
+         RANK() OVER w AS rk,
+         DENSE_RANK() OVER w AS drk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rn <= 3
+""",
+    tags=("window",),
+)
+def rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: top-3 customers by balance per nation with row_number / rank /
+    dense_rank (the 'rank resources by contained metal within doc' shape)."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "W2_lag_lead",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS micros_since_prev,
+       LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window", "events"),
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: event-to-event deltas per user — sessionization prep."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (micros - F.lag(micros).over(w)).alias("micros_since_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "W3_running_agg",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER w AS {FINAL}) AS DOUBLE) AS running_spend,
+       CAST(CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS {FINAL}) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("window",),
+)
+def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cumulative sum + moving average per customer over order time.
+
+    Running sums use the exact-decimal trick per frame so every row's
+    value is bit-deterministic regardless of engine summation order.
+    """
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    mov = base.rowsBetween(-2, W.currentRow)
+    price = dec("o_totalprice", MONEY)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        dnarrow(F.sum(price).over(cum)).alias("running_spend"),
+        (dnarrow(F.sum(price).over(mov)) / F.count(F.lit(1)).over(mov)).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@register(
+    "W4_ntile_percent",
+    oracle="""
+SELECT c_custkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window",),
+)
+def ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: quantile bucketing / percent rank over a global order.
+
+    Note: the global (un-partitioned) window serializes the sort to one
+    task — acceptable for a 15k-row dimension, never for a fact table;
+    at scale use ntile per partition key or approx quantiles (A9/A4).
+    percent_rank = (rank-1)/(n-1): both factors are exact ints, and the
+    single division is deterministic.
+    """
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "W5_dedup_keep_latest",
+    oracle="""
+SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice, o_orderstatus
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+    tags=("window", "dedup"),
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: keep the newest row per key — dedup across extraction re-runs
+    (TEST.md:161 retries produce duplicate doc rows; keep latest run)."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            "o_totalprice",
+            "o_orderstatus",
+        )
+    )

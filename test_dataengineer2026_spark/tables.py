@@ -7,6 +7,7 @@ documents embeddings — one parquet file each under an sf directory.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -30,9 +31,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan. Catalyst prunes columns / pushes filters into this."""
+    """Columnar scan. Catalyst prunes columns / pushes filters into this.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; we read it as raw nanos (legacy conf) and
+    truncate to microseconds with integer division — matching exactly what
+    the DuckDB oracle sees (its view layer truncates ns -> us the same
+    way). Float division would corrupt the value: epoch-nanos (~1.7e18)
+    exceed double's 2^53 integer range.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
