@@ -1,0 +1,112 @@
+"""J9 range join and J10 as-of join queries (SURVEY.md §2.4).
+
+Reference basis: event-time enrichment over the driver's events/orders
+surface (repo:TESTDATA.md:13); DuckDB's ASOF JOIN semantics are the
+correctness reference for J10 — the oracle here spells the same
+semantics out with a window so tie-breaks are explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.operators.asof import asof_join_latest, range_join
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+
+@register(
+    "J9_range_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_shipped_in_window,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "range"),
+)
+def range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: interval containment (ship date within 90 days of order date).
+
+    The equi key (orderkey) drives the shuffle; the BETWEEN predicate is
+    evaluated inside the join, keeping a sort-merge/hash strategy — never
+    a nested loop. Pure interval joins without an equi key must bucketize
+    time first (see operators/asof.py docstring).
+    """
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    joined = range_join(
+        li,
+        o,
+        equi=li.l_orderkey == o.o_orderkey,
+        lower=o.o_orderdate,
+        upper=o.o_orderdate + F.expr("INTERVAL 90 DAY"),
+        probe=li.l_shipdate,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipped_in_window"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "J10_asof_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+), cand AS (
+  SELECT p.event_id, p.user_id, p.value AS purchase_value,
+         v.event_id AS prior_view_id, v.value AS prior_view_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rk
+  FROM purchases p
+  JOIN views v ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       c.prior_view_id, c.prior_view_value
+FROM purchases p
+LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c ON c.event_id = p.event_id
+""",
+    tags=("join", "asof"),
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: as-of join — for each purchase, the latest at-or-before view
+    by the same user (ties: larger event_id wins).
+
+    Implemented as union-tag + running last(ignorenulls) — one shuffle on
+    user_id + one sort, linear per partition; scales where the oracle's
+    join+rank formulation (quadratic per user) cannot.
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("prior_view_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("prior_view_value"),
+    )
+    out = asof_join_latest(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload=["prior_view_id", "prior_view_value"],
+        left_tiebreak="event_id",
+        right_tiebreak="prior_view_id",
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_value", "prior_view_id", "prior_view_value"
+    )

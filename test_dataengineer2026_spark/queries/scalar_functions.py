@@ -1,0 +1,347 @@
+"""Scalar function families F1-F8, F11 (SURVEY.md §2.9).
+
+Reference basis: company-name normalization (TEST.md:32-36), regex field
+extraction (TEST.md:82), report-date parsing "September 30, 2023"
+(TEST.md:36), grade*tonnage math (TEST.md:38-48), null contract
+(TEST.md:30), formatted-numeric cleanup (sample PDF: "1,515", "US$1,850"),
+content-hash doc ids for dedup (repo:BASELINE.json:6).
+
+F9 (JSON) lives in events_json.py, F10 (vector math) in similarity.py,
+F12 (text analysis) in text_analysis.py.
+
+Scale notes: every function here is a JVM-side codegen'd expression —
+no Python in the data path — so these columns fuse into whole-stage
+codegen with the surrounding scan/filter/project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+
+@register(
+    "F1_string_funcs",
+    oracle="""
+SELECT
+  c_custkey,
+  lower(c_name) AS name_lower,
+  upper(c_mktsegment) AS seg_upper,
+  length(c_name) AS name_len,
+  substring(c_name, 1, 8) AS name_prefix,
+  concat_ws('|', c_mktsegment, c_name) AS joined,
+  split_part(c_name, '#', 2) AS name_num,
+  levenshtein(c_mktsegment, 'BUILDING') AS lev_building,
+  trim(concat(' ', c_mktsegment, ' ')) AS trimmed,
+  replace(c_name, 'Customer', 'Client') AS renamed
+FROM customer
+""",
+    tags=("functions", "string"),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: case-fold / trim / split / substring / concat / levenshtein —
+    company-name matching across reports (TEST.md:32-36)."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_num"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Client")).alias("renamed"),
+    )
+
+
+@register(
+    "F2_regex_funcs",
+    oracle="""
+SELECT
+  p_partkey,
+  regexp_extract(p_name, '([0-9]+)', 1) AS first_number,
+  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+  regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap_line,
+  regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS brand_num
+FROM part
+WHERE regexp_matches(p_name, '[0-9]')
+""",
+    tags=("functions", "regex"),
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: regex extraction/cleanup — the spec's field-extraction machinery
+    (TEST.md:82). Patterns are kept in the RE2/Java-regex common subset."""
+    apply_runtime_confs(spark)
+    p = tables.load(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("[0-9]")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([0-9]+)", 1).alias("first_number"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_line"),
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "F3_datetime_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate) AS order_year,
+  month(o_orderdate) AS order_month,
+  isodow(o_orderdate) AS order_isodow,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to_2002,
+  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec,
+  strptime('September 30, 2023', '%B %d, %Y')::DATE AS spec_report_date
+FROM orders
+WHERE year(o_orderdate) = 1997
+""",
+    tags=("functions", "datetime"),
+)
+def datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: parse/truncate/diff date-time — the spec's report_date handling
+    ("September 30, 2023" -> DATE, TEST.md:36) plus calendar arithmetic."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    return o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.weekday("o_orderdate") + F.lit(1)).alias("order_isodow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        F.to_date(F.lit("September 30, 2023"), "MMMM d, yyyy").alias("spec_report_date"),
+    )
+
+
+@register(
+    "F4_math_funcs",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  round(l_extendedprice) AS price_rounded,
+  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+  abs(l_discount - 0.05) AS disc_dev,
+  round(ln(l_extendedprice), 6) AS price_ln,
+  round(log10(l_extendedprice), 6) AS price_log10,
+  sqrt(l_quantity) AS qty_sqrt,
+  power(l_quantity, 2) AS qty_sq,
+  l_quantity * l_extendedprice AS gross,
+  (l_quantity * 14.31 * 32.1507) / 1000.0 AS contained_koz
+FROM lineitem
+WHERE l_linenumber = 1 AND l_returnflag = 'A'
+""",
+    tags=("functions", "math"),
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: rounding / logs / powers, plus the spec's grade*tonnage
+    cross-check shape (contained_koz = tonnes * g/t * 32.1507 / 1000,
+    repo:FIXTURES.md §2). Each output is a single fp op on identical
+    inputs, hence bit-stable across engines; round() is integer-rounding
+    (half-away-from-zero on both)."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_returnflag") == "A")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice").alias("price_rounded"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        # ln/log10 are libm-dependent (Java vs C differ in the last ulp);
+        # round to 6dp so both engines land on the same double.
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.pow("l_quantity", 2).alias("qty_sq"),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("gross"),
+        ((F.col("l_quantity") * 14.31 * 32.1507) / 1000.0).alias("contained_koz"),
+    )
+
+
+@register(
+    "F5_conditional_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  CASE o_orderstatus WHEN 'F' THEN 'fulfilled' WHEN 'O' THEN 'open' ELSE 'other' END AS status_label,
+  CASE WHEN o_totalprice > 200000 THEN 'large' WHEN o_totalprice > 100000 THEN 'medium' ELSE 'small' END AS size_band,
+  COALESCE(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'unspecified') AS priority_clean,
+  IF(o_orderstatus = 'P', 1, 0) AS is_pending
+FROM orders
+""",
+    tags=("functions", "conditional"),
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: CASE WHEN / coalesce / nullif — category normalization and the
+    null contract (TEST.md:30)."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "fulfilled")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+        F.when(F.col("o_totalprice") > 200000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")),
+            F.lit("unspecified"),
+        ).alias("priority_clean"),
+        F.when(F.col("o_orderstatus") == "P", 1).otherwise(0).alias("is_pending"),
+    )
+
+
+@register(
+    "F6_cast_funcs",
+    oracle="""
+SELECT
+  o_orderkey,
+  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast_null,
+  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS priority_rank,
+  CAST(o_orderkey AS VARCHAR) AS key_str,
+  CAST(CAST(regexp_replace('1,515', ',', '', 'g') AS DOUBLE) AS DOUBLE) AS normalized_tonnes,
+  CAST(regexp_replace('US$1,850', '[^0-9.]', '', 'g') AS DOUBLE) AS normalized_price,
+  CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE o_orderstatus = 'P'
+""",
+    tags=("functions", "cast"),
+)
+def cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: safe typed casts of formatted numerics — the sample PDF's
+    "1,515" tonnes and "US$1,850" price strings (repo:FIXTURES.md §3,
+    X7 normalize_numeric) via regexp cleanup + cast; try_cast yields null
+    on junk instead of failing the row (TEST.md:30)."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "P").select(
+        "o_orderkey",
+        F.try_to_number(F.col("o_orderpriority"), F.lit("999")).cast("int").alias("bad_cast_null"),
+        F.element_at(F.split("o_orderpriority", "-"), 1).cast("int").alias("priority_rank"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.regexp_replace(F.lit("1,515"), ",", "").cast("double").alias("normalized_tonnes"),
+        F.regexp_replace(F.lit("US$1,850"), "[^0-9.]", "").cast("double").alias("normalized_price"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@register(
+    "F7_array_funcs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(tok) AS BIGINT) AS n_tokens,
+  list_contains(tok, 'spark') AS has_spark,
+  CAST(len(list_distinct(tok)) AS BIGINT) AS n_unique,
+  list_sort(tok)[1] AS first_token_sorted,
+  upper(tok[3]) AS third_upper,
+  CAST(len(list_filter(tok, x -> len(x) > 4)) AS BIGINT) AS n_long_tokens,
+  CAST(list_sum(list_transform(tok, x -> len(x))) AS BIGINT) AS total_chars
+FROM toks
+""",
+    tags=("functions", "array"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: array ops over tokenized documents — the per-doc page/cell
+    array model (SURVEY §1.1): size/contains/distinct/sort/transform/
+    filter/aggregate (higher-order functions, all JVM-side)."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.array_contains(tok, "spark").alias("has_spark"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_unique"),
+        F.element_at(F.array_sort(tok), 1).alias("first_token_sorted"),
+        F.upper(F.element_at(tok, 3)).alias("third_upper"),
+        F.size(F.filter(tok, lambda x: F.length(x) > 4)).cast("long").alias("n_long_tokens"),
+        F.aggregate(
+            tok, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "F8_map_funcs",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE l_linestatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open' END AS status_decoded,
+  CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 0 WHEN 'R' THEN 20 END AS flag_code,
+  2 AS map_size
+FROM lineitem
+WHERE l_quantity >= 49.0
+""",
+    tags=("functions", "map"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: MapType lookup columns — the unit-conversion-table shape (X7:
+    {'Mt': 1e6, 'kt': 1e3}); built with create_map + element_at on the
+    Spark side, CASE decode in the oracle."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    status_map = F.create_map(
+        F.lit("F"), F.lit("final"), F.lit("O"), F.lit("open")
+    )
+    flag_map = F.create_map(
+        F.lit("A"), F.lit(10), F.lit("N"), F.lit(0), F.lit("R"), F.lit(20)
+    )
+    return li.filter(F.col("l_quantity") >= 49.0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at(status_map, F.col("l_linestatus")).alias("status_decoded"),
+        F.element_at(flag_map, F.col("l_returnflag")).alias("flag_code"),
+        F.size(status_map).alias("map_size"),
+    )
+
+
+@register(
+    "F11_hash_funcs",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text) AS text_md5,
+  sha256(text) AS text_sha256,
+  md5(concat(source, '|', CAST(doc_id AS VARCHAR))) AS stable_row_id
+FROM documents
+""",
+    tags=("functions", "hash"),
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: stable content hashes — doc_id = hash(bytes) is the dedup
+    join key (repo:BASELINE.json:6); md5/sha256 are identical algorithms
+    on both engines so they stay oracle-checkable."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))).alias(
+            "stable_row_id"
+        ),
+    )
