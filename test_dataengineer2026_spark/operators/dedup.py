@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(SURVEY.md §2 north-star surface; repo:BASELINE.json:6 "dedup").
+
+100 TB design notes:
+
+* **exact**: hash-groupBy on a content digest — shuffle volume is
+  O(distinct digests); the digest (md5/sha2) is computed map-side so
+  full document text never shuffles.
+* **MinHash+LSH**: per-doc signature is O(k) regardless of doc size;
+  banding turns all-pairs O(n^2) into a self-join on (band_idx,
+  band_key) whose cost is sum of squares of bucket sizes — near-linear
+  when collisions are rare. Exact Jaccard verification runs only on
+  candidate pairs. This is the canonical web-scale near-dup pipeline
+  (Broder's shingling + banding, as described in MMDS ch.3).
+* **SimHash**: 24-bit fingerprints with 4x6-bit band LSH; by pigeonhole
+  any pair within Hamming distance 3 shares at least one exact band,
+  so candidate generation is again an equi-join, verification a
+  bit_count(xor) filter.
+* **inverted-index Jaccard**: explode shingles, self-join on shingle,
+  count co-occurrences — exact, and scalable if high-document-frequency
+  shingles are dropped first (df cap), the classic positional-index
+  optimization.
+
+Every hash used is the portable md5 family (functions/text.py), so all
+four pipelines stay bit-checkable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark.functions.text import (
+    hash24,
+    hash_family,
+    shingles,
+    tokens,
+)
+
+# MinHash parameters: k = bands * rows_per_band signatures.
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
+
+SIMHASH_BITS = 24
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group rows by content digest; keeper = min id per digest."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle_set) — distinct n-gram shingles per document."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        shingles(tokens(text_col), n).alias("sh"),
+    )
+
+
+def minhash_signature(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc, sh, sig) — sig[i] = min over shingles of md5(i||'|'||s).
+
+    String-min over hex digests is a valid MinHash permutation surrogate
+    and is engine-portable (pure ASCII comparison).
+    """
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("sh"), lambda s, i=i: hash_family(i, s))) for i in range(k)]
+    )
+    return sets.select("doc", "sh", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band."""
+    banded = signed.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows)))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays.
+
+    |A∩B| / (|A| + |B| - |A∩B|): all integer counts, one final division —
+    bit-deterministic on any engine.
+    """
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    return inter / (F.size(sh_a) + F.size(sh_b) - inter)
+
+
+def neardup_pairs_minhash(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash LSH candidates verified with exact Jaccard >= threshold."""
+    sets = shingle_sets(df, text_col, id_col, n).cache()
+    cands = lsh_candidate_pairs(minhash_signature(sets))
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def neardup_pairs_inverted(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs Jaccard via inverted shingle index.
+
+    At scale, pass df_cap to drop shingles appearing in more than df_cap
+    docs (stopword-shingles dominate pair blowup and cannot contribute to
+    high-Jaccard pairs when the sets are large).
+    """
+    sets = shingle_sets(df, text_col, id_col, n)
+    posting = sets.select(
+        "doc", F.size("sh").alias("set_size"), F.explode("sh").alias("shingle")
+    )
+    if df_cap is not None:
+        keep = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        posting = posting.join(keep, "shingle")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    inter = F.col("n_shared").cast("double")
+    jac = inter / (F.col("size_a") + F.col("size_b") - inter)
+    return pair_counts.select("doc_a", "doc_b", jac.alias("jac")).filter(
+        F.col("jac") >= threshold
+    )
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, simhash) — 24-bit SimHash over distinct n-gram shingles.
+
+    bit b of simhash = sign of sum over shingles of (+1 if bit b of
+    hash24(shingle) else -1). Shingles, not unigrams: with a tiny shared
+    vocabulary every document contains nearly every word, so token-level
+    fingerprints collapse; shingle sets stay discriminative.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(shingles(tokens(text_col), n)).alias("tok"),
+    ).withColumn("h", hash24(F.col("tok")))
+    bit_sums = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b)).otherwise(0).cast("long")
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc", sim.alias("simhash"))
+
+
+def neardup_pairs_simhash(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash LSH: 4x6-bit bands; pigeonhole guarantees recall for
+    Hamming <= 3; verify with bit_count(xor) <= max_hamming."""
+    sh = simhash_table(df, text_col, id_col)
+    banded = sh.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                    .bitwiseAND((1 << SIMHASH_BAND_BITS) - 1)
+                    .cast("long")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    ).alias("hamming")
+    return cands.select("doc_a", "doc_b", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,175 @@
+"""Deduplication queries D1-D4 over the documents table
+(north-star surface, repo:BASELINE.json:6 "dedup").
+
+The documents table plants ~25 near-duplicate pairs (3-gram Jaccard
+>= 0.9) in an otherwise dissimilar corpus — exactly the regime LSH is
+built for. Every pipeline here is mirrored move-for-move in the DuckDB
+oracle using the portable md5 hash family, so even the LSH candidate
+generation is value-checked, not just the final pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.operators import dedup as D
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+# Shared oracle CTE: distinct 3-gram shingle sets per doc.
+_SETS_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sets AS (
+  SELECT doc_id AS doc,
+         CASE WHEN len(tok) >= 3
+              THEN list_distinct(list_transform(generate_series(1, len(tok)-2),
+                                                i -> array_to_string(tok[i:i+2], ' ')))
+              ELSE [] END AS sh
+  FROM toks
+)
+"""
+
+_SIG_ENTRIES = ",\n         ".join(
+    f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(D.MINHASH_K)
+)
+
+
+@register(
+    "D1_exact_dedup",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    tags=("dedup",),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact dedup via content digest groupBy — digest computed
+    map-side so document text never shuffles; keeper = min doc_id."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(d, "text", "doc_id")
+
+
+@register(
+    "D2_minhash_lsh",
+    oracle=f"""
+WITH {_SETS_CTE},
+signed AS (
+  SELECT doc, sh,
+         [{_SIG_ENTRIES}] AS sig
+  FROM sets
+),
+banded AS (
+  SELECT doc, t.b AS band_idx,
+         md5(array_to_string(sig[t.b*{D.MINHASH_ROWS}+1 : t.b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], '|')) AS band_key
+  FROM signed, unnest(generate_series(0, {D.MINHASH_BANDS - 1})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+FROM cand c
+JOIN sets sa ON sa.doc = c.doc_a
+JOIN sets sb ON sb.doc = c.doc_b
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+""",
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: MinHash(k=16) + LSH(4 bands x 4 rows) near-dup pairs, verified
+    with exact Jaccard >= 0.8. Signature cost O(k) per doc; banding makes
+    candidate generation an equi-join instead of all-pairs."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return D.neardup_pairs_minhash(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register(
+    "D3_ngram_jaccard",
+    oracle=f"""
+WITH {_SETS_CTE},
+posting AS (
+  SELECT doc, len(sh) AS set_size, unnest(sh) AS shingle FROM sets
+),
+pair_counts AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         COUNT(*) AS n_shared
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) AS jac
+FROM pair_counts
+WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
+""",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: exact n-gram Jaccard via inverted shingle index (explode +
+    self-join on shingle + co-occurrence count). The exact-recall
+    baseline that D2 approximates; at scale add a document-frequency cap
+    on shingles (df_cap) to bound the join fan-out."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return D.neardup_pairs_inverted(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register(
+    "D4_simhash",
+    oracle=f"""
+WITH {_SETS_CTE},
+tok AS (
+  SELECT doc, unnest(sh) AS t FROM sets
+),
+h AS (
+  SELECT doc, CAST(('0x' || substr(md5(t), 1, 6)) AS INTEGER) AS h FROM tok
+),
+bits AS (
+  SELECT doc, g.b AS b,
+         SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS g(b)
+  GROUP BY doc, g.b
+),
+sim AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc
+),
+banded AS (
+  SELECT doc, simhash, g.b AS band_idx,
+         (simhash >> (g.b * {D.SIMHASH_BAND_BITS})) & {(1 << D.SIMHASH_BAND_BITS) - 1} AS band_val
+  FROM sim, unnest(generate_series(0, {D.SIMHASH_BANDS - 1})) AS g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+    tags=("dedup", "simhash"),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: SimHash near-dup pairs — 24-bit fingerprints, 4x6-bit band LSH
+    (pigeonhole: Hamming <= 3 implies a shared band), verified with
+    bit_count(xor)."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    out = D.neardup_pairs_simhash(d, "text", "doc_id", max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
