@@ -1,0 +1,143 @@
+"""Similarity-search queries: F10 vector math, J12 cosine top-k join,
+and the SRP-LSH approximate variant (SURVEY.md §2.4 J12, §2.9 F10;
+repo:BASELINE.json:6 "similarity search").
+
+The DuckDB oracles mirror the exact arithmetic: double-cast elementwise
+products, sequential list_sum fold (bit-identical to Spark's aggregate
+fold — verified), sqrt, one divide, round to 9dp for ranking stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.functions.vector import cosine, dot, l2_norm
+from test_dataengineer2026_spark.operators import similarity as S
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1,{dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+    )
+
+
+@register(
+    "F10_vector_math",
+    oracle=f"""
+SELECT
+  vec_id,
+  round(sqrt({_sql_dot('embedding', 'embedding')}), 9) AS l2_norm,
+  round({_sql_dot('embedding', 'embedding')}, 9) AS sq_norm,
+  CAST(embedding[1] AS DOUBLE) AS first_dim,
+  CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+  label
+FROM embeddings
+""",
+    tags=("vector",),
+)
+def vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: norms / elementwise access over ARRAY<FLOAT> — zip_with +
+    aggregate fold, fully JVM-side."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm(emb), 9).alias("l2_norm"),
+        F.round(dot(emb, emb), 9).alias("sq_norm"),
+        F.element_at(emb, 1).cast("double").alias("first_dim"),
+        F.array_max(emb).cast("double").alias("max_dim"),
+        "label",
+    )
+
+
+@register(
+    "J12_similarity_join",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS ce FROM embeddings
+), scored AS (
+  SELECT query_id, cand_id, round({_sql_cos('qe', 'ce')}, 9) AS cos_sim
+  FROM q CROSS JOIN c
+  WHERE query_id <> cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rk FROM ranked WHERE rk <= 10
+""",
+    tags=("vector", "join", "topk"),
+)
+def similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: brute-force cosine top-10 per query vector — the exact
+    baseline: broadcast the (small) query side, stream the corpus, no
+    corpus shuffle; rank on rounded cosine with id tiebreak."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e.filter(F.col("vec_id") < 5), e, k=10)
+
+
+# NOTE: DuckDB's lambda parser rejects "CAST(x AS T)" inside a lambda body
+# (the AS collides with the arrow grammar) — use postfix :: casts there.
+_SRP_BITS_SQL = f"""
+bits AS (
+  SELECT vec_id AS vid, embedding AS e,
+         list_transform(generate_series(0, {S.SRP_PLANES - 1}), p ->
+           CASE WHEN list_sum(list_transform(generate_series(1, {S.DIM}), i ->
+             e[i]::DOUBLE *
+             (((('0x' || substr(md5(p || '_' || i), 1, 6))::INTEGER % 2) * 2 - 1)::DOUBLE)
+           )) > 0 THEN 1 ELSE 0 END) AS bits
+  FROM embeddings
+)
+"""
+
+
+@register(
+    "J12b_srp_lsh_ann",
+    oracle=f"""
+WITH {_SRP_BITS_SQL},
+buckets AS (
+  SELECT vid, t.t AS table_idx,
+         list_sum(list_transform(generate_series(1, {S.SRP_BITS}),
+                                 j -> bits[t.t * {S.SRP_BITS} + j] * (1 << (j - 1)))) AS bucket
+  FROM bits, unnest(generate_series(0, {S.SRP_TABLES - 1})) AS t(t)
+),
+cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vid < b.vid
+)
+SELECT c.vec_a, c.vec_b,
+       round({_sql_cos('ea.embedding', 'eb.embedding')}, 9) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE round({_sql_cos('ea.embedding', 'eb.embedding')}, 9) >= 0.4
+""",
+    tags=("vector", "lsh", "ann"),
+)
+def srp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12b: the ANN scale path — sign-random-projection LSH (4 tables x
+    6 bits, md5-derived deterministic hyperplanes); candidates are bucket
+    collisions (equi-join), verified with exact cosine >= 0.4.
+
+    At 100 TB the bucketed self-join replaces the O(n^2) cross join with
+    a shuffle on (table_idx, bucket); recall tunes via (tables, bits).
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    return S.srp_neighbor_pairs(e, threshold=0.4)
