@@ -1,0 +1,261 @@
+"""Text-analysis operators (F12 + north-star surface: language ID,
+quality scoring, token counting, fingerprinting, TF-IDF).
+
+Reference basis: repo:BASELINE.json:6 "text analysis"; the documents
+table carries a lang ground-truth column (repo:FIXTURES.md §1.2); the
+spec's company/name normalization implies string analytics (TEST.md:32).
+
+All pipelines are pure JVM SQL expressions (split / higher-order array
+functions / window), never per-row Python — at 100 TB the tokenizer IS
+the scan loop, so it must stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.functions.text import tokens
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+# Tiny per-language stopword profiles (public-knowledge function words).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "y", "es", "que"),
+    "de": ("der", "die", "das", "und", "ist", "zu"),
+    "fr": ("le", "la", "de", "et", "est", "que"),
+    "zh": ("de", "shi", "he", "zai", "le", "you"),
+}
+LANGS = tuple(STOPWORDS)  # fixed priority order for deterministic ties
+
+
+@register(
+    "T1_token_count",
+    oracle=r"""
+SELECT
+  doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  n_chars AS n_chars_declared,
+  length(text) = n_chars AS chars_consistent
+FROM documents
+""",
+    tags=("text",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: token counting — whitespace tokens and a regex token pattern
+    (the BPE-ish pre-tokenizer shape), plus a QA cross-check against the
+    declared n_chars column (TEST.md:119 'does it extract correctly')."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("long").alias(
+            "n_word_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_declared"),
+        (F.length("text") == F.col("n_chars")).alias("chars_consistent"),
+    )
+
+
+def _score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_intersect(list_distinct(string_split(text, ' ')), [{words}])) AS INTEGER)"
+    )
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} >= greatest({', '.join('s_' + o for o in LANGS if o != lang)}) THEN '{lang}'"
+        for lang in LANGS
+    )
+    + " END"
+)
+
+
+@register(
+    "T2_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in LANGS)}
+  FROM documents
+)
+SELECT doc_id, lang AS lang_truth,
+       {_LANG_CASE} AS lang_pred,
+       s_en, s_es,
+       ({_LANG_CASE}) = lang AS is_correct
+FROM scored
+""",
+    tags=("text", "langid"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: language ID via stopword-profile overlap — score per language =
+    |distinct tokens ∩ stopword set|, argmax with a fixed priority order
+    for deterministic ties. (The harness corpus is same-vocab word soup,
+    so this mostly demonstrates the pipeline + accuracy reporting.)"""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        ).alias(f"s_{lang}")
+        for lang in LANGS
+    }
+    scored = d.select("doc_id", "lang", *scores.values())
+    pred = None
+    for lang in LANGS:
+        others = [F.col(f"s_{o}") for o in LANGS if o != lang]
+        cond = F.col(f"s_{lang}") >= F.greatest(*others)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("lang_truth"),
+        pred.alias("lang_pred"),
+        "s_en",
+        "s_es",
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "T3_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+         CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                 ['the', 'a', 'of', 'and', 'is', 'to'])) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio,
+       CAST(n_stop AS DOUBLE) / 6 AS stopword_coverage,
+       n_tokens BETWEEN 50 AND 1000
+         AND CAST(n_unique AS DOUBLE) / n_tokens > 0.02 AS passes_quality
+FROM t
+""",
+    tags=("text", "quality"),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: document quality signals — length band, mean token length,
+    type-token ratio, stopword coverage — the standard pretraining-corpus
+    filter features; each an integer ratio (single fp divide)."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    toks_d = F.array_distinct(tok)
+    n_tokens = F.size(tok).cast("long")
+    n_unique = F.size(toks_d).cast("long")
+    n_stop = F.size(
+        F.array_intersect(toks_d, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (
+            (F.length("text") - (n_tokens - 1)).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+        (n_unique.cast("double") / n_tokens).alias("unique_ratio"),
+        (n_stop.cast("double") / 6).alias("stopword_coverage"),
+        (
+            n_tokens.between(50, 1000) & (n_unique.cast("double") / n_tokens > 0.02)
+        ).alias("passes_quality"),
+    )
+
+
+@register(
+    "T4_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS vocab_fingerprint,
+       md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fingerprint
+FROM documents
+""",
+    tags=("text", "fingerprint"),
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: document fingerprints — canonical vocabulary fingerprint
+    (sorted distinct tokens) and a positional prefix fingerprint; both
+    portable md5 so clustering on them is engine-independent."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(tok)), " ")).alias(
+            "vocab_fingerprint"
+        ),
+        F.md5(F.concat_ws(" ", F.slice(tok, 1, 8))).alias("prefix_fingerprint"),
+    )
+
+
+@register(
+    "T5_tfidf_top_term",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, t.tok AS term, COUNT(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+  GROUP BY doc_id, t.tok
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * round(ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term AS top_term, tfidf AS top_tfidf
+FROM ranked WHERE rk = 1
+""",
+    tags=("text", "tfidf"),
+)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T: TF-IDF — term frequency per doc (explode+count), document
+    frequency per term, idf = ln(N/df) (rounded: libm), top term per doc.
+
+    Two shuffles (tf groupBy, df groupBy) + broadcast of the tiny df/N
+    side; the canonical scalable formulation.
+    """
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.col("tfidf").alias("top_tfidf"))
+    )
