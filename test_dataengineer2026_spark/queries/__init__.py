@@ -18,6 +18,8 @@ _MODULES = (
     "events_json",
     "streaming_q",
     "multimodal_q",
+    "udf_surface",
+    "sql_surface",
     "extraction_q",
 )
 

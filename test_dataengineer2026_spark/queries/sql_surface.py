@@ -1,0 +1,152 @@
+"""The spark.sql() surface (repo:BASELINE.json:7 "SQL transformations")
+plus V6 SQL UDF registration (SURVEY.md §2.11).
+
+Same Catalyst plans as the DataFrame API — these queries prove the
+engine exposes the full SQL entry point over registered views, including
+correlated subqueries (decorrelated by Catalyst), CTEs, window SQL, and
+Python UDFs callable from SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+_DSUM_REV = (
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6)) AS DOUBLE)"
+)
+
+
+@register(
+    "SQL1_tpch_q3",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {_DSUM_REV} AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+    tags=("sql",),
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q3-shaped shipping-priority query via
+    spark.sql over registered temp views."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT l.l_orderkey,
+       {_DSUM_REV} AS revenue,
+       date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+    )
+
+
+_AVG_BAL = (
+    "CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE)"
+    " / COUNT(*)"
+)
+
+
+@register(
+    "SQL2_correlated_subquery",
+    oracle=f"""
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT {_AVG_BAL}
+  FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
+    tags=("sql", "subquery"),
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: correlated scalar subquery — Catalyst decorrelates
+    this into an aggregate + join (SURVEY §4.2), no per-row re-execution."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT {_AVG_BAL}
+  FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+    )
+
+
+_SQL3 = """
+WITH nation_orders AS (
+  SELECT c.c_nationkey AS nationkey, o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), ranked AS (
+  SELECT nationkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM nation_orders
+)
+SELECT * FROM ranked WHERE rk <= 2
+"""
+
+
+@register(
+    "SQL3_cte_window",
+    oracle=_SQL3,
+    tags=("sql", "window"),
+)
+def cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: CTE + window + rank filter (top-2 orders per nation)."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL3)
+
+
+@register(
+    "V6_sql_udf_registration",
+    oracle="""
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(generate_series(1,64),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 9) AS norm
+FROM embeddings
+WHERE vec_id < 100
+""",
+    tags=("sql", "udf"),
+)
+def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6: a Pandas UDF registered into the SQL function namespace and
+    invoked from SQL text."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    from test_dataengineer2026_spark.queries.udf_surface import l2_norm_udf
+
+    spark.udf.register("l2norm", l2_norm_udf)
+    return spark.sql(
+        "SELECT vec_id, round(l2norm(embedding), 9) AS norm "
+        "FROM embeddings WHERE vec_id < 100"
+    )

@@ -1,0 +1,250 @@
+"""Streaming queries M2-M7 (SURVEY.md §2.10) — every one runs a REAL
+Structured Streaming query (file source, micro-batch engine, state
+store, memory sink, availableNow trigger) and returns the materialized
+result; the DuckDB oracle recomputes the same answer as batch SQL.
+
+M1 (watermark) is attached to the windowed aggregations; M8 (late-data
+routing) and M9 (trigger control) are exercised with multi-batch splits
+in tests/test_streaming.py since their outputs depend on batch
+boundaries by design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import dsum, sql_dsum
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+from test_dataengineer2026_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "M2_tumbling_window",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2: watermarked tumbling-window aggregation (1 hour) per event
+    type, complete output mode."""
+    apply_runtime_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "m2_tumbling", "complete")
+
+
+@register(
+    "M3_sliding_window",
+    oracle="""
+WITH cand AS (
+  SELECT ts,
+         to_timestamp((epoch_us(ts) // 1800000000) * 1800 - g.i * 1800) AS window_start
+  FROM events, unnest(generate_series(0, 1)) AS g(i)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM cand
+WHERE ts < window_start + INTERVAL 1 HOUR AND ts >= window_start
+GROUP BY 1
+""",
+    tags=("streaming", "window"),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: sliding windows (1 hour wide, 30 min slide) — each event lands
+    in two windows; oracle enumerates both candidate starts per event."""
+    apply_runtime_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n",
+        )
+    )
+    return run_to_memory(agg, "m3_sliding", "complete")
+
+
+@register(
+    "M4_session_window",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM numbered
+GROUP BY user_id, session_id
+""",
+    tags=("streaming", "session"),
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: per-user session windows with a 30-minute inactivity gap —
+    the streaming state-store sessionization; oracle = gaps-and-islands."""
+    apply_runtime_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    agg = (
+        s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), _TS_FMT).alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, "m4_session", "complete")
+
+
+@register(
+    "M5_stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: streaming dropDuplicates — emits each (user, event_type) key
+    once across the whole stream (state-store backed; with a watermark,
+    dropDuplicatesWithinWatermark bounds that state at scale)."""
+    apply_runtime_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    dedup = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_memory(dedup, "m5_dedup", "append")
+
+
+@register(
+    "M6_stateful_funnel",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), first_purchase AS (
+  SELECT user_id, MIN(rn) AS fp_rn
+  FROM ordered WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT o.user_id,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN o.event_type = 'purchase' THEN 1 END) AS n_purchases,
+       MAX(CASE WHEN o.rn = f.fp_rn THEN o.event_id END) AS first_purchase_id,
+       COUNT(CASE WHEN f.fp_rn IS NOT NULL AND o.rn < f.fp_rn THEN 1 END) AS n_before_first_purchase
+FROM ordered o LEFT JOIN first_purchase f USING (user_id)
+GROUP BY o.user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: custom stateful operator via applyInPandasWithState — a
+    per-user signup->purchase funnel state machine (events are sorted by
+    (ts, event_id) inside the state function for determinism)."""
+    apply_runtime_confs(spark)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = read_events_stream(spark, sf_dir)
+
+    out_schema = (
+        "user_id long, n_events long, n_purchases long, "
+        "first_purchase_id long, n_before_first_purchase long"
+    )
+    state_schema = "n long"
+
+    def funnel(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        is_p = rows["event_type"] == "purchase"
+        n_purchases = int(is_p.sum())
+        if n_purchases:
+            fp_pos = int(is_p.to_numpy().argmax())
+            fp_id = int(rows["event_id"].iloc[fp_pos])
+            n_before = fp_pos
+        else:
+            fp_id, n_before = None, 0
+        state.update((len(rows),))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": len(rows),
+                    "n_purchases": n_purchases,
+                    "first_purchase_id": fp_id,
+                    "n_before_first_purchase": n_before,
+                }
+            ]
+        )
+
+    result = s.groupBy("user_id").applyInPandasWithState(
+        funnel,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(result, "m6_funnel", "update")
+
+
+@register(
+    "M7_stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: stream-static enrichment — the static dimension is broadcast
+    into every micro-batch; aggregation runs in complete mode."""
+    apply_runtime_confs(spark)
+    s = read_events_stream(spark, sf_dir)
+    c = tables.load(spark, sf_dir, "customer")
+    agg = (
+        s.join(F.broadcast(c), s.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return run_to_memory(agg, "m7_enrich", "complete")

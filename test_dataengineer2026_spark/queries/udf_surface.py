@@ -1,0 +1,167 @@
+"""UDF / UDAF / UDTF surface V1-V4 (SURVEY.md §2.11).
+
+Reference basis: the spec leaves technology open including Python libs
+and LLM calls (TEST.md:80-99) — in Spark terms that is the Pandas-UDF
+family. Everything here crosses the JVM->Python boundary through Arrow
+batches (never per-row pickling), and each UDF's arithmetic is written
+to be bit-deterministic so the queries stay oracle-checked:
+
+* sums inside UDFs run as sequential double folds (matches list_sum);
+* weighted aggregates use exact decimal.Decimal accumulation mirroring
+  the SQL CAST(... AS DECIMAL) pipeline.
+"""
+
+from __future__ import annotations
+
+import decimal
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+
+@F.pandas_udf(T.DoubleType())
+def l2_norm_udf(emb: pd.Series) -> pd.Series:
+    """V1: vectorized scalar Pandas UDF — L2 norm of ARRAY<FLOAT>.
+
+    Sequential fold keeps it bit-identical to the SQL/aggregate path.
+    """
+
+    def norm(v) -> float:
+        acc = 0.0
+        for x in v:
+            fx = float(x)
+            acc += fx * fx
+        return acc**0.5
+
+    return emb.map(norm)
+
+
+@register(
+    "V1_scalar_pandas_udf",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(generate_series(1,64),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 9) AS norm
+FROM embeddings
+""",
+    tags=("udf", "vector"),
+)
+def scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: Arrow-batched scalar UDF over the embedding column."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", F.round(l2_norm_udf("embedding"), 9).alias("norm")
+    )
+
+
+@register(
+    "V2_grouped_map_udf",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       round((c_acctbal - MIN(c_acctbal) OVER w)
+             / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w), 9) AS acctbal_minmax
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey)
+""",
+    tags=("udf", "applyInPandas"),
+)
+def grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: applyInPandas grouped-map — per-nation min-max normalization
+    (per-doc table assembly shape, TEST.md:83). min/max are exact, the
+    normalize is one subtract + one divide per row."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+        out = pdf[["c_custkey", "c_nationkey"]].copy()
+        out["acctbal_minmax"] = ((pdf["c_acctbal"] - lo) / (hi - lo)).round(9)
+        return out
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        normalize, schema="c_custkey long, c_nationkey int, acctbal_minmax double"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def weighted_avg_disc_udf(qty: pd.Series, disc: pd.Series) -> float:
+    """V3: grouped-agg Pandas UDAF — quantity-weighted mean discount.
+
+    Exact decimal accumulation mirrors the SQL
+    CAST(SUM(CAST(q AS DECIMAL(18,4)) * CAST(d AS DECIMAL(8,4))) ...)
+    pipeline: shortest-repr Decimal(str(x)) equals the 4dp decimal cast
+    for this <=2dp data, sums are exact, one final double division.
+    """
+    swx = decimal.Decimal(0)
+    sw = decimal.Decimal(0)
+    for q, d in zip(qty, disc):
+        qd = decimal.Decimal(str(q))
+        dd = decimal.Decimal(str(d))
+        swx += qd * dd
+        sw += qd
+    return float(swx) / float(sw)
+
+
+@register(
+    "V3_grouped_agg_udaf",
+    oracle="""
+SELECT l_returnflag,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS wavg_discount
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("udf", "udaf"),
+)
+def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: custom aggregate — the spec's tonnage-weighted grade mean
+    (TEST.md:38-48) expressed as a Pandas UDAF."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_avg_disc_udf("l_quantity", "l_discount").alias("wavg_discount")
+    )
+
+
+@register(
+    "V4_python_udtf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), chunks AS (
+  SELECT doc_id, g.i AS chunk_idx,
+         array_to_string(tok[g.i * 10 + 1 : g.i * 10 + 10], ' ') AS chunk_text
+  FROM toks, unnest(generate_series(0, 200)) AS g(i)
+  WHERE g.i * 10 < len(tok)
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text
+FROM chunks
+""",
+    tags=("udf", "udtf"),
+)
+def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4: one-to-many generation (document -> 10-token training chunks),
+    as an array-returning Pandas UDF + posexplode — the UDTF pattern
+    (SURVEY §2.11 V4) with Arrow batching."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def chunker(text: pd.Series) -> pd.Series:
+        def chunks(t: str) -> list[str]:
+            tok = t.split(" ")
+            return [" ".join(tok[i : i + 10]) for i in range(0, len(tok), 10)]
+
+        return text.map(chunks)
+
+    return d.select(
+        "doc_id", F.posexplode(chunker("text")).alias("chunk_idx", "chunk_text")
+    )

@@ -25,6 +25,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: we use try_cast explicitly where safety matters and want
     # permissive casts elsewhere (matches DuckDB TRY_CAST usage in oracles).
     "spark.sql.ansi.enabled": "false",
+    # Streaming disables AQE, so an un-tuned session would run every
+    # stateful stage with 200 tasks; pin a local-mode-sane number. (On a
+    # real cluster this is sized to executor cores via spark-submit.)
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

@@ -1,0 +1,125 @@
+"""Streaming semantics that depend on batch boundaries (M1 watermark,
+M8 late-data policy, M9 trigger control) — exercised with a controlled
+two-file split so watermark advancement between micro-batches is
+deterministic."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def two_batch_dir(spark, tmp_path):
+    """Events split into two files: all rows before the cut in file 0,
+    the rest in file 1; maxFilesPerTrigger=1 => two micro-batches in
+    lexical file order."""
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    d = str(tmp_path / "events_split")
+    os.makedirs(d, exist_ok=True)
+    e.filter(F.col("ts") < cut).coalesce(1).write.mode("overwrite").parquet(d + "/p0")
+    e.filter(F.col("ts") >= cut).coalesce(1).write.mode("overwrite").parquet(d + "/p1")
+    out = str(tmp_path / "stream_in")
+    os.makedirs(out)
+    for i, sub in enumerate(("p0", "p1")):
+        for f in os.listdir(d + f"/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/{sub}/{f}", f"{out}/batch_{i}.parquet")
+    return out
+
+
+def test_watermark_drops_late_rows_across_batches(spark, two_batch_dir, tmp_path):
+    """M1/M8: with a 1-hour watermark in append mode, windows finalized
+    by batch 1's watermark are emitted and late arrivals for them would
+    be dropped; complete-mode totals exceed append-mode emissions."""
+    schema = spark.read.parquet(two_batch_dir).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        two_batch_dir
+    )
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_append")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    appended = spark.table("wm_append")
+    n_append = appended.count()
+
+    batch_total = (
+        spark.read.parquet(two_batch_dir)
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+        .count()
+    )
+    # append emitted only watermark-finalized windows; the tail (after
+    # the final watermark) stays in state, so strictly fewer windows.
+    assert 0 < n_append < batch_total
+    # emitted windows must all end at or before the final watermark
+    max_ts = spark.read.parquet(two_batch_dir).agg(F.max("ts")).collect()[0][0]
+    late_bound = max_ts.timestamp() - 3600
+    for row in appended.select("window.end").collect():
+        assert row["end"].timestamp() <= late_bound + 3600  # end <= watermark
+
+
+def test_trigger_availablenow_terminates(spark, two_batch_dir, tmp_path):
+    """M9: availableNow processes all pending input then stops."""
+    schema = spark.read.parquet(two_batch_dir).schema
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        two_batch_dir
+    )
+    q = (
+        s.groupBy("event_type")
+        .count()
+        .writeStream.format("memory")
+        .queryName("m9_avail")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt9"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert not q.isActive
+    got = {r["event_type"]: r["count"] for r in spark.table("m9_avail").collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in spark.read.parquet(two_batch_dir).groupBy("event_type").count().collect()
+    }
+    assert got == want
+
+
+def test_foreachbatch_idempotent_sink(spark, two_batch_dir, tmp_path):
+    """S10: foreachBatch sink writing per-epoch parquet — the idempotent
+    retry unit (TEST.md:161): re-processing an epoch overwrites rather
+    than duplicates."""
+    out = str(tmp_path / "fb_out")
+    schema = spark.read.parquet(two_batch_dir).schema
+
+    def write_epoch(df, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        two_batch_dir
+    )
+    q = (
+        s.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", str(tmp_path / "ckpt10"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = spark.read.parquet(out).count()
+    assert total == spark.read.parquet(two_batch_dir).count()
