@@ -1,0 +1,116 @@
+"""Golden-output test of the extraction pipeline against the one real
+sample input (repo:FIXTURES.md §3): the Aris Mining Segovia NI 43-101
+report shipped with the reference. Skipped if the sample is absent."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SAMPLE_DIR = "/root/reference/data"
+SAMPLE = os.path.join(
+    SAMPLE_DIR,
+    "sedar__000003116_Aris_Mining_Corporation__technical-report__878C2FBC.pdf",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SAMPLE), reason="reference sample PDF not available"
+)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    from test_dataengineer2026_spark.extraction.pipeline import (
+        extract_all,
+        parse_pages,
+        scan_pdfs,
+    )
+
+    pdfs = scan_pdfs(spark, SAMPLE_DIR)
+    return extract_all(parse_pages(pdfs))
+
+
+def test_x1_pages_have_text(spark):
+    from test_dataengineer2026_spark.extraction.pdf import extract_pages
+
+    pages = extract_pages(open(SAMPLE, "rb").read())
+    total = sum(len(t) for _, t in pages)
+    assert len(pages) > 30
+    assert total > 150_000  # ~173k chars reconstructible (SURVEY §1.1)
+
+
+def test_x3_metadata_golden(extracted):
+    rows = extracted["projects"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["project_name"] == "Segovia Operations"
+    assert r["company"] == "Aris Mining Corporation"
+    assert r["country"] == "Colombia"
+    assert r["region"] == "Antioquia"
+    assert str(r["report_date"]) == "2023-09-30"
+
+
+def test_x4_resources_golden(extracted):
+    rows = {
+        r["category"]: r
+        for r in extracted["mineral_resources"].collect()
+    }
+    # FIXTURES.md §3 Table 1-2 (Mt / g/t / koz)
+    expect = {
+        "Measured": (4.1, 14.31, 1893.0),
+        "Indicated": (3.8, 14.38, 1736.0),
+        "Measured + Indicated": (7.9, 14.34, 3629.0),
+        "Inferred": (4.7, 12.11, 1823.0),
+    }
+    assert set(rows) == set(expect)
+    for cat, (tonnes, grade, contained) in expect.items():
+        r = rows[cat]
+        assert r["tonnes"] == tonnes
+        assert r["grade_value"] == grade
+        assert r["contained_metal"] == contained
+        assert r["metal"] == "Au"
+        assert r["tonnes_unit"] == "Mt"
+        assert r["contained_unit"] == "koz"
+
+
+def test_x5_reserves_golden(extracted):
+    rows = {r["category"]: r for r in extracted["mineral_reserves"].collect()}
+    expect = {
+        "Proven": (1515.0, 12.25, 597.0),
+        "Probable": (2017.0, 11.16, 723.0),
+        "Proven + Probable": (3531.0, 11.63, 1320.0),
+    }
+    assert set(rows) == set(expect)
+    for cat, (tonnes, grade, contained) in expect.items():
+        r = rows[cat]
+        assert r["tonnes"] == tonnes
+        assert r["grade_value"] == grade
+        assert r["contained_metal"] == contained
+        # unit trap (FIXTURES §3): reserves are kt while resources are Mt
+        assert r["tonnes_unit"] == "kt"
+
+
+def test_x6_economics_null_contract(extracted):
+    rows = extracted["economics"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # operating mine: no NPV/IRR anywhere in the text (X8 null contract)
+    assert r["npv"] is None
+    assert r["irr"] is None
+    assert r["currency"] == "USD"
+
+
+def test_x9_quarantine_empty_for_clean_doc(extracted):
+    assert extracted["quarantine"].count() == 0
+
+
+def test_pipeline_sinks_roundtrip(spark, tmp_path):
+    from test_dataengineer2026_spark.extraction.pipeline import run_corpus
+
+    out = str(tmp_path / "out")
+    tables = run_corpus(spark, SAMPLE_DIR, out, fmt="json")
+    back = spark.read.json(f"{out}/mineral_resources")
+    assert back.count() == tables["mineral_resources"].count()
+    assert back.filter(F.col("category") == "Measured").count() == 1
