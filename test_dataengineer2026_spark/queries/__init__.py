@@ -21,6 +21,7 @@ _MODULES = (
     "udf_surface",
     "sql_surface",
     "extraction_q",
+    "sources_q",
 )
 
 _loaded = False

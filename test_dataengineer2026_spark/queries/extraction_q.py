@@ -1,0 +1,168 @@
+"""Oracle-checked extraction queries X3/X4/X6/X7/X8 over a deterministic
+inline mini-corpus (the spec's extraction semantics, TEST.md:30-54,
+exercised where the driver can hash-compare them — the real-PDF path is
+covered by the golden tests in tests/test_extraction.py).
+
+The corpus texts are synthetic stand-ins for the four byte-stripped
+reference PDFs (.MISSING_LARGE_BLOBS: Alpha One Corporation, Colombia
+Crest Gold Corp, Mineros SA, Sunward Resources Ltd) following
+repo:FIXTURES.md §2's generation hints: per-company metal/unit
+variation, partial-null economics, a junk row for the validator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark.extraction import extract as X
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+CORPUS: list[tuple[str, str]] = [
+    (
+        "doc_alpha",
+        "NI 43-101 Technical Report for the Alpha One Project, Antioquia, Colombia "
+        "prepared by Alpha One Corporation effective March 5, 2024 . "
+        "Table 1-2 Alpha One Project mineral resources effective March 5, 2024 "
+        "Classification Tonnes (Mt) Gold grade (g/t) Contained gold (koz) "
+        "Measured 2.5 8.10 651 Indicated 1.5 7.90 381 Inferred 0.9 6.50 188 . "
+        "The project NPV is US$250 at a discount rate of 5% and the IRR equals 22.5 percent. "
+        "Initial capital costs total US$1,100 million.",
+    ),
+    (
+        "doc_crest",
+        "NI 43-101 Technical Report for the Crest Gold Mine, Cundinamarca, Colombia "
+        "by Colombia Crest Gold Corp effective January 15, 2023 . "
+        "Table 1-3 Crest Gold Mine mineral reserves effective January 15, 2023 "
+        "Classification Tonnes (kt) Gold grade (g/t) Contained gold (koz) "
+        "Proven 1,200 4.20 162 Probable 800 3.80 98 Proven + Probable 2,000 4.04 260 . "
+        "No economic analysis is presented for this operating mine.",
+    ),
+    (
+        "doc_mineros",
+        "Technical Report for the Mineros Operations, Bolivar, Colombia by Mineros SA "
+        "effective July 1, 2023 . Table 1-2 Mineros Operations mineral resources "
+        "effective July 1, 2023 Classification Tonnes (Mt) Silver grade (g/t) "
+        "Contained silver (Moz) Measured 10.2 55.00 18 Indicated 0 44.00 9 . "
+        "Sustaining capital costs of US$75 million are planned; opex of 42 per tonne.",
+    ),
+]
+
+SCHEMA = "doc_id string, text string"
+
+
+def _corpus_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(CORPUS, SCHEMA)
+
+
+def _corpus_values() -> str:
+    rows = ", ".join(
+        "('{}', '{}')".format(d, t.replace("'", "''")) for d, t in CORPUS
+    )
+    return f"(VALUES {rows}) AS corpus(doc_id, text)"
+
+
+@register(
+    "X3_extract_metadata",
+    oracle=f"""
+SELECT doc_id,
+  NULLIF(regexp_extract(text, 'Technical Report for the ([A-Z][A-Za-z ]+?(?:Operations|Project|Mine))', 1), '') AS project_name,
+  NULLIF(regexp_extract(text, '([A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)* (?:Corporation|Corp|Inc|Ltd|SA|Mining))', 1), '') AS company,
+  NULLIF(regexp_extract(text, '(?:Operations|Project|Mine), [A-Z][a-zA-Z]+, ([A-Z][a-zA-Z]+)', 1), '') AS country,
+  NULLIF(regexp_extract(text, '(?:Operations|Project|Mine), ([A-Z][a-zA-Z]+), [A-Z][a-zA-Z]+', 1), '') AS region,
+  CAST(strptime(regexp_extract(text,
+      'effective (January|February|March|April|May|June|July|August|September|October|November|December) ([0-9]{{1,2}}), ([0-9]{{4}})', 0)
+      [11:], '%B %d, %Y') AS DATE) AS report_date
+FROM {_corpus_values()}
+""",
+    tags=("extraction",),
+)
+def extract_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: project metadata extraction (TEST.md:32-36) — same extractor
+    the PDF pipeline uses, over the synthetic corpus."""
+    apply_runtime_confs(spark)
+    return X.extract_metadata(_corpus_df(spark))
+
+
+@register(
+    "X4_extract_resources",
+    oracle=f"""
+WITH seg AS (
+  SELECT doc_id,
+         regexp_extract(text, 'mineral resources? ?s? effective[^.]{{0,60}}Classification.{{0,800}}', 0) AS seg
+  FROM {_corpus_values()}
+), meta AS (
+  SELECT doc_id, seg,
+         NULLIF(replace(regexp_extract(seg, 'Tonnes \\(([A-Za-z ]+)\\)', 1), ' ', ''), '') AS tonnes_unit,
+         NULLIF(replace(regexp_extract(seg, 'grade \\(([A-Za-z/% ]+)\\)', 1), ' ', ''), '') AS grade_unit,
+         NULLIF(replace(regexp_extract(seg, 'Contained [a-z]+ \\(([A-Za-z ]+)\\)', 1), ' ', ''), '') AS contained_unit,
+         CASE lower(regexp_extract(seg, '(?i)(Gold|Silver|Copper) grade', 1))
+              WHEN 'gold' THEN 'Au' WHEN 'silver' THEN 'Ag' WHEN 'copper' THEN 'Cu' END AS metal
+  FROM seg
+), rows_ AS (
+  SELECT doc_id, tonnes_unit, grade_unit, contained_unit, metal, unnest(
+    regexp_extract_all(seg,
+      '(Measured \\+ Indicated|Proven \\+ Probable|Measured|Indicated|Inferred|Proven|Probable) ([0-9][0-9,]*(?:\\.[0-9]+)?) ([0-9][0-9,]*(?:\\.[0-9]+)?) ([0-9][0-9,]*(?:\\.[0-9]+)?)')
+  ) AS row
+  FROM meta
+)
+SELECT doc_id,
+  regexp_extract(row, '^(Measured \\+ Indicated|Measured|Indicated|Inferred)', 1) AS category,
+  TRY_CAST(replace(regexp_extract(row, '^(?:[A-Za-z+ ]+?) ([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS tonnes,
+  metal,
+  TRY_CAST(replace(regexp_extract(row, '^(?:[A-Za-z+ ]+?) (?:[0-9][0-9,.]*) ([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS grade_value,
+  grade_unit,
+  TRY_CAST(replace(regexp_extract(row, '^(?:[A-Za-z+ ]+?) (?:[0-9][0-9,.]*) (?:[0-9][0-9,.]*) ([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS contained_metal,
+  contained_unit,
+  tonnes_unit
+FROM rows_
+WHERE regexp_extract(row, '^(Measured \\+ Indicated|Measured|Indicated|Inferred)', 1) <> ''
+""",
+    tags=("extraction",),
+)
+def extract_resources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+X7: resource-table rows with unit capture and numeric
+    normalization (TEST.md:38-42)."""
+    apply_runtime_confs(spark)
+    return X.extract_resources(_corpus_df(spark))
+
+
+@register(
+    "X6_extract_economics",
+    oracle=f"""
+SELECT doc_id,
+  TRY_CAST(replace(regexp_extract(text, '(?i)(?:capital costs?|capex)[^0-9]{{0,40}}([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS capex,
+  TRY_CAST(replace(regexp_extract(text, '(?i)(?:operating costs? of|opex of)[^0-9]{{0,40}}([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS opex,
+  TRY_CAST(replace(regexp_extract(text, '\\bNPV\\b[^0-9%]{{0,30}}([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS npv,
+  TRY_CAST(replace(regexp_extract(text, '\\bIRR\\b[^0-9%]{{0,30}}([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS irr,
+  CASE WHEN contains(text, 'US$') THEN 'USD' WHEN contains(text, 'C$') THEN 'CAD' END AS currency
+FROM {_corpus_values()}
+""",
+    tags=("extraction", "nulls"),
+)
+def extract_economics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+X8: economics with the null contract — doc_crest has no
+    figures at all and keeps a full-null row (TEST.md:30)."""
+    apply_runtime_confs(spark)
+    return X.extract_economics(_corpus_df(spark))
+
+
+@register(
+    "X7_normalize_numeric",
+    oracle="""
+SELECT raw,
+  TRY_CAST(regexp_replace(raw, '[^0-9.]', '', 'g') AS DOUBLE) AS parsed
+FROM (VALUES ('1,515'), ('US$1,850'), ('14.31'), ('2,017.5'), ('n/a'), ('')) AS t(raw)
+""",
+    tags=("extraction", "normalize"),
+)
+def normalize_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: formatted-numeric normalization — the sample PDF's exact
+    string shapes ('1,515', 'US$1,850'); junk -> null, never an error."""
+    apply_runtime_confs(spark)
+    df = spark.createDataFrame(
+        [("1,515",), ("US$1,850",), ("14.31",), ("2,017.5",), ("n/a",), ("",)],
+        "raw string",
+    )
+    return df.select("raw", X.parse_number(F.col("raw")).alias("parsed"))
