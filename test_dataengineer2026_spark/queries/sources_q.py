@@ -1,7 +1,8 @@
-"""Source/sink round-trip queries S2/S3/S4/S6/S7/S8 — the write path
-executes for real (repo-local .tmp staging), then the re-read result is
-verified against an oracle over the original table, proving the formats
-preserve values (TEST.md:59 interchange contract)."""
+"""Source/sink round-trip queries S1-S8 — the write path executes for
+real (repo-local .tmp staging), then the re-read result is verified
+against an oracle over the original table, proving the formats preserve
+values (TEST.md:59 interchange contract). S9/S10 (streaming source /
+foreachBatch sink) live in streaming_q.py."""
 
 from __future__ import annotations
 
@@ -11,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import dsum, sql_dsum
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 from test_dataengineer2026_spark.sources import io as sio
@@ -45,6 +47,130 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return back.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "S1_binary_file_scan",
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes
+FROM documents
+""",
+    tags=("sources", "binary"),
+)
+def binary_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: binaryFile corpus ingestion — one row per file with (path,
+    modificationTime, length, content). This is the PDF-corpus entry
+    point (TEST.md:26; pathGlobFilter='*.pdf' in the pipeline — the real
+    sample report goes through it in tests/test_extraction.py). Here the
+    documents table is staged as a file and scanned back; the oracle
+    pins the exact byte count the scan must report. At 10k-PDF scale
+    parallelism = file count and only `length`/`path` are read unless
+    `content` is referenced (column pruning on the file source)."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    out = _stage("docs_text_bin", sf_dir)
+    d.select("text").coalesce(1).write.mode("overwrite").text(out)
+    files = sio.scan_binary(spark, out, glob="*.txt")
+    return files.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+    )
+
+
+@register(
+    "S2_parquet_scan_pruned",
+    oracle="""
+SELECT doc_id, n_chars FROM documents WHERE n_chars > 300
+""",
+    tags=("sources", "parquet"),
+)
+def parquet_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: columnar parquet scan with column pruning + predicate
+    pushdown — ReadSchema carries only (doc_id, n_chars) and the filter
+    lands in PushedFilters, so at 100 TB the scan touches 2 columns and
+    skips row groups whose max(n_chars) <= 300."""
+    apply_runtime_confs(spark)
+    d = sio.scan_parquet(spark, tables.table_path(sf_dir, "documents"))
+    return d.filter(F.col("n_chars") > 300).select("doc_id", "n_chars")
+
+
+@register(
+    "S5_text_scan",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents
+""",
+    tags=("sources", "text"),
+)
+def text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: raw line-oriented text scan (the reference's data/prueba.txt
+    shape) — documents staged as text files, re-read one row per line."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    out = _stage("docs_text_lines", sf_dir)
+    d.select("text").coalesce(1).write.mode("overwrite").text(out)
+    lines = sio.scan_text(spark, out)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
+
+
+@register(
+    "S6_json_sink_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("sources", "sink", "json"),
+)
+def json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: JSON output sink (TEST.md:59's interchange contract) — orders
+    written as JSON-lines, re-read with a DECLARED schema (no inference
+    pass), aggregated; the oracle proves zero value drift for int64 keys
+    and full-precision doubles through the textual format."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = _stage("orders_json", sf_dir)
+    sio.sink_json(o, out)
+    back = sio.scan_json(
+        spark, out, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@register(
+    "S7_csv_sink_roundtrip",
+    oracle=f"""
+SELECT c_mktsegment, COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_acctbal
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("sources", "sink", "csv"),
+)
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: CSV output sink with header — customer written, re-read with
+    a declared schema, aggregated per market segment. Doubles survive
+    because Spark writes shortest-round-trip decimal strings."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    out = _stage("customer_csv", sf_dir)
+    sio.sink_csv(c, out)
+    back = sio.scan_csv(
+        spark, out, "c_custkey long, c_mktsegment string, c_acctbal double"
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_acctbal"),
     )
 
 

@@ -1,12 +1,13 @@
-"""Streaming queries M2-M7 (SURVEY.md §2.10) — every one runs a REAL
-Structured Streaming query (file source, micro-batch engine, state
-store, memory sink, availableNow trigger) and returns the materialized
-result; the DuckDB oracle recomputes the same answer as batch SQL.
+"""Streaming queries S9/S10 + M1-M9 (SURVEY.md §2.10) — every one runs
+a REAL Structured Streaming query (file source, micro-batch engine,
+state store, memory/foreachBatch sink, availableNow trigger) and
+returns the materialized result; the DuckDB oracle recomputes the same
+answer as batch SQL.
 
-M1 (watermark) is attached to the windowed aggregations; M8 (late-data
-routing) and M9 (trigger control) are exercised with multi-batch splits
-in tests/test_streaming.py since their outputs depend on batch
-boundaries by design.
+Batch-boundary-dependent semantics (M1 append-mode emission, M8 late
+drops, M9 per-trigger batching) run over a staged THREE-file feed with
+fixed timestamp splits and mtime ordering, so the micro-batch sequence
+— and therefore the result — is deterministic and oracle-checkable.
 """
 
 from __future__ import annotations
@@ -23,7 +24,9 @@ from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 from test_dataengineer2026_spark.streaming.jobs import (
     read_events_stream,
+    read_events_stream_multifile,
     run_to_memory,
+    stage_events_multifile,
 )
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -248,3 +251,164 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     return run_to_memory(agg, "m7_enrich", "complete")
+
+
+@register(
+    "S9_stream_file_source",
+    oracle="""
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+""",
+    tags=("streaming", "sources"),
+)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: incremental file-source pickup — the staged 3-file feed is
+    consumed one file per micro-batch (maxFilesPerTrigger=1, oldest
+    mtime first), the production pattern for newly landed PDFs/objects
+    (TEST.md:65); complete-mode counts must equal the batch answer."""
+    apply_runtime_confs(spark)
+    s = read_events_stream_multifile(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, "s9_file_source", "complete")
+
+
+@register(
+    "S10_foreach_batch_sink",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "sink"),
+)
+def foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: foreachBatch sink — each micro-batch overwrites its own
+    batch_id=N partition directory, so a replayed batch lands on the
+    same path and the sink stays idempotent under retries (TEST.md:161);
+    the re-read of the sink must carry every event exactly once."""
+    import os
+    import shutil
+
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.queries.sources_q import _stage
+
+    out = _stage("s10_foreach_batch", sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    s = read_events_stream_multifile(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "M1_watermark_append",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM events
+WHERE date_trunc('day', ts) + INTERVAL 1 DAY
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 2 DAY
+GROUP BY 1
+""",
+    tags=("streaming", "watermark"),
+)
+def watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: watermark-driven append-mode emission — a 1-day tumbling
+    window emits only once the 2-day watermark passes its end, so the
+    trailing windows are withheld at end-of-stream. This is the state
+    eviction contract that bounds memory at 100 TB: closed windows leave
+    the state store, open ones stay."""
+    apply_runtime_confs(spark)
+    s = read_events_stream_multifile(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n",
+        )
+    )
+    return run_to_memory(agg, "m1_watermark_append", "append")
+
+
+@register(
+    "M8_late_data_policy",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-11'
+GROUP BY 1
+""",
+    tags=("streaming", "watermark", "late"),
+)
+def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: late-data drop policy — the staged feed delivers splits in
+    reverse event-time order; by the third micro-batch the committed
+    watermark (max event time - 2 days) is weeks ahead of that batch's
+    rows, so the engine must drop every one of them: no window before
+    the first split boundary may appear. (The batch-side quarantine of
+    the dropped set — an anti-join of source vs admitted — is shown in
+    tests/test_streaming.py.)"""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_staged_stream,
+        stage_events_late_feed,
+    )
+
+    apply_runtime_confs(spark)
+    s = read_staged_stream(spark, stage_events_late_feed(spark, sf_dir))
+    agg = (
+        s.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n",
+        )
+    )
+    return run_to_memory(agg, "m8_late_policy", "update")
+
+
+@register(
+    "M9_trigger_control",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS batch_id, COUNT(*) AS n FROM events WHERE ts < TIMESTAMP '2024-01-11'
+UNION ALL
+SELECT CAST(1 AS BIGINT), COUNT(*) FROM events
+WHERE ts >= TIMESTAMP '2024-01-11' AND ts < TIMESTAMP '2024-01-21'
+UNION ALL
+SELECT CAST(2 AS BIGINT), COUNT(*) FROM events WHERE ts >= TIMESTAMP '2024-01-21'
+""",
+    tags=("streaming", "trigger"),
+)
+def trigger_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: trigger control — availableNow + maxFilesPerTrigger=1 drains
+    the backlog as one bounded run of single-file micro-batches (the
+    backfill-then-stop pattern); the observed (batch_id, row-count)
+    sequence must equal the staged file split exactly."""
+    apply_runtime_confs(spark)
+    s = read_events_stream_multifile(spark, sf_dir, files_per_trigger=1)
+    seen: list[tuple[int, int]] = []
+
+    def record(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n:
+            seen.append((batch_id, n))
+
+    q = s.writeStream.foreachBatch(record).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.createDataFrame(seen, "batch_id long, n long")

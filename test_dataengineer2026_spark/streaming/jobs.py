@@ -50,6 +50,114 @@ def stage_events_dir(sf_dir: str) -> str:
     return d
 
 
+#: Fixed day-boundary splits for the multi-file staged feed (events span
+#: 2024-01; boundaries chosen so every split is non-empty at any sf).
+SPLIT_BOUNDS = ("2024-01-11", "2024-01-21")
+
+
+def stage_events_multifile(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE parquet files split at fixed ts boundaries,
+    with strictly increasing mtimes so the file stream source picks them
+    up oldest-first — a deterministic stand-in for files landing over
+    time in an object-store prefix (TEST.md:65's 10k-PDF feed)."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(_STAGE_ROOT, tag + "_multi")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ev = tables.load(spark, sf_dir, "events")
+    lo, hi = SPLIT_BOUNDS
+    splits = [
+        ev.filter(F.col("ts") < lo),
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        ev.filter(F.col("ts") >= hi),
+    ]
+    base = 1_700_000_000
+    for i, part in enumerate(splits):
+        tmp = os.path.join(d, f"_tmp{i}")
+        # ts back to long nanos so the staged schema matches the source's
+        part.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"{i:02d}-events.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 100, base + i * 100))
+    open(done, "w").close()
+    return d
+
+
+def read_events_stream_multifile(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming scan of the 3-file staged feed, one file per
+    micro-batch (S9: incremental pickup of newly landed files)."""
+    return read_staged_stream(
+        spark, stage_events_multifile(spark, sf_dir), files_per_trigger
+    )
+
+
+def stage_events_late_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as THREE files delivered in REVERSE event-time order
+    (newest split first, oldest stragglers last). Spark's stateful
+    operators filter late input with the watermark committed as of the
+    *previous* micro-batch, so the drop becomes observable from the
+    third batch on: batch 0 advances event time, batch 1 commits the
+    watermark, batch 2's rows are all older than it and must be dropped."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(_STAGE_ROOT, tag + "_late")
+    done = os.path.join(d, "_STAGED")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ev = tables.load(spark, sf_dir, "events")
+    lo, hi = SPLIT_BOUNDS
+    splits = [
+        ev.filter(F.col("ts") >= hi),
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)),
+        ev.filter(F.col("ts") < lo),
+    ]
+    base = 1_700_000_000
+    for i, part in enumerate(splits):
+        tmp = os.path.join(d, f"_tmp{i}")
+        part.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"{i:02d}-events.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 100, base + i * 100))
+    open(done, "w").close()
+    return d
+
+
+def read_staged_stream(
+    spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming scan of a staged directory, ``files_per_trigger`` files
+    per micro-batch, oldest mtime first."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(staged_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of events with the same ns->us timestamp handling
     as the batch loader (tables.load)."""
