@@ -36,11 +36,18 @@ from test_dataengineer2026_spark.functions.text import (
     shingles,
     tokens,
 )
+from test_dataengineer2026_spark.tables import parallelize
 
 # MinHash parameters: k = bands * rows_per_band signatures.
 MINHASH_BANDS = 4
 MINHASH_ROWS = 4
 MINHASH_K = MINHASH_BANDS * MINHASH_ROWS
+
+#: Kirsch-Mitzenmacher modulus: the k hash functions are
+#: h_i(s) = (h1(s) + i*h2(s)) mod PRIME with h1/h2 carved from ONE md5
+#: digest — 1 md5 per shingle instead of k, same MinHash guarantees
+#: (prime > 2^32; h1,h2 < 2^48 so i*h2 stays well inside int64).
+MINHASH_PRIME = 4_294_967_311
 
 SIMHASH_BITS = 24
 SIMHASH_BANDS = 4
@@ -68,32 +75,62 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
 
 
 def minhash_signature(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc, sh, sig) — sig[i] = min over shingles of md5(i||'|'||s).
-
-    String-min over hex digests is a valid MinHash permutation surrogate
-    and is engine-portable (pure ASCII comparison).
+    """(doc, sh, sig) — sig[i] = min over shingles of
+    (h1 + i*h2) mod MINHASH_PRIME, with h1/h2 the first/second 48 bits
+    of md5(shingle) (Kirsch-Mitzenmacher double hashing: one digest
+    yields the whole hash family). The digest pairs are materialized in
+    their own projection so the k mins share one md5 pass per shingle.
     """
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("sh"), lambda s, i=i: hash_family(i, s))) for i in range(k)]
+    digest_pairs = F.transform(
+        F.col("sh"),
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5(s), 13, 12), 16, 10).cast("long").alias("h2"),
+        ),
     )
-    return sets.select("doc", "sh", sig.alias("sig"))
+    with_pairs = sets.select("doc", "sh", digest_pairs.alias("hp"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hp"),
+                    lambda p, i=i: (p.h1 + F.lit(i) * p.h2) % F.lit(MINHASH_PRIME),
+                )
+            )
+            for i in range(k)
+        ]
+    )
+    return with_pairs.select("doc", "sh", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
+def band_table(
     signed: DataFrame, bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS
 ) -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band."""
-    banded = signed.select(
+    """(doc, band_idx, band_key) — one row per LSH band."""
+    return signed.select(
         "doc",
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.concat_ws("|", F.slice(F.col("sig"), b * rows + 1, rows)))
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    )
                     for b in range(bands)
                 ]
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def lsh_candidate_pairs(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing at least one LSH band.
+    Pass a CACHED band table: the self-join evaluates it twice."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -121,9 +158,15 @@ def jaccard(sh_a: Column, sh_b: Column) -> Column:
 def neardup_pairs_minhash(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
-    """MinHash LSH candidates verified with exact Jaccard >= threshold."""
-    sets = shingle_sets(df, text_col, id_col, n).cache()
-    cands = lsh_candidate_pairs(minhash_signature(sets))
+    """MinHash LSH candidates verified with exact Jaccard >= threshold.
+
+    The input is hash-redistributed first: shingling + k md5 minhashes
+    per document are compute-bound, and a small single-file scan would
+    otherwise pin the whole pipeline to one task.
+    """
+    sets = shingle_sets(parallelize(df, id_col), text_col, id_col, n).cache()
+    banded = band_table(minhash_signature(sets)).cache()
+    cands = lsh_candidate_pairs(banded)
     a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
@@ -144,7 +187,7 @@ def neardup_pairs_inverted(
     docs (stopword-shingles dominate pair blowup and cannot contribute to
     high-Jaccard pairs when the sets are large).
     """
-    sets = shingle_sets(df, text_col, id_col, n)
+    sets = shingle_sets(parallelize(df, id_col), text_col, id_col, n)
     posting = sets.select(
         "doc", F.size("sh").alias("set_size"), F.explode("sh").alias("shingle")
     )
@@ -187,7 +230,7 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     vocabulary every document contains nearly every word, so token-level
     fingerprints collapse; shingle sets stay discriminative.
     """
-    toks = df.select(
+    toks = parallelize(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(shingles(tokens(text_col), n)).alias("tok"),
     ).withColumn("h", hash24(F.col("tok")))

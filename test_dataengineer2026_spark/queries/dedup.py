@@ -31,8 +31,13 @@ sets AS (
 )
 """
 
+# Kirsch-Mitzenmacher hash family mirror: h_i = (h1 + i*h2) % PRIME with
+# h1/h2 = first/second 48 bits of md5(shingle) (operators/dedup.py).
+_H1 = "('0x' || substr(md5(s), 1, 12))::BIGINT"
+_H2 = "('0x' || substr(md5(s), 13, 12))::BIGINT"
 _SIG_ENTRIES = ",\n         ".join(
-    f"list_min(list_transform(sh, s -> md5('{i}|' || s)))" for i in range(D.MINHASH_K)
+    f"list_min(list_transform(sh, s -> ({_H1} + {i} * {_H2}) % {D.MINHASH_PRIME}))"
+    for i in range(D.MINHASH_K)
 )
 
 
@@ -173,3 +178,51 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.load(spark, sf_dir, "documents")
     out = D.neardup_pairs_simhash(d, "text", "doc_id", max_hamming=3)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+from test_dataengineer2026_spark.queries.similarity import srp_pairs_sql  # noqa: E402
+
+
+@register(
+    "D5_embedding_neardup",
+    oracle=f"""
+WITH {srp_pairs_sql(0.45)},
+sym AS (
+  SELECT vec_a AS vec, vec_b AS nbr FROM pairs
+  UNION ALL
+  SELECT vec_b AS vec, vec_a AS nbr FROM pairs
+),
+m AS (SELECT vec, MIN(nbr) AS min_nbr FROM sym GROUP BY vec),
+k AS (
+  SELECT e.vec_id,
+         LEAST(e.vec_id, COALESCE(m.min_nbr, e.vec_id)) AS keeper_id
+  FROM embeddings e LEFT JOIN m ON e.vec_id = m.vec
+)
+SELECT vec_id, keeper_id, keeper_id <> vec_id AS is_dup FROM k
+""",
+    tags=("dedup", "vector"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: embedding-cosine near-dup — SRP-LSH bucket collisions verified
+    with exact cosine >= 0.45, then a one-step min-neighbor contraction
+    assigns every vector a keeper (keeper_id = min id in its verified
+    neighborhood, itself if unique). At 100 TB the candidate join is an
+    equi-shuffle on (table_idx, bucket); full transitive clusters would
+    iterate the contraction to a fixpoint (or use a connected-components
+    pass), which the single deterministic step here stands in for."""
+    from test_dataengineer2026_spark.operators import similarity as SIM
+
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    pairs = SIM.srp_neighbor_pairs(e, threshold=0.45)
+    sym = pairs.select(
+        F.col("vec_a").alias("vec"), F.col("vec_b").alias("nbr")
+    ).unionAll(pairs.select(F.col("vec_b").alias("vec"), F.col("vec_a").alias("nbr")))
+    m = sym.groupBy("vec").agg(F.min("nbr").alias("min_nbr"))
+    joined = e.select("vec_id").join(m, e.vec_id == m.vec, "left")
+    keeper = F.least(F.col("vec_id"), F.coalesce(F.col("min_nbr"), F.col("vec_id")))
+    return joined.select(
+        "vec_id",
+        keeper.alias("keeper_id"),
+        (keeper != F.col("vec_id")).alias("is_dup"),
+    )

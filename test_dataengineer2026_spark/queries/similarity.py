@@ -106,10 +106,11 @@ bits AS (
 """
 
 
-@register(
-    "J12b_srp_lsh_ann",
-    oracle=f"""
-WITH {_SRP_BITS_SQL},
+def srp_pairs_sql(threshold: float) -> str:
+    """CTE chain ending in ``pairs(vec_a, vec_b, cos_sim)`` — the DuckDB
+    mirror of operators.similarity.srp_neighbor_pairs(threshold).
+    Compose as ``WITH {srp_pairs_sql(t)} SELECT ... FROM pairs``."""
+    return f"""{_SRP_BITS_SQL},
 buckets AS (
   SELECT vid, t.t AS table_idx,
          list_sum(list_transform(generate_series(1, {S.SRP_BITS}),
@@ -120,13 +121,22 @@ cand AS (
   SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
   FROM buckets a JOIN buckets b
     ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.vid < b.vid
-)
-SELECT c.vec_a, c.vec_b,
-       round({_sql_cos('ea.embedding', 'eb.embedding')}, 9) AS cos_sim
-FROM cand c
-JOIN embeddings ea ON ea.vec_id = c.vec_a
-JOIN embeddings eb ON eb.vec_id = c.vec_b
-WHERE round({_sql_cos('ea.embedding', 'eb.embedding')}, 9) >= 0.4
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+         round({_sql_cos('ea.embedding', 'eb.embedding')}, 9) AS cos_sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+  WHERE round({_sql_cos('ea.embedding', 'eb.embedding')}, 9) >= {threshold}
+)"""
+
+
+@register(
+    "J12b_srp_lsh_ann",
+    oracle=f"""
+WITH {srp_pairs_sql(0.4)}
+SELECT vec_a, vec_b, cos_sim FROM pairs
 """,
     tags=("vector", "lsh", "ann"),
 )

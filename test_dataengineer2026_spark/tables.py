@@ -53,6 +53,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def parallelize(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row work (hashing,
+    shingling, UDFs). A small local parquet file arrives as ONE scan
+    partition, serializing everything downstream onto one core; on a
+    real cluster the same operator chain inherits the scan's width, but
+    compute-bound stages still benefit from hash-distributing rows.
+    The shuffle moves only the (small) input rows — worth it whenever
+    per-row work dominates row width."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key)) if key else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views for the spark.sql() surface."""
     for name in TABLES:
