@@ -1,0 +1,106 @@
+"""Physical-plan contracts (SURVEY.md §4.2 "engine-side obligations").
+
+These tests pin the plan properties that matter at 100 TB — filters
+reaching the parquet scan, projections pruning the read schema, small
+dims broadcasting, top-k avoiding a global sort, hot scalar paths
+staying inside whole-stage codegen, and no operator introducing an
+Exchange the query doesn't semantically need. A change that silently
+degrades one of these would still pass value-parity tests locally while
+multiplying shuffle volume on a real cluster; here it fails CI instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from test_dataengineer2026_spark import registry
+from test_dataengineer2026_spark.plans.audit import (
+    audit,
+    exchange_count,
+    plan_string,
+)
+from tests.conftest import SF_DIR_MID
+
+QS = registry.queries()
+
+
+def _audit(spark, name):
+    return audit(QS[name](spark, SF_DIR_MID))
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """S2: the filter lands in PushedFilters; ReadSchema carries only
+    the two projected columns of the 5-column table."""
+    a = _audit(spark, "S2_parquet_scan_pruned")
+    assert any("GreaterThan(n_chars,300)" in f for f in a["pushed_filters"]), a
+    assert a["read_schemas"] == ["struct<doc_id:bigint,n_chars:bigint>"], a
+
+
+def test_star_schema_broadcasts(spark):
+    """J7: every dim join in the star chain is a broadcast-hash join —
+    the fact table never shuffles for the dims."""
+    a = _audit(spark, "J7_broadcast_join")
+    assert a["joins"], a
+    assert all(j == "BroadcastHashJoin" for j in a["joins"]), a
+
+
+def test_semi_anti_broadcast_no_shuffle(spark):
+    """J5/J6: existence joins against a subquery stay broadcast and add
+    zero shuffles of the probe side."""
+    for name in ("J5_left_semi_join", "J6_left_anti_join"):
+        a = _audit(spark, name)
+        assert all(j == "BroadcastHashJoin" for j in a["joins"]), (name, a)
+        assert a["exchanges"] == 0, (name, a)
+
+
+def test_group_agg_partial_then_final(spark):
+    """A1: hash aggregation is two-phase (map-side partial before the
+    exchange), so the shuffle carries group states, not raw rows."""
+    p = plan_string(QS["A1_group_agg"](spark, SF_DIR_MID), "simple")
+    assert p.count("HashAggregate") >= 2, p
+    first_agg = p.index("HashAggregate")
+    assert "partial_" in p, p
+    # exactly one hash exchange between the two agg phases
+    assert exchange_count(p) <= 2, p  # group-by exchange (+ optional sort)
+    assert first_agg >= 0
+
+
+def test_topk_avoids_global_sort(spark):
+    """O3: orderBy().limit(k) plans TakeOrderedAndProject — per-partition
+    top-k then a k-row merge, never a full rangepartition sort."""
+    p = plan_string(QS["O3_limit_topk"](spark, SF_DIR_MID), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_similarity_join_streams_corpus(spark):
+    """J12: the query side broadcasts; the corpus is never exchanged
+    before scoring (BroadcastNestedLoopJoin over the scan)."""
+    a = _audit(spark, "J12_similarity_join")
+    assert "BroadcastNestedLoopJoin" in a["joins"], a
+    assert a["exchanges"] <= 1, a  # only the final top-k window partition
+
+
+def test_window_single_exchange(spark):
+    """W1: a partitioned window needs exactly one hash exchange."""
+    a = _audit(spark, "W1_rank_topn")
+    assert a["exchanges"] == 1, a
+
+
+def test_union_is_exchange_free(spark):
+    """U1: unionByName concatenates partitions; any Exchange here would
+    be pure waste."""
+    a = _audit(spark, "U1_union_all")
+    assert a["exchanges"] == 0, a
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["T1_token_count", "T3_quality_score", "X4_extract_resources", "F2_regex_funcs"],
+)
+def test_scalar_paths_stay_in_codegen(spark, name):
+    """Text/extraction scalar pipelines run fused (no Python, no
+    exchange): the whole operator is a single codegen stage per scan."""
+    a = _audit(spark, name)
+    assert a["wholestage"], (name, a)
+    assert a["exchanges"] == 0, (name, a)
