@@ -300,3 +300,46 @@ def self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_suppkey").alias("supp_b"),
         F.col("a.s_nationkey").alias("nationkey"),
     )
+
+
+@register(
+    "J1b_salted_skew_join",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_items, {sql_dsum('l_extendedprice')} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("join", "skew", "salt"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1b: the hand-salted variant of the J1 fact join for skewed keys
+    (SURVEY.md §7.6). A hot l_orderkey would send one shuffle partition
+    an outsized share of rows; salting splits every probe-side key into
+    SALT sub-keys (salt derived from non-join columns so a single hot
+    key's rows spread across SALT reducers) and replicates the build
+    side once per salt value. The join result is provably identical to
+    the unsalted join — the oracle checks it against the plain SQL join.
+    AQE's skew-join splitting handles moderate skew automatically; the
+    explicit salt is the tool for the pathological case where one key
+    exceeds a whole executor. SALT=8 multiplies build-side shuffle
+    volume 8x in exchange for 8-way spread of the hottest key.
+    """
+    apply_runtime_confs(spark)
+    SALT = 8
+    li = tables.load(spark, sf_dir, "lineitem").withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_linenumber", "l_partkey", "l_suppkey"), F.lit(SALT)),
+    )
+    o = tables.load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    # equi-join on (key, salt): the composite is the shuffle key
+    joined = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )

