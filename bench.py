@@ -46,8 +46,12 @@ HEADLINE = [
 def main() -> None:
     spark = get_session("bench", shuffle_partitions=max(CPUS, 16))
     qs = registry.queries()
-    # untimed warmup: JVM/codegen/parquet-footer caches
+    # untimed warmup: JVM/codegen/parquet-footer caches, plus one tiny
+    # streaming query so the micro-batch engine + state store are
+    # initialized before the timed M4 run (first stream pays ~2.5s of
+    # one-time engine setup that is not a property of the query).
     qs["A1_group_agg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    qs["M2_tumbling_window"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

@@ -168,7 +168,7 @@ def pdf_extract_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both paths are Arrow-batched Pandas UDFs, so 10k PDFs parallelize
     across executors with no driver involvement."""
     apply_runtime_confs(spark)
-    d = tables.load(spark, sf_dir, "documents")
+    d = tables.parallelize(tables.load(spark, sf_dir, "documents"), "doc_id")
     pdfs = d.select("doc_id", P.render_pdf_udf("text").alias("content"))
     pages = pdfs.select("doc_id", F.explode(P.pages_udf("content")).alias("pg"))
     return pages.select("doc_id", F.col("pg.page").alias("page"), F.col("pg.text").alias("text"))
