@@ -61,6 +61,84 @@ def cosine_topk(
     )
 
 
+IVF_SEEDS = 16
+IVF_PROBES = 2
+
+
+def ivf_assign(
+    df: DataFrame,
+    seeds: DataFrame,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — assign each vector to its ``probes`` nearest seed
+    cells by cosine (rounded to 9dp, seed-id tiebreak, so the cell
+    assignment is bit-deterministic across engines)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    s = seeds.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("s_emb")
+    )
+    scored = F.broadcast(s).crossJoin(v).select(
+        "id", "cell", F.round(cosine(F.col("emb"), F.col("s_emb")), 9).alias("s")
+    )
+    w = W.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= probes)
+        .select("id", "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    seeds: DataFrame,
+    probes: int = IVF_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their single nearest seed
+    cell; each query probes its ``probes`` nearest cells and runs exact
+    cosine top-k over only those cells' members.
+
+    At 100 TB the corpus is PARTITIONED BY cell on disk, so a probe
+    reads only `probes / n_cells` of the data — the classic
+    inverted-file trade of recall for a bounded candidate set. Real IVF
+    trains centroids (k-means); a deterministic seed subset stands in
+    here so the whole pipeline (assignment included) stays
+    value-checkable against the SQL oracle — the plan shape is
+    identical either way.
+    """
+    cells = ivf_assign(corpus, seeds, probes=1, id_col=id_col, vec_col=vec_col)
+    qcells = ivf_assign(queries, seeds, probes=probes, id_col=id_col, vec_col=vec_col)
+    cand = (
+        qcells.withColumnRenamed("id", "query_id")
+        .join(cells.withColumnRenamed("id", "cand_id"), "cell")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rk")
+    )
+
+
 def srp_buckets(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

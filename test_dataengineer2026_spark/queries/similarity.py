@@ -151,3 +151,53 @@ def srp_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     e = tables.load(spark, sf_dir, "embeddings")
     return S.srp_neighbor_pairs(e, threshold=0.4)
+
+
+@register(
+    "J12c_ivf_ann",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS s_emb FROM embeddings WHERE vec_id < {S.IVF_SEEDS}
+), scored_assign AS (
+  SELECT v.vec_id AS id, s.cell,
+         round({_sql_cos('v.embedding', 's.s_emb')}, 9) AS sc
+  FROM embeddings v CROSS JOIN seeds s
+), assign AS (
+  SELECT id, cell,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY sc DESC, cell) AS rn
+  FROM scored_assign
+), cells AS (
+  SELECT id AS cand_id, cell FROM assign WHERE rn = 1
+), qcells AS (
+  SELECT id AS query_id, cell FROM assign WHERE id < 5 AND rn <= {S.IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.cand_id
+  FROM qcells q JOIN cells c USING (cell)
+  WHERE q.query_id <> c.cand_id
+), scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         round({_sql_cos('qe.embedding', 'ce.embedding')}, 9) AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rk FROM ranked WHERE rk <= 10
+""",
+    tags=("vector", "ann", "ivf"),
+)
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12c: IVF-style ANN — corpus vectors are assigned to their
+    nearest seed cell, each query probes its 2 nearest cells, exact
+    cosine top-k runs only over the probed cells' members. At 100 TB the
+    corpus is stored partitionBy(cell), so a probe scans probes/n_cells
+    of the data; recall tunes via the probe count. Complements J12b's
+    LSH with the partition-pruning flavor of ANN."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < S.IVF_SEEDS)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(queries, e, seeds)
