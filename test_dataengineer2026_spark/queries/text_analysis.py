@@ -259,3 +259,72 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("term").alias("top_term"), F.col("tfidf").alias("top_tfidf"))
     )
+
+
+@register(
+    "C1_corpus_curation",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+), k AS (
+  SELECT source,
+         rn = 1 AND lang = 'en'
+           AND n_tokens BETWEEN 50 AND 1000
+           AND CAST(n_unique AS DOUBLE) / n_tokens > 0.02 AS kept,
+         n_tokens
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_ratio
+FROM k GROUP BY source
+""",
+    tags=("text", "pipeline", "curation"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: the end-to-end training-corpus curation pipeline — exact
+    dedup (keep lowest doc_id per content hash, W5's pattern), language
+    gate, and the T3 quality band (token count + type-token ratio),
+    reported as per-source survival stats. This is the composition the
+    individual operators exist for; at 100 TB it is one scan, one
+    window shuffle on the 16-byte content hash, and one partial+final
+    aggregation — document text never shuffles."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    n_tokens = F.size(tok).cast("long")
+    n_unique = F.size(F.array_distinct(tok)).cast("long")
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    t = d.select(
+        "source",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique"),
+        rn.alias("rn"),
+    )
+    kept = (
+        (F.col("rn") == 1)
+        & (F.col("lang") == "en")
+        & F.col("n_tokens").between(50, 1000)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") > 0.02)
+    )
+    k = t.select("source", kept.alias("kept"), "n_tokens")
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        (
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("kept_ratio"),
+    )
