@@ -349,3 +349,43 @@ def mode_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
     )
     return modal.join(extremes, "o_orderstatus")
+
+
+@register(
+    "H1_hypertable_rollup",
+    oracle=f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("agg", "rollup", "hypertable"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: hypertable-style multi-granularity rollup — the daily
+    aggregate is computed FROM the hourly aggregate, not from raw
+    events, proving the partial-aggregate reuse a continuous-aggregate
+    store depends on: counts add, and the hourly sums stay in exact
+    DECIMAL until the final daily narrowing, so re-aggregation is
+    bit-identical to aggregating raw data once (the oracle computes the
+    daily answer directly from events). At 100 TB this is the
+    cascade that turns a rescan of a year of raw data into a scan of
+    365 daily partials."""
+    apply_runtime_confs(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).alias("value_dec"),  # exact partial, NOT narrowed
+    )
+    daily = hourly.groupBy(
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        dnarrow(F.sum("value_dec")).alias("total_value"),
+    )
+    return daily
