@@ -328,3 +328,55 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("kept_ratio"),
     )
+
+
+# Winnowing parameters: k-char grams, window of w consecutive gram hashes.
+WINNOW_K = 6
+WINNOW_W = 8
+
+
+@register(
+    "T6_winnowing_fingerprint",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - {WINNOW_K - 1}),
+                        i -> ('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 6))::INTEGER) AS hs
+  FROM documents
+  WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+), fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                                      j -> list_min(hs[j:j+{WINNOW_W - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+""",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    local-minima scheme, the rolling-hash fingerprint family): hash
+    every k-char gram, keep the minimum hash of each w-hash window,
+    dedupe. Guarantees any shared substring of length >= k+w-1 yields a
+    shared fingerprint, with ~2/(w+1) selection density — the
+    plagiarism/near-dup fingerprint whose output is a tiny fraction of
+    the text. Pure codegen higher-order expressions; at 100 TB the
+    fingerprint table joins on (fingerprint) to find overlapping docs,
+    exactly like the D2/D3 posting-list pattern."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    hs = F.expr(
+        f"transform(sequence(1, length(text) - {WINNOW_K - 1}), "
+        f"i -> cast(conv(substr(md5(substr(text, i, {WINNOW_K})), 1, 6), 16, 10) as int))"
+    )
+    eligible = d.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1).select(
+        "doc_id", hs.alias("hs")
+    )
+    fps = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+            f"j -> array_min(slice(hs, j, {WINNOW_W})))"
+        )
+    )
+    return eligible.select("doc_id", F.explode(fps).alias("fingerprint"))
