@@ -15,6 +15,7 @@ _MODULES = (
     "dedup",
     "similarity",
     "text_analysis",
+    "curation",
     "events_json",
     "streaming_q",
     "multimodal_q",

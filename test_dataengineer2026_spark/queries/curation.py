@@ -1,0 +1,233 @@
+"""Corpus-curation operators C2-C5: the sampling / mixing / chunking /
+packing stages of a training-data pipeline (north-star surface,
+repo:BASELINE.json:6 — "add the LLM-data-pipeline operators").
+
+C1 (the filter+dedup survival pipeline) lives in text_analysis.py; this
+module adds the stages that come AFTER filtering when assembling a
+pre-training corpus:
+
+* **C2 stratified sampling** — deterministic per-stratum downsampling
+  via a content-keyed uniform hash, the reproducible substitute for
+  ``df.sampleBy`` (whose seeded RNG is engine-specific and so can't be
+  oracle-checked bit-for-bit).
+* **C3 mixture weighting** — turn a target language mixture + token
+  budget into per-stratum sampling rates (the data-mixing computation
+  behind every published pre-training recipe).
+* **C4 context-window chunking** — split documents into fixed-size
+  overlapping character windows (the retrieval / long-doc chunker).
+* **C5 sequence packing** — assign documents to fixed-token-budget
+  training packs via a running token count (streaming concat-and-split
+  packing, the GPT-style "pack then split" batching step).
+
+All four are pure codegen relational plans — no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+# C2/C3: per-language sampling knobs. Weights are the *target* corpus
+# mixture; 2^32 is the hash-bucket denominator.
+LANG_RATES = {"en": 0.9, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.3}
+HASH_DENOM = 4_294_967_296.0  # 2^32, exact in double
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}::DOUBLE" for k, v in LANG_RATES.items())
+    + " ELSE 0.0::DOUBLE END"
+)
+
+
+def _uniform_hash(id_col: str) -> F.Column:
+    """Deterministic uniform in [0, 1): first 32 bits of md5(id) / 2^32.
+
+    Content-keyed sampling (vs. seeded RNG) is what you actually want at
+    100 TB: the decision for a given doc_id is stable across reruns,
+    engines, partitionings, and cluster sizes, so samples are
+    reproducible and incremental reprocessing keeps prior decisions.
+    """
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+    return h.cast("long") / F.lit(HASH_DENOM)
+
+
+@register(
+    "C2_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / {HASH_DENOM}
+      < ({_RATE_CASE_SQL})
+""",
+    tags=("curation", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: deterministic stratified sampling — keep a doc iff its
+    content-keyed uniform hash falls under its language's target rate
+    (en 0.9, de/fr/es 0.5, zh 0.3). Bit-reproducible sampleBy: the
+    predicate is a pure map-side filter (no shuffle, no RNG state), so
+    Catalyst pushes it into the scan and the plan is a single stage at
+    any scale."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v)).otherwise(None)
+            for k, v in LANG_RATES.items()
+        ],
+        F.lit(0.0),
+    )
+    return d.filter(_uniform_hash("doc_id") < rate).select("doc_id", "lang", "source")
+
+
+# C3: token budget for the mixed corpus, in whitespace tokens.
+MIX_BUDGET = 20_000
+
+
+@register(
+    "C3_mixture_weights",
+    oracle=f"""
+WITH t AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       ({_RATE_CASE_SQL.replace("lang", "t.lang")}) * {MIX_BUDGET} AS target_tokens,
+       LEAST(1.0::DOUBLE,
+             ({_RATE_CASE_SQL.replace("lang", "t.lang")}) * {MIX_BUDGET} / total_tokens)
+         AS sample_rate
+FROM t
+""",
+    tags=("curation", "sampling"),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: source-mixture weighting — given a target per-language weight
+    and a global token budget, compute each language's target token
+    count and the document sampling rate that achieves it
+    (min(1, weight*budget/available)). This is the data-mixing math of
+    pre-training recipes (e.g. the mixture tables in the GPT-3 / LLaMA
+    papers), computed from corpus stats in one partial+final aggregation
+    — at 100 TB the per-language token totals are a map-side-combined
+    agg over a scan that reads only (lang, text)."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v)).otherwise(None)
+            for k, v in LANG_RATES.items()
+        ],
+        F.lit(0.0),
+    )
+    t = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+    )
+    target = weight * F.lit(MIX_BUDGET)
+    return t.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        target.alias("target_tokens"),
+        F.least(F.lit(1.0), target / F.col("total_tokens")).alias("sample_rate"),
+    )
+
+
+# C4: chunk geometry — 400-char windows every 300 chars (100-char overlap).
+CHUNK_SIZE = 400
+CHUNK_STRIDE = 300
+
+
+@register(
+    "C4_chunk_documents",
+    oracle=f"""
+SELECT doc_id,
+       ((s.start - 1) // {CHUNK_STRIDE})::BIGINT AS chunk_idx,
+       substr(text, s.start, {CHUNK_SIZE}) AS chunk_text,
+       length(substr(text, s.start, {CHUNK_SIZE}))::BIGINT AS chunk_len
+FROM documents,
+     unnest(generate_series(1, greatest(length(text), 1), {CHUNK_STRIDE})) AS s(start)
+""",
+    tags=("curation", "chunking"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: context-window chunking — split each document into
+    400-character windows every 300 characters (100 overlap), the
+    retrieval-index / long-document chunker. chunk_idx derives from the
+    window start, so no ordinality bookkeeping survives the explode.
+    One narrow explode, no shuffle; at 100 TB output size is
+    size(text) * size/stride ≈ 1.33x input and streams straight to a
+    partitioned sink."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
+    ).alias("start")
+    chunk = F.expr(f"substring(text, start, {CHUNK_SIZE})")
+    return d.select("doc_id", "text", starts).select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+# C5: training-sequence token budget per pack.
+PACK_BUDGET = 2_000
+
+
+@register(
+    "C5_pack_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_tok
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       (start_tok // {PACK_BUDGET})::BIGINT AS pack_id,
+       (start_tok % {PACK_BUDGET})::BIGINT AS pack_offset
+FROM c
+""",
+    tags=("curation", "packing"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: sequence packing — a running token count in (source, doc_id)
+    order assigns each document a pack_id (which fixed-budget training
+    sequence it starts in) and its token offset there: streaming
+    concat-and-split packing, first-fit in stream order. Packing is
+    per-source so the prefix sum is a partitioned window, not a global
+    sort — at 100 TB each shard packs independently (exactly how a
+    distributed tokenize-and-pack job shards), instead of serializing
+    on one global cumulative sum."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start_tok = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    c = t.select("doc_id", "source", "n_tokens", start_tok.alias("start_tok"))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start_tok") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (F.col("start_tok") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
