@@ -81,11 +81,12 @@ def minhash_signature(sets: DataFrame, k: int = MINHASH_K) -> DataFrame:
     yields the whole hash family). The digest pairs are materialized in
     their own projection so the k mins share one md5 pass per shingle.
     """
+    digests = F.transform(F.col("sh"), lambda s: F.md5(s))
     digest_pairs = F.transform(
-        F.col("sh"),
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 13, 12), 16, 10).cast("long").alias("h2"),
+        digests,
+        lambda m: F.struct(
+            F.conv(F.substring(m, 1, 12), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 13, 12), 16, 10).cast("long").alias("h2"),
         ),
     )
     with_pairs = sets.select("doc", "sh", digest_pairs.alias("hp"))

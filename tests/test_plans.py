@@ -151,3 +151,22 @@ def test_bucketed_join_skips_both_exchanges(spark):
         assert j.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_curation_map_only_stages(spark):
+    """C2 (hash-gated sampling) and C4 (chunk explode) are pure map
+    plans — zero exchanges, so at 100 TB they run as one scan stage
+    with no data crossing the cluster."""
+    for name in ("C2_stratified_sample", "C4_chunk_documents"):
+        a = _audit(spark, name)
+        assert a["exchanges"] == 0, (name, a)
+        assert a["wholestage"], (name, a)
+
+
+def test_pack_sequences_single_partitioned_window(spark):
+    """C5: the packing prefix-sum is a per-source window — exactly one
+    hash exchange, never a global sort (a global cumulative sum would
+    serialize 100 TB through one task)."""
+    p = plan_string(QS["C5_pack_sequences"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
+    assert "rangepartitioning" not in p, p
