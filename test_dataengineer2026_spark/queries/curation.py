@@ -231,3 +231,102 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_tok") / PACK_BUDGET).cast("bigint").alias("pack_id"),
         (F.col("start_tok") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
     )
+
+
+# C6: decontamination n-gram length and the eval-set slice.
+DECON_N = 8
+EVAL_SOURCE = "src0"
+
+
+@register(
+    "C6_decontaminate",
+    oracle=f"""
+WITH tokd AS (SELECT doc_id, source, string_split(text, ' ') AS tok FROM documents),
+p AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             generate_series(1, len(tok) - {DECON_N - 1}),
+             i -> array_to_string(tok[i:i+{DECON_N - 1}], ' ')))) AS g
+  FROM tokd WHERE len(tok) >= {DECON_N}
+),
+h AS (SELECT doc_id, source, ('0x' || substr(md5(g), 1, 12))::BIGINT AS gh FROM p)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.gh) AS n_hits,
+       COUNT(DISTINCT e.doc_id) AS n_eval_docs
+FROM h t JOIN h e ON t.gh = e.gh
+WHERE t.source <> '{EVAL_SOURCE}' AND e.source = '{EVAL_SOURCE}'
+GROUP BY t.doc_id
+""",
+    tags=("curation", "decontamination"),
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: train/eval decontamination — flag training documents sharing
+    any 8-token n-gram with the held-out eval slice (source = src0),
+    reporting how many distinct grams and eval docs each one hits. The
+    contamination check every training pipeline runs before training
+    (the GPT-3 paper's 13-gram overlap scan, at n=8). Grams are hashed
+    to 48-bit ints map-side, so the overlap join shuffles 8-byte keys,
+    never gram text; at 100 TB the eval-side posting list is tiny
+    relative to the corpus and broadcasts, making the scan
+    map-only over the training side."""
+    from test_dataengineer2026_spark.functions.text import shingles, tokens
+
+    apply_runtime_confs(spark)
+    d = tables.parallelize(tables.load(spark, sf_dir, "documents"), "doc_id")
+
+    def posting(df: DataFrame) -> DataFrame:
+        g = F.explode(shingles(tokens("text"), DECON_N)).alias("g")
+        return df.select("doc_id", g).select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("gh"),
+        )
+
+    train = posting(d.filter(F.col("source") != EVAL_SOURCE))
+    eval_p = posting(d.filter(F.col("source") == EVAL_SOURCE)).withColumnRenamed(
+        "doc_id", "eval_doc"
+    )
+    return (
+        train.join(eval_p, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_hits"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+# C7: fixed per-stratum sample quota.
+QUOTA_K = 20
+
+
+@register(
+    "C7_quota_sample",
+    oracle=f"""
+SELECT doc_id, lang, rn
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {QUOTA_K}
+""",
+    tags=("curation", "sampling"),
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: fixed-quota stratified sample — exactly min(k, |stratum|)
+    docs per language, chosen by content-keyed hash order (the
+    deterministic stand-in for per-stratum reservoir sampling: same
+    docs every run, on any engine, under any partitioning). One window
+    shuffle on lang; at 100 TB with huge strata the same quota comes
+    from a rank-free two-pass instead (per-partition top-k heaps, then
+    merge), which is O3's TakeOrderedAndProject pattern per stratum."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", rn.alias("rn"))
+        .filter(F.col("rn") <= QUOTA_K)
+    )
