@@ -293,3 +293,59 @@ def neardup_pairs_simhash(
     return cands.select("doc_a", "doc_b", hamming).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label connected components over an undirected pair graph.
+
+    ``nodes``: one column ``doc``; ``edges``: columns ``doc_a, doc_b``.
+    Returns (doc, cluster_id) with cluster_id = min doc id reachable.
+
+    Classic label propagation (the GraphX/GraphFrames small-star idea in
+    its simplest form): every node starts labeled with itself; each
+    round, a node takes the min of its own and its neighbors' labels;
+    converged when no label changes. Rounds needed = graph diameter —
+    near-dup graphs are overwhelmingly tiny cliques, so 2-3 rounds.
+    Each round is one equi-join + one groupBy (both shuffle on the
+    8-byte doc key); the convergence test is a count aggregate, the one
+    legitimate driver-side scalar in an iterative distributed algorithm.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")
+    ).unionAll(edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")))
+    labels = nodes.select("doc", F.col("doc").alias("label")).cache()
+    nbr = sym.alias("s")
+    for _ in range(max_iter):
+        nbr_min = (
+            nbr.join(
+                labels.select(
+                    F.col("doc").alias("nbr_doc"), F.col("label").alias("nbr_label")
+                ),
+                F.col("s.nbr") == F.col("nbr_doc"),
+            )
+            .groupBy(F.col("s.doc").alias("doc"))
+            .agg(F.min("nbr_label").alias("m"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster_id"))

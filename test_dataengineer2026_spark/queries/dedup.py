@@ -226,3 +226,65 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keeper.alias("keeper_id"),
         (keeper != F.col("vec_id")).alias("is_dup"),
     )
+
+
+@register(
+    "D6_neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SETS_CTE},
+posting AS (
+  SELECT doc, len(sh) AS set_size, unnest(sh) AS shingle FROM sets
+),
+pair_counts AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         COUNT(*) AS n_shared
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_counts
+  WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc, doc_a AS nbr FROM pairs
+),
+r AS (
+  SELECT doc, nbr FROM sym
+  UNION
+  SELECT r.doc, s.nbr FROM r JOIN sym s ON r.nbr = s.doc
+),
+m AS (SELECT doc, MIN(nbr) AS mn FROM r GROUP BY doc)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id,
+       LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN m ON d.doc_id = m.doc
+""",
+    tags=("dedup", "clustering"),
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: full transitive near-dup clusters — connected components
+    (min-label propagation to a fixpoint, operators/dedup.py:
+    connected_components) over the exact-Jaccard >= 0.8 pair graph,
+    assigning every document the minimum doc_id reachable from it. The
+    step D5's single contraction stands in for: with chains a~b~c where
+    a never directly matches c, only the transitive closure groups all
+    three. The oracle computes the same fixpoint with a recursive CTE;
+    Spark iterates a join+groupBy per round (rounds = graph diameter,
+    2-3 for near-dup cliques), the GraphFrames-style CC loop that runs
+    unchanged on a 1000-executor cluster."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_inverted(d, "text", "doc_id", n=3, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    cc = D.connected_components(nodes, pairs)
+    return cc.select(
+        F.col("doc").alias("doc_id"),
+        "cluster_id",
+        (F.col("cluster_id") != F.col("doc")).alias("is_dup"),
+    )
