@@ -104,3 +104,65 @@ def to_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("n_name").alias("nation"), F.col("n_regionkey").alias("region"))
         ).alias("as_json"),
     )
+
+
+# E1: gap that closes a session, in microseconds (30 min).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "E1_batch_sessionize",
+    oracle=f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM o
+)
+SELECT user_id,
+       session_id::BIGINT AS session_id,
+       COUNT(*) AS n_events,
+       MIN(epoch_us(ts))::BIGINT AS start_us,
+       MAX(epoch_us(ts))::BIGINT AS end_us,
+       (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))::BIGINT AS duration_us
+FROM s GROUP BY user_id, session_id
+""",
+    tags=("events", "sessionization", "window"),
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: batch gap-based sessionization — the offline mirror of M4's
+    streaming session window: a new session starts when a user's gap
+    since their previous event exceeds 30 minutes (lag + running sum of
+    boundary flags, the classic sessionization idiom), then one
+    aggregation per (user, session). Both windows and the final groupBy
+    share ONE hash partitioning on user_id, so at 100 TB the whole
+    query is a single shuffle of (user_id, ts) pairs — event payloads
+    are pruned at the scan."""
+    from pyspark.sql import Window as W
+
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wo)
+    boundary = (
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US)
+    ).cast("bigint")
+    sess = F.sum(boundary).over(
+        wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    us = F.unix_micros(F.col("ts"))
+    s = e.select("user_id", us.alias("us"), sess.alias("session_id"))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )

@@ -170,3 +170,12 @@ def test_pack_sequences_single_partitioned_window(spark):
     p = plan_string(QS["C5_pack_sequences"](spark, SF_DIR_MID), "simple")
     assert exchange_count(p) == 1, p
     assert "rangepartitioning" not in p, p
+
+
+def test_sessionize_single_shuffle(spark):
+    """E1: lag window, running-sum window, and the per-session groupBy
+    all reuse ONE hashpartitioning(user_id) exchange — sessionizing
+    100 TB of events moves each event's (user_id, ts) across the
+    cluster exactly once."""
+    p = plan_string(QS["E1_batch_sessionize"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
