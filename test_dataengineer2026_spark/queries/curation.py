@@ -330,3 +330,53 @@ def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", rn.alias("rn"))
         .filter(F.col("rn") <= QUOTA_K)
     )
+
+
+@register(
+    "C8_length_percentiles",
+    oracle="""
+WITH t AS (
+  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), q AS (
+  SELECT source, COUNT(*) AS n_docs,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+         quantile_cont(n_tokens, [0.5, 0.9, 0.99]) AS qs
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, min_tokens, max_tokens,
+       round(qs[1], 6) AS p50, round(qs[2], 6) AS p90, round(qs[3], 6) AS p99
+FROM q
+""",
+    tags=("curation", "stats"),
+)
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: per-source token-length distribution (exact p50/p90/p99 +
+    min/max) — the stats that drive C4's chunk size and C5's pack length.
+    Exact `percentile` is the right call here because token counts are
+    small bounded integers (the aggregation buffer is a value->count map,
+    not the row set); for unbounded/continuous domains at 100 TB the
+    drop-in is `percentile_approx` (A4's sketch pattern, mergeable and
+    bounded-memory). Both engines interpolate at rank (n-1)*p; results
+    are rounded to 6 decimals to absorb libm/order-of-operations ulps,
+    the T5 convention."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    q = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))").alias("qs"),
+    )
+    return q.select(
+        "source",
+        "n_docs",
+        "min_tokens",
+        "max_tokens",
+        F.round(F.col("qs")[0], 6).alias("p50"),
+        F.round(F.col("qs")[1], 6).alias("p90"),
+        F.round(F.col("qs")[2], 6).alias("p99"),
+    )

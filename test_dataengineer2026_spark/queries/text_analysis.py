@@ -330,6 +330,83 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "T7_repetition_signals",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, len(t)-1),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 3,
+         unnest(list_transform(generate_series(1, len(t)-2),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+  FROM toks
+),
+cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY doc_id, n, gram),
+per AS (
+  SELECT doc_id, n, MAX(c) AS top_c, SUM(c) AS total,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM cnt GROUP BY doc_id, n
+)
+SELECT doc_id,
+       MAX(CASE WHEN n = 2 THEN CAST(top_c AS DOUBLE) / total END) AS top_bigram_frac,
+       MAX(CASE WHEN n = 2 THEN CAST(dup AS DOUBLE) / total END) AS dup_bigram_frac,
+       MAX(CASE WHEN n = 3 THEN CAST(top_c AS DOUBLE) / total END) AS top_trigram_frac,
+       MAX(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / total END) AS dup_trigram_frac
+FROM per GROUP BY doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: Gopher-style repetition filters (Rae et al. 2021 §A1.1): per
+    document, the fraction of n-gram positions covered by the single
+    most-common n-gram and by any duplicated n-gram, for n = 2 and 3.
+    High values flag boilerplate / machine-generated repetition that the
+    T3 length-band filter misses. Formulated like T5's TF pass — explode
+    n-grams, count per (doc, n, gram), re-aggregate per doc — so the
+    heavy table is (doc_id, gram, count), never raw text; every count is
+    an integer and each fraction is a single final division."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+
+    def grams(n: int):
+        parts = " || ' ' || ".join(f"element_at(t, i + {j})" for j in range(n))
+        return F.expr(
+            f"CASE WHEN size(t) >= {n} THEN "
+            f"transform(sequence(1, size(t) - {n - 1}), i -> {parts}) "
+            f"ELSE array() END"
+        )
+
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    g = None
+    for n in (2, 3):
+        part = toks.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(grams(n)).alias("gram")
+        )
+        g = part if g is None else g.unionByName(part)
+    cnt = g.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("doc_id", "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+
+    def frac(n: int, num: str):
+        return F.max(
+            F.when(F.col("n") == n, F.col(num).cast("double") / F.col("total"))
+        )
+
+    return per.groupBy("doc_id").agg(
+        frac(2, "top_c").alias("top_bigram_frac"),
+        frac(2, "dup").alias("dup_bigram_frac"),
+        frac(3, "top_c").alias("top_trigram_frac"),
+        frac(3, "dup").alias("dup_trigram_frac"),
+    )
+
+
 # Winnowing parameters: k-char grams, window of w consecutive gram hashes.
 WINNOW_K = 6
 WINNOW_W = 8
