@@ -179,3 +179,18 @@ def test_sessionize_single_shuffle(spark):
     cluster exactly once."""
     p = plan_string(QS["E1_batch_sessionize"](spark, SF_DIR_MID), "simple")
     assert exchange_count(p) == 1, p
+
+
+def test_repetition_signals_pruned_scan(spark):
+    """T7: both explode branches read only (doc_id, text) — the n-gram
+    count table is what shuffles, never any other document column."""
+    a = _audit(spark, "T7_repetition_signals")
+    assert all(s == "struct<doc_id:bigint,text:string>" for s in a["read_schemas"]), a
+
+
+def test_length_percentiles_single_shuffle(spark):
+    """C8: partial aggregation map-side, then ONE exchange on the
+    20-value source key — token counts reduce to per-source digests
+    before anything moves."""
+    p = plan_string(QS["C8_length_percentiles"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
