@@ -380,3 +380,43 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qs")[1], 6).alias("p90"),
         F.round(F.col("qs")[2], 6).alias("p99"),
     )
+
+
+# C9: number of output shards for the deterministic training-data shuffle.
+N_SHARDS = 16
+
+
+@register(
+    "C9_shuffle_shards",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard
+                          ORDER BY md5(doc_id::VARCHAR), doc_id) AS pos
+FROM s
+""",
+    tags=("curation", "shuffle"),
+)
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: deterministic global shuffle for training-data ordering —
+    shard = 48-bit md5(doc_id) mod N, position within shard by a second
+    hash ordering. Content-keyed like C2, so the shuffle is reproducible
+    across reruns, engines, and input partitionings (seeded RNG
+    orderings are none of those). At 100 TB this is
+    `repartition(N, shard)` + `sortWithinPartitions(pos)` straight into
+    a partitioned sink: one exchange, no global sort, each shard file
+    written independently — and an incremental append lands new docs in
+    their stable shards without reshuffling history."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % N_SHARDS
+    w = W.partitionBy("shard").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", shard.alias("shard"))
+        .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    )

@@ -194,3 +194,11 @@ def test_length_percentiles_single_shuffle(spark):
     before anything moves."""
     p = plan_string(QS["C8_length_percentiles"](spark, SF_DIR_MID), "simple")
     assert exchange_count(p) == 1, p
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """C9: the training-data shuffle is one hash exchange on the shard
+    id — no rangepartitioning (global sort) anywhere in the plan."""
+    p = plan_string(QS["C9_shuffle_shards"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
+    assert "rangepartitioning" not in p, p
