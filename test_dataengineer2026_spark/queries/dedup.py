@@ -288,3 +288,66 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") != F.col("doc")).alias("is_dup"),
     )
+
+
+CONTAIN_T = 0.9  # D7: containment threshold (|A∩B| / min(|A|,|B|))
+
+
+@register(
+    "D7_containment_dedup",
+    oracle=f"""
+WITH {_SETS_CTE},
+signed AS (
+  SELECT doc, sh,
+         [{_SIG_ENTRIES}] AS sig
+  FROM sets
+),
+banded AS (
+  SELECT doc, t.b AS band_idx,
+         md5(array_to_string(sig[t.b*{D.MINHASH_ROWS}+1 : t.b*{D.MINHASH_ROWS}+{D.MINHASH_ROWS}], '|')) AS band_key
+  FROM signed, unnest(generate_series(0, {D.MINHASH_BANDS - 1})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc < b.doc
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh) AS containment_a,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh) AS containment_b
+FROM cand c
+JOIN sets sa ON sa.doc = c.doc_a
+JOIN sets sb ON sb.doc = c.doc_b
+WHERE GREATEST(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sa.sh),
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(sb.sh)) >= {CONTAIN_T}
+""",
+    tags=("dedup", "lsh", "containment"),
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: containment dedup — asymmetric Jaccard |A∩B|/|A| on the SAME
+    MinHash-LSH candidates as D2, flagging pairs where one shingle set
+    nearly contains the other (quote-expansion / excerpt duplication,
+    which symmetric Jaccard under-scores when lengths differ). Identical
+    scale shape to D2: signatures O(k) per doc, candidates via band
+    equi-join, exact set math only on the candidate pairs."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    sets = D.shingle_sets(tables.parallelize(d, "doc_id"), "text", "doc_id").cache()
+    banded = D.band_table(D.minhash_signature(sets)).cache()
+    cands = D.lsh_candidate_pairs(banded)
+    a = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    ca = inter / F.size("sh_a")
+    cb = inter / F.size("sh_b")
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(F.greatest(ca, cb) >= CONTAIN_T)
+    )
