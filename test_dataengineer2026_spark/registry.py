@@ -61,8 +61,19 @@ def _load_all() -> None:
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """Registry in driver order: DRIVER_PRIORITY names first (the driver
+    verifies only the first 50 entries per round), then the rest in plain
+    registration order."""
     _load_all()
-    return dict(_REGISTRY)
+    from test_dataengineer2026_spark.queries import DRIVER_PRIORITY
+
+    prio = {name: i for i, name in enumerate(DRIVER_PRIORITY)}
+    reg_pos = {name: i for i, name in enumerate(_REGISTRY)}
+    ordered = sorted(
+        _REGISTRY,
+        key=lambda n: (prio.get(n, len(prio) + reg_pos[n]), reg_pos[n]),
+    )
+    return {name: _REGISTRY[name] for name in ordered}
 
 
 def queries() -> dict[str, QueryFn]:
