@@ -43,19 +43,27 @@ def asof_join_latest(
     at equal timestamps right rows sort before left rows (non-strict), so
     a same-instant right row is eligible.
 
+    The payload travels as ONE struct column through a single
+    ``last(ignorenulls)``, so the matched right row is selected
+    atomically — a NULL inside one payload column can never be backfilled
+    from an older right row (which per-column carries would do).
+
     Returns all left columns plus ``payload`` columns (null when no
     eligible right row exists).
     """
     keys = list(keys)
     payload = list(payload)
 
+    from pyspark.sql import types as T
+
+    payload_t = T.StructType([right.schema[c] for c in payload])
     lcols = left.columns
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.col(left_tiebreak).alias("__tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(payload_t).alias("__p"),
     )
     tagged_right = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in keys],
@@ -63,7 +71,7 @@ def asof_join_latest(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.col(right_tiebreak).alias("__tb"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
     ).select(*[F.col(c) for c in tagged_left.columns])  # align column order
 
     # At equal __ts: right rows (0) before left rows (1) makes same-instant
@@ -77,14 +85,11 @@ def asof_join_latest(
     unioned = tagged_left.unionByName(tagged_right)
     carried = unioned.select(
         *unioned.columns,
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__v"),
     )
     return carried.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__v_{c}").alias(c) for c in payload],
+        *[F.col(f"__v.{c}").alias(c) for c in payload],
     )
 
 

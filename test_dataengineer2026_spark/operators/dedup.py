@@ -303,14 +303,20 @@ def connected_components(
     ``nodes``: one column ``doc``; ``edges``: columns ``doc_a, doc_b``.
     Returns (doc, cluster_id) with cluster_id = min doc id reachable.
 
-    Classic label propagation (the GraphX/GraphFrames small-star idea in
-    its simplest form): every node starts labeled with itself; each
-    round, a node takes the min of its own and its neighbors' labels;
-    converged when no label changes. Rounds needed = graph diameter —
-    near-dup graphs are overwhelmingly tiny cliques, so 2-3 rounds.
-    Each round is one equi-join + one groupBy (both shuffle on the
-    8-byte doc key); the convergence test is a count aggregate, the one
-    legitimate driver-side scalar in an iterative distributed algorithm.
+    Label propagation with pointer doubling: every node starts labeled
+    with itself; each round, a node takes the min of its own and its
+    neighbors' labels, then shortcuts to its label's label (label = the
+    label of whatever node it currently points at). The shortcut halves
+    chain depth every round, so convergence is O(log diameter) rounds
+    rather than O(diameter) — a 1M-node path graph converges in ~20
+    rounds instead of 1M. Each round is two equi-joins + one groupBy
+    (all shuffling on the 8-byte doc key); the convergence test is a
+    count aggregate, the one legitimate driver-side scalar in an
+    iterative distributed algorithm.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
+    a fixpoint — returning partially propagated labels would silently
+    split clusters (and diverge from the transitive-closure oracle).
     """
     sym = edges.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")
@@ -328,13 +334,29 @@ def connected_components(
             .groupBy(F.col("s.doc").alias("doc"))
             .agg(F.min("nbr_label").alias("m"))
         )
+        propagated = labels.join(nbr_min, "doc", "left").select(
+            "doc",
+            F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # Pointer doubling: follow one hop through the label table so a
+        # node pointing at an already-relabeled node jumps straight to
+        # that node's (smaller) label.
         new_labels = (
-            labels.join(nbr_min, "doc", "left")
-            .select(
-                "doc",
-                F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
-                    "label"
+            propagated.alias("p")
+            .join(
+                propagated.select(
+                    F.col("doc").alias("l_doc"), F.col("label").alias("l_label")
                 ),
+                F.col("p.label") == F.col("l_doc"),
+                "left",
+            )
+            .select(
+                F.col("p.doc").alias("doc"),
+                F.least(
+                    F.col("p.label"), F.coalesce(F.col("l_label"), F.col("p.label"))
+                ).alias("label"),
             )
             .cache()
         )
@@ -347,5 +369,9 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("doc", F.col("label").alias("cluster_id"))
+            return labels.select("doc", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "with pointer doubling this needs a component diameter > "
+        f"2**{max_iter} — check the edge set for pathology"
+    )

@@ -31,6 +31,67 @@ from test_dataengineer2026_spark.streaming.jobs import (
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
+#: M6 state layout: full running aggregate so multi-batch feeds
+#: accumulate instead of emitting per-batch partials; fp_ts/fp_id use -1
+#: as the "no purchase yet" sentinel (event ids and epoch-nanos are
+#: non-negative).
+FUNNEL_OUT_SCHEMA = (
+    "user_id long, n_events long, n_purchases long, "
+    "first_purchase_id long, n_before_first_purchase long"
+)
+FUNNEL_STATE_SCHEMA = "n long, np long, fp_ts long, fp_id long, nb long"
+
+
+def funnel_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Per-user signup->purchase funnel as a running stateful aggregate
+    (M6). Events are sorted by (ts, event_id) within each batch; prior
+    state is folded in so each emission is the whole-stream answer so
+    far. If a purchase arrives in a later batch than earlier-ts events
+    (in-order file feed => doesn't happen), "before" counts stay exact
+    because late earlier-keyed rows still compare < the stored first
+    purchase key."""
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    # epoch-nanos key whether the staged feed carries datetime64 or raw
+    # int64 nanos
+    ts_ns = rows["ts"].astype("int64")
+    n0, np0, fp_ts0, fp_id0, nb0 = state.get if state.exists else (0, 0, -1, -1, 0)
+    is_p = (rows["event_type"] == "purchase").to_numpy()
+    n = n0 + len(rows)
+    n_purchases = np0 + int(is_p.sum())
+    prev_fp = (fp_ts0, fp_id0) if fp_id0 >= 0 else None
+    if is_p.any():
+        pos = int(is_p.argmax())
+        cand_fp = (int(ts_ns.iloc[pos]), int(rows["event_id"].iloc[pos]))
+    else:
+        cand_fp = None
+    batch_keys = list(zip(ts_ns.tolist(), rows["event_id"].tolist()))
+    if prev_fp is not None and (cand_fp is None or prev_fp <= cand_fp):
+        # First purchase already seen: only this batch's strictly
+        # earlier rows add to the "before" count (late arrivals).
+        fp = prev_fp
+        n_before = nb0 + sum(1 for k in batch_keys if k < fp)
+    elif cand_fp is not None:
+        # New (or earlier) first purchase. Prior batches held no earlier
+        # purchase; with the in-order file feed their events all precede
+        # this batch, so they all count as "before".
+        fp = cand_fp
+        n_before = n0 + sum(1 for k in batch_keys if k < fp)
+    else:
+        fp, n_before = None, 0
+    fp_ts, fp_id = fp if fp is not None else (-1, -1)
+    state.update((n, n_purchases, fp_ts, fp_id, n_before))
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": key[0],
+                "n_events": n,
+                "n_purchases": n_purchases,
+                "first_purchase_id": fp_id if fp_id >= 0 else None,
+                "n_before_first_purchase": n_before,
+            }
+        ]
+    )
+
 
 @register(
     "M2_tumbling_window",
@@ -191,39 +252,10 @@ def stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = read_events_stream(spark, sf_dir)
 
-    out_schema = (
-        "user_id long, n_events long, n_purchases long, "
-        "first_purchase_id long, n_before_first_purchase long"
-    )
-    state_schema = "n long"
-
-    def funnel(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        is_p = rows["event_type"] == "purchase"
-        n_purchases = int(is_p.sum())
-        if n_purchases:
-            fp_pos = int(is_p.to_numpy().argmax())
-            fp_id = int(rows["event_id"].iloc[fp_pos])
-            n_before = fp_pos
-        else:
-            fp_id, n_before = None, 0
-        state.update((len(rows),))
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": key[0],
-                    "n_events": len(rows),
-                    "n_purchases": n_purchases,
-                    "first_purchase_id": fp_id,
-                    "n_before_first_purchase": n_before,
-                }
-            ]
-        )
-
     result = s.groupBy("user_id").applyInPandasWithState(
-        funnel,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        funnel_state_fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

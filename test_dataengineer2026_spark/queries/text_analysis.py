@@ -229,8 +229,12 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T: TF-IDF — term frequency per doc (explode+count), document
     frequency per term, idf = ln(N/df) (rounded: libm), top term per doc.
 
-    Two shuffles (tf groupBy, df groupBy) + broadcast of the tiny df/N
-    side; the canonical scalable formulation.
+    Two shuffles (tf groupBy, df groupBy) + a shuffle join on ``term``.
+    The df table is NOT broadcast-hinted: at 100 TB the vocabulary
+    (typos, URLs, code tokens) reaches 10^8-10^9 terms — unbounded, so
+    the join shuffles on its natural key and AQE may still downgrade to
+    broadcast at runtime when the measured size is small. Only the 1-row
+    doc count is broadcast.
     """
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
@@ -242,7 +246,7 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

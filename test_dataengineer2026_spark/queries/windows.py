@@ -126,6 +126,39 @@ def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "W4_ntile_percent",
     oracle="""
+SELECT c_custkey, c_nationkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+    tags=("window",),
+)
+def ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: quantile bucketing / percent rank per nation — the scale-safe
+    shape: ONE hash exchange on the partition key, every nation's sort
+    runs in parallel. The single-task global-order variant is registered
+    separately as W4b (dimension tables only).
+
+    percent_rank = (rank-1)/(n-1): both factors are exact ints, and the
+    single division is deterministic.
+    """
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "W4b_ntile_global",
+    oracle="""
 SELECT c_custkey,
        NTILE(4) OVER w AS quartile,
        PERCENT_RANK() OVER w AS pct_rank,
@@ -135,15 +168,11 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 """,
     tags=("window",),
 )
-def ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4: quantile bucketing / percent rank over a global order.
-
-    Note: the global (un-partitioned) window serializes the sort to one
-    task — acceptable for a 15k-row dimension, never for a fact table;
-    at scale use ntile per partition key or approx quantiles (A9/A4).
-    percent_rank = (rank-1)/(n-1): both factors are exact ints, and the
-    single division is deterministic.
-    """
+def ntile_percent_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4b: quantile bucketing over a GLOBAL order. The un-partitioned
+    window serializes the sort to one task — acceptable for a 15k-row
+    dimension, never for a fact table; at scale use W4 (per-key ntile)
+    or approx quantiles (A9/A4/C8)."""
     apply_runtime_confs(spark)
     c = tables.load(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")

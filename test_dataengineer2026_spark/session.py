@@ -25,11 +25,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: we use try_cast explicitly where safety matters and want
     # permissive casts elsewhere (matches DuckDB TRY_CAST usage in oracles).
     "spark.sql.ansi.enabled": "false",
-    # Streaming disables AQE, so an un-tuned session would run every
-    # stateful stage with 200 tasks; pin a local-mode-sane number. (On a
-    # real cluster this is sized to executor cores via spark-submit.)
-    "spark.sql.shuffle.partitions": "32",
 }
+
+#: Streaming disables AQE, so an un-tuned session would run every stateful
+#: stage with 200 tasks; ``apply_runtime_confs`` pins this local-mode-sane
+#: number — but only when the session still has Spark's stock 200, so an
+#: explicitly tuned value (get_session(shuffle_partitions=...), bench,
+#: conftest) is never clobbered. On a real cluster this is sized to
+#: executor cores via spark-submit.
+DEFAULT_SHUFFLE_PARTITIONS = "32"
 
 
 def default_parallelism() -> int:
@@ -47,6 +51,13 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # config may be static-only on some builds
             pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS
+            )
+    except Exception:
+        pass
     return spark
 
 
@@ -82,4 +93,9 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return apply_runtime_confs(spark)
+    apply_runtime_confs(spark)
+    # getOrCreate may return a pre-existing session whose builder configs
+    # were ignored — re-apply the explicit sizing so the parameter always
+    # takes effect.
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return spark

@@ -202,3 +202,34 @@ def test_shuffle_shards_single_exchange(spark):
     p = plan_string(QS["C9_shuffle_shards"](spark, SF_DIR_MID), "simple")
     assert exchange_count(p) == 1, p
     assert "rangepartitioning" not in p, p
+
+
+def test_w4_partitioned_window_single_exchange(spark):
+    """W4: the primary ntile query partitions by nation — exactly one
+    hash exchange, no single-task global sort (that shape lives in W4b,
+    dimension tables only)."""
+    a = _audit(spark, "W4_ntile_percent")
+    assert a["exchanges"] == 1, a
+
+
+def test_tfidf_no_unbounded_broadcast(spark):
+    """T5: the per-term document-frequency table is vocabulary-sized
+    (unbounded at 100 TB) — the tf->df join must carry no broadcast
+    HINT; only the 1-row doc-count crossJoin may broadcast. AQE may
+    still choose broadcast at runtime from measured sizes, so assert on
+    the optimized logical plan's hints, not the physical join choice."""
+    from test_dataengineer2026_spark.plans.audit import plan_string
+
+    df = QS["T5_tfidf_top_term"](spark, SF_DIR_MID)
+    logical = plan_string(df, "extended")
+    import re
+
+    # the operator line directly under each broadcast hint
+    hinted = re.findall(
+        r"ResolvedHint \(strategy=broadcast\)\s*\n\s*\+- ([^\n]*)", logical
+    )
+    assert hinted, "expected the 1-row doc-count broadcast hint to be present"
+    # every broadcast hint must sit over the 1-row Aggregate (n_docs),
+    # never over the per-term df aggregate
+    for op in hinted:
+        assert "n_docs" in op, f"broadcast hint over non-singleton table: {op}"

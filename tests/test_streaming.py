@@ -123,3 +123,81 @@ def test_foreachbatch_idempotent_sink(spark, two_batch_dir, tmp_path):
     q.awaitTermination()
     total = spark.read.parquet(out).count()
     assert total == spark.read.parquet(two_batch_dir).count()
+
+
+def test_stateful_funnel_folds_state_across_batches(spark):
+    """M6: the applyInPandasWithState funnel must accumulate prior state,
+    so its LAST emission per user over a 3-batch feed equals the
+    whole-stream batch answer (round-1 version recomputed per batch and
+    only passed because the single-file feed yielded one batch)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        funnel_state_fn,
+    )
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_events_stream_multifile,
+        run_to_memory,
+    )
+    from test_dataengineer2026_spark import tables
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = read_events_stream_multifile(spark, sf_dir)  # 3 files, 1/batch
+    result = s.groupBy("user_id").applyInPandasWithState(
+        funnel_state_fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_memory(result, "m6_funnel_multibatch", "update")
+    # update-mode memory sink appends each batch's emissions; running
+    # totals are monotone in n_events, so max(n_events) picks the final
+    # emission per user.
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
+
+    ev = tables.load(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    fp = (
+        ordered.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    expected = (
+        ordered.join(fp, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.max(F.when(F.col("rn") == F.col("fp_rn"), F.col("event_id"))).alias(
+                "first_purchase_id"
+            ),
+            F.count(
+                F.when(
+                    F.col("fp_rn").isNotNull() & (F.col("rn") < F.col("fp_rn")), 1
+                )
+            ).alias("n_before_first_purchase"),
+        )
+    )
+    got = {r["user_id"]: r.asDict() for r in final.collect()}
+    want = {r["user_id"]: r.asDict() for r in expected.collect()}
+    assert got == want
