@@ -174,9 +174,7 @@ def pdf_extract_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select("doc_id", F.col("pg.page").alias("page"), F.col("pg.text").alias("text"))
 
 
-@register(
-    "X2_extract_table_cells",
-    oracle=f"""
+_X2_ORACLE = f"""
 WITH seg AS (
   SELECT doc_id, regexp_extract(text, 'Classification.{{0,800}}', 0) AS seg
   FROM {_corpus_values()}
@@ -194,7 +192,12 @@ SELECT doc_id, CAST(row_idx AS INTEGER) AS row_idx,
   regexp_extract(row, '{X.ROW_RE}', 3) AS grade_raw,
   regexp_extract(row, '{X.ROW_RE}', 4) AS contained_raw
 FROM ex
-""",
+"""
+
+
+@register(
+    "X2_extract_table_cells",
+    oracle=_X2_ORACLE,
     tags=("extraction", "tables"),
 )
 def extract_table_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +206,58 @@ def extract_table_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     X4/X5 then type and filter (TEST.md:83)."""
     apply_runtime_confs(spark)
     return X.extract_table_cells(_corpus_df(spark))
+
+
+@register(
+    "X2b_positional_cells",
+    oracle=f"""
+WITH base AS ({_X2_ORACLE})
+SELECT doc_id, row_idx,
+       unnest([0, 1, 2, 3]) AS col_idx,
+       unnest([category, tonnes_raw, grade_raw, contained_raw]) AS cell
+FROM base
+""",
+    tags=("extraction", "tables", "positional"),
+)
+def positional_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: coordinate-based table-cell reconstruction, verified as a
+    round trip — each doc's cells are drawn into a real PDF at explicit
+    Tm positions in COLUMN-major order with per-cell jitter, then
+    recovered purely by clustering the extracted run coordinates
+    (pdf.extract_runs + pdf.cluster_cells). Matching the oracle proves
+    the (row, col) structure was rebuilt from geometry, not from stream
+    or reading order — the Tabula-class capability TEST.md:83 asks for.
+    One Arrow-batched applyInPandas per doc group; at corpus scale this
+    parallelizes per document exactly like X1."""
+    apply_runtime_confs(spark)
+    import pandas as pd
+
+    cells = X.extract_table_cells(_corpus_df(spark))
+    long = cells.select(
+        "doc_id",
+        "row_idx",
+        F.posexplode(
+            F.array("category", "tonnes_raw", "grade_raw", "contained_raw")
+        ).alias("col_idx", "cell"),
+    )
+
+    def roundtrip(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf["doc_id"].iloc[0]
+        src = [
+            (int(r), int(c), str(s))
+            for r, c, s in zip(pdf["row_idx"], pdf["col_idx"], pdf["cell"])
+        ]
+        got = P.cluster_cells(P.extract_runs(P.render_table_pdf(src)))
+        return pd.DataFrame(
+            [
+                {"doc_id": doc, "row_idx": r, "col_idx": c, "cell": s}
+                for r, c, s in got
+            ]
+        )
+
+    return long.groupBy("doc_id").applyInPandas(
+        roundtrip, "doc_id string, row_idx int, col_idx int, cell string"
+    )
 
 
 @register(

@@ -114,3 +114,66 @@ def test_pipeline_sinks_roundtrip(spark, tmp_path):
     back = spark.read.json(f"{out}/mineral_resources")
     assert back.count() == tables["mineral_resources"].count()
     assert back.filter(F.col("category") == "Measured").count() == 1
+
+
+def test_hex_show_strings_decode_via_tounicode_cmap():
+    """<hex> Tj show strings must decode through the ToUnicode CMap —
+    codes are offset from the Unicode points, so a pass proves CMap
+    application, not just hex decoding."""
+    from test_dataengineer2026_spark.extraction.pdf import (
+        extract_pages,
+        render_pdf_hex,
+    )
+
+    text = "Mineral Reserves: 2.4 Mt @ 5.1 g/t Au"
+    pages = extract_pages(render_pdf_hex(text))
+    assert len(pages) == 1
+    assert pages[0][1].strip() == text
+
+
+def test_hex_tj_without_cmap_falls_back_to_latin1():
+    """A <hex> Tj whose bytes are plain latin-1 and no CMap in the file
+    must still yield text (fallback path)."""
+    import zlib
+
+    from test_dataengineer2026_spark.extraction.pdf import _stream_text
+
+    content = b"BT /F1 12 Tf <48656C6C6F20776F726C64> Tj ET"
+    assert _stream_text(content, None).strip() == "Hello world"
+
+
+def test_bfrange_forms():
+    """bfrange triple form increments the last UTF-16 unit; array form
+    maps positionally."""
+    from test_dataengineer2026_spark.extraction.pdf import parse_tounicode
+
+    data = (
+        b"begincmap\n"
+        b"2 beginbfrange\n"
+        b"<0041> <0043> <0061>\n"
+        b"<0100> <0101> [<0058> <0059>]\n"
+        b"endbfrange\nendcmap\n"
+    )
+    m = parse_tounicode(data)
+    assert m[2][0x41] == "a" and m[2][0x42] == "b" and m[2][0x43] == "c"
+    assert m[2][0x100] == "X" and m[2][0x101] == "Y"
+
+
+def test_positional_cells_round_trip():
+    """X2b core: cells drawn column-major with coordinate jitter must be
+    recovered in (row, col) structure purely from geometry."""
+    from test_dataengineer2026_spark.extraction.pdf import (
+        cluster_cells,
+        extract_runs,
+        render_table_pdf,
+    )
+
+    cells = [
+        (0, 0, "Classification"), (0, 1, "Tonnes (Mt)"),
+        (0, 2, "Grade (g/t)"), (0, 3, "Contained (koz)"),
+        (1, 0, "Measured"), (1, 1, "2.5"), (1, 2, "8.10"), (1, 3, "651"),
+        (2, 0, "Indicated"), (2, 1, "1.5"), (2, 2, "7.90"), (2, 3, "381"),
+        (3, 0, "Proven + Probable"), (3, 1, "2,000"), (3, 2, "4.04"), (3, 3, "260"),
+    ]
+    got = cluster_cells(extract_runs(render_table_pdf(cells)))
+    assert got == sorted(cells)
