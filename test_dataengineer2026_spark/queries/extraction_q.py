@@ -65,9 +65,7 @@ def _corpus_values() -> str:
     return f"(VALUES {rows}) AS corpus(doc_id, text)"
 
 
-@register(
-    "X3_extract_metadata",
-    oracle=f"""
+_X3_ORACLE = f"""
 SELECT doc_id,
   NULLIF(regexp_extract(text, 'Technical Report for the ([A-Z][A-Za-z ]+?(?:Operations|Project|Mine))', 1), '') AS project_name,
   NULLIF(regexp_extract(text, '([A-Z][A-Za-z]+(?: [A-Z][A-Za-z]+)* (?:Corporation|Corp|Inc|Ltd|SA|Mining))', 1), '') AS company,
@@ -77,7 +75,12 @@ SELECT doc_id,
       'effective (January|February|March|April|May|June|July|August|September|October|November|December) ([0-9]{{1,2}}), ([0-9]{{4}})', 0)
       [11:], '%B %d, %Y') AS DATE) AS report_date
 FROM {_corpus_values()}
-""",
+"""
+
+
+@register(
+    "X3_extract_metadata",
+    oracle=_X3_ORACLE,
     tags=("extraction",),
 )
 def extract_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,6 +88,25 @@ def extract_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the PDF pipeline uses, over the synthetic corpus."""
     apply_runtime_confs(spark)
     return X.extract_metadata(_corpus_df(spark))
+
+
+@register(
+    "X10_llm_extract",
+    oracle=_X3_ORACLE,
+    tags=("extraction", "llm"),
+)
+def llm_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: the LLM-assisted extraction path (TEST.md:86-99) — Arrow-
+    batched mapInPandas, prompt batching, retry/backoff, behind a
+    backend interface (extraction/llm.py). The deterministic offline
+    backend answers through the same prompt/JSON round-trip a hosted
+    model would, so this query shares X3's oracle: matching it proves
+    the LLM path is value-equivalent to the regex path on the corpus —
+    the spec's own cross-validation suggestion (TEST.md:97)."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.extraction.llm import llm_extract_metadata
+
+    return llm_extract_metadata(_corpus_df(spark), batch_size=2)
 
 
 _RES_ALT = "Measured \\+ Indicated|Measured|Indicated|Inferred"
