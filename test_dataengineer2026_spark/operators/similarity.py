@@ -63,24 +63,23 @@ def cosine_topk(
 
 IVF_SEEDS = 16
 IVF_PROBES = 2
+KMEANS_ITERS = 2
+#: centroid quantization step: member values are floor(val * 1e6) before
+#: summing, so the update step is exact BIGINT arithmetic — order-
+#: independent and bit-identical across engines (no float-sum drift).
+KMEANS_QUANT = 1_000_000.0
 
 
-def ivf_assign(
-    df: DataFrame,
-    seeds: DataFrame,
-    probes: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _assign_cells(
+    v: DataFrame, cents: DataFrame, probes: int
 ) -> DataFrame:
-    """(id, cell) — assign each vector to its ``probes`` nearest seed
-    cells by cosine (rounded to 9dp, seed-id tiebreak, so the cell
-    assignment is bit-deterministic across engines)."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
-    s = seeds.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("s_emb")
-    )
-    scored = F.broadcast(s).crossJoin(v).select(
-        "id", "cell", F.round(cosine(F.col("emb"), F.col("s_emb")), 9).alias("s")
+    """(id, cell): nearest-``probes`` centroid cells per vector by
+    cosine (rounded 9dp, cell tiebreak). ``v`` = (id, emb), ``cents`` =
+    (cell, c_emb). The centroid side is always k rows — broadcast — so
+    assignment never shuffles the corpus; the only exchange is the
+    per-id ranking window."""
+    scored = F.broadcast(cents).crossJoin(v).select(
+        "id", "cell", F.round(cosine(F.col("emb"), F.col("c_emb")), 9).alias("s")
     )
     w = W.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell"))
     return (
@@ -88,6 +87,48 @@ def ivf_assign(
         .filter(F.col("rn") <= probes)
         .select("id", "cell")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    seeds: DataFrame,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, c_emb): Lloyd-iterated IVF centroids, expressed
+    relationally — assign = broadcast-crossjoin + per-id rank, update =
+    groupBy(cell, dim) sum of quantized member values.
+
+    Two determinism tricks make this oracle-checkable:
+
+    * the update step sums ``floor(val * 1e6)`` as BIGINT — exact,
+      order-independent, identical in Spark and DuckDB;
+    * the "mean" never divides: cosine assignment is scale-invariant,
+      so the per-dim SUM of members points the same direction as the
+      mean. Cells that lose all members drop out (k may shrink).
+
+    At 100 TB each iteration is one broadcast pass over the corpus plus
+    an O(dim x k) aggregate — no corpus self-join, no all-pairs work;
+    centroids stay tiny and cacheable."""
+    v = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    cents = seeds.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("c_emb"))
+    for _ in range(iters):
+        assign = _assign_cells(v, cents, probes=1)
+        exploded = v.join(assign, "id").select(
+            "cell", F.posexplode("emb").alias("dim", "val")
+        )
+        sums = exploded.groupBy("cell", "dim").agg(
+            F.sum(F.floor(F.col("val").cast("double") * F.lit(KMEANS_QUANT))).alias("s")
+        )
+        cents = sums.groupBy("cell").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("s").cast("double").alias("cv")))
+            )
+            .getField("cv")
+            .alias("c_emb")
+        ).cache()
+    return cents
 
 
 def ivf_topk(
@@ -111,8 +152,46 @@ def ivf_topk(
     value-checkable against the SQL oracle — the plan shape is
     identical either way.
     """
-    cells = ivf_assign(corpus, seeds, probes=1, id_col=id_col, vec_col=vec_col)
-    qcells = ivf_assign(queries, seeds, probes=probes, id_col=id_col, vec_col=vec_col)
+    cents = seeds.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_emb")
+    )
+    return _ivf_search(queries, corpus, cents, probes, k, id_col, vec_col)
+
+
+def ivf_topk_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    seeds: DataFrame,
+    iters: int = KMEANS_ITERS,
+    probes: int = IVF_PROBES,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """J12d: IVF ANN over k-means-TRAINED centroids (kmeans_centroids)
+    instead of raw seed vectors. Training balances cell populations
+    (measured: population stdev 6.1 -> 4.4 at sf0.001, 5.2 -> 4.4 at
+    sf0.01), which at scale bounds per-probe scan cost and evens task
+    sizes; recall at a FIXED probe budget can dip slightly because
+    balanced cells mean smaller candidate sets — tune ``probes`` to
+    trade it back. Same search plan as ivf_topk."""
+    cents = kmeans_centroids(corpus, seeds, iters, id_col, vec_col)
+    return _ivf_search(queries, corpus, cents, probes, k, id_col, vec_col)
+
+
+def _ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: DataFrame,
+    probes: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    cv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    qv = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+    cells = _assign_cells(cv, cents, probes=1)
+    qcells = _assign_cells(qv, cents, probes=probes)
     cand = (
         qcells.withColumnRenamed("id", "query_id")
         .join(cells.withColumnRenamed("id", "cand_id"), "cell")

@@ -201,3 +201,91 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < S.IVF_SEEDS)
     queries = e.filter(F.col("vec_id") < 5)
     return S.ivf_topk(queries, e, seeds)
+
+
+def _kmeans_cents_sql(iters: int) -> str:
+    """CTE chain ``cents0 .. cents{iters}`` — the DuckDB mirror of
+    operators.similarity.kmeans_centroids: assign = cross join + per-id
+    rank, update = per-dim BIGINT sum of floor(val * 1e6). All-integer
+    update arithmetic means the centroids are bit-identical across
+    engines with no float-sum ordering concerns."""
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cell, embedding AS c_emb "
+        f"FROM embeddings WHERE vec_id < {S.IVF_SEEDS})"
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""sc{it} AS (
+  SELECT v.vec_id AS id, c.cell,
+         round({_sql_cos('v.embedding', 'c.c_emb')}, 9) AS s
+  FROM embeddings v CROSS JOIN cents{it - 1} c
+), a{it} AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cell) AS rn
+    FROM sc{it}
+  ) WHERE rn = 1
+), s{it} AS (
+  SELECT a.cell, i.i AS dim,
+         SUM(CAST(floor(CAST(e.embedding[i.i] AS DOUBLE) * {S.KMEANS_QUANT}) AS BIGINT)) AS s
+  FROM a{it} a
+  JOIN embeddings e ON e.vec_id = a.id,
+       unnest(generate_series(1, {S.DIM})) AS i(i)
+  GROUP BY a.cell, i.i
+), cents{it} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) ORDER BY dim) AS c_emb
+  FROM s{it} GROUP BY cell
+)""")
+    return ",\n".join(parts)
+
+
+@register(
+    "J12d_ivf_kmeans_ann",
+    oracle=f"""
+WITH {_kmeans_cents_sql(S.KMEANS_ITERS)},
+scf AS (
+  SELECT v.vec_id AS id, c.cell,
+         round({_sql_cos('v.embedding', 'c.c_emb')}, 9) AS s
+  FROM embeddings v CROSS JOIN cents{S.KMEANS_ITERS} c
+), assign AS (
+  SELECT id, cell,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cell) AS rn
+  FROM scf
+), cells AS (
+  SELECT id AS cand_id, cell FROM assign WHERE rn = 1
+), qcells AS (
+  SELECT id AS query_id, cell FROM assign WHERE id < 5 AND rn <= {S.IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.cand_id
+  FROM qcells q JOIN cells c USING (cell)
+  WHERE q.query_id <> c.cand_id
+), scored AS (
+  SELECT cand.query_id, cand.cand_id,
+         round({_sql_cos('qe.embedding', 'ce.embedding')}, 9) AS cos_sim
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.cand_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rk
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rk FROM ranked WHERE rk <= 10
+""",
+    tags=("vector", "ann", "ivf", "kmeans"),
+)
+def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12d: IVF ANN over TRAINED centroids — 2 Lloyd iterations of
+    k-means expressed relationally (assign = broadcast crossjoin +
+    per-id rank; update = per-dim exact BIGINT sum of 1e-6-quantized
+    member values, valid because cosine assignment is scale-invariant).
+    Training balances cell populations vs J12c's raw seeds — bounded
+    per-probe scan cost, even task sizes; identical search plan. At
+    100 TB: k centroids stay broadcast-sized, each iteration is one
+    pass over the corpus, and the corpus is stored partitionBy(cell)
+    for probe-pruned scans (recall/probe trade measured in
+    tests/test_similarity.py)."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < S.IVF_SEEDS)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk_trained(queries, e, seeds)
