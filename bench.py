@@ -65,17 +65,58 @@ def main() -> None:
         sf = float(sf_tag)
     except ValueError:
         sf = sf_tag
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Context for cross-round comparison: bench time on this box is
+        # dominated by first-run plan compile/codegen and swings with
+        # ambient load (measured ~15.9 s idle vs ~29 s at loadavg 4+), so
+        # a delta without the load average is not interpretable.
+        "load_avg_1m": round(os.getloadavg()[0], 2),
+    }
+    prev = _latest_prior_bench()
+    if prev:
+        out["delta_vs"] = prev["round"]
+        out["delta_sec"] = {
+            q: round(timings[q] - prev["queries"][q], 3)
+            for q in timings
+            if q in prev.get("queries", {})
+        }
+        out["delta_total_sec"] = round(total - prev["value"], 3)
+    print(json.dumps(out))
+
+
+def _latest_prior_bench() -> dict | None:
+    """Newest BENCH_r{N}.json next to this script, parsed, with its
+    round number — so every bench run reports per-query regression
+    deltas against the last recorded round."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # The driver wraps our JSON line in its own record under "parsed".
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        if "value" not in data or "queries" not in data:
+            continue
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+            best = (n, data)
+    if best is None:
+        return None
+    return {"round": best[0], **best[1]}
 
 
 if __name__ == "__main__":

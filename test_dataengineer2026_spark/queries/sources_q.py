@@ -206,3 +206,56 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sio.scan_json(
         spark, out, "n_nationkey int, n_name string, n_regionkey int"
     )
+
+
+def write_bucketed_join_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Write orders/lineitem as tables BUCKETED on the join key (8
+    buckets, sorted within buckets), column-pruned to what the S11 join
+    needs. Bucketing co-locates matching keys at WRITE time, so every
+    later join on that key plans with ZERO shuffle exchanges — the
+    100 TB answer for a fact-to-fact join that runs every day
+    (SCALE.md §2; asserted in tests/test_plans.py)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for name, df, key in (
+        ("s11_orders", o, "o_orderkey"),
+        ("s11_lineitem", li, "l_orderkey"),
+    ):
+        # A fresh driver session has an empty in-memory catalog but the
+        # warehouse directory may survive from a previous run — clear
+        # both, or CREATE TABLE refuses the non-empty location.
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+
+
+@register(
+    "S11_bucketed_join",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice')} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    tags=("sources", "bucketed", "join"),
+)
+def bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: bucketed-table layout for repeated fact-to-fact joins —
+    write once bucketed on the key, then every join on that key skips
+    both shuffles (SortMergeJoin over pre-bucketed scans; the agg after
+    the join is the query's only exchange). The oracle proves the
+    bucketed write/read/join path loses no rows and no values."""
+    apply_runtime_confs(spark)
+    write_bucketed_join_tables(spark, sf_dir)
+    j = spark.table("s11_lineitem").join(
+        spark.table("s11_orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("sum_price"),
+    )

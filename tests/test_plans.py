@@ -107,48 +107,33 @@ def test_scalar_paths_stay_in_codegen(spark, name):
 
 
 def test_bucketed_join_skips_both_exchanges(spark):
-    """Bucketed table layout (SCALE.md §2): two tables bucketed on the
-    join key co-locate matching rows at WRITE time, so the repeated
-    fact-to-fact join plans with ZERO shuffle exchanges — the 100 TB
-    answer for a join that runs every day on the same key."""
-    from test_dataengineer2026_spark import tables
+    """S11 (SCALE.md §2): two tables bucketed on the join key co-locate
+    matching rows at WRITE time, so the repeated fact-to-fact join plans
+    with ZERO shuffle exchanges — the 100 TB answer for a join that runs
+    every day on the same key. Drives the registered query's own helper
+    so the asserted plan is the shipped plan."""
+    from test_dataengineer2026_spark.queries.sources_q import (
+        write_bucketed_join_tables,
+    )
     from tests.conftest import SF_DIR
 
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("bkt_orders", "bkt_lineitem"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
-
-    o = tables.load(spark, SF_DIR, "orders")
-    li = tables.load(spark, SF_DIR, "lineitem")
-    (
-        o.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("bkt_orders")
-    )
-    (
-        li.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("bkt_lineitem")
-    )
+    write_bucketed_join_tables(spark, SF_DIR)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = spark.table("bkt_lineitem").join(
-            spark.table("bkt_orders"),
-            spark.table("bkt_lineitem").l_orderkey
-            == spark.table("bkt_orders").o_orderkey,
+        li = spark.table("s11_lineitem")
+        j = li.join(
+            spark.table("s11_orders"),
+            li.l_orderkey == spark.table("s11_orders").o_orderkey,
         )
         p = plan_string(j, "simple")
         assert "SortMergeJoin" in p, p
         assert exchange_count(p) == 0, p
         # and the co-located join still returns the right row count
         assert j.count() == li.count()
+        # the full registered query adds only the aggregation exchange
+        agg = j.groupBy("o_orderpriority").count()
+        assert exchange_count(plan_string(agg, "simple")) == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
