@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.queries.dedup import _PARAS_CTE
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -419,4 +420,55 @@ def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id", shard.alias("shard"))
         .select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    )
+
+
+#: C10: a paragraph seen in >= this many DISTINCT documents is
+#: boilerplate (headers, footers, license blurbs — the CCNet heuristic).
+BOILER_DF = 3
+
+
+@register(
+    "C10_boilerplate_removal",
+    oracle=f"""
+WITH {_PARAS_CTE},
+dfreq AS (
+  SELECT para_hash, COUNT(DISTINCT doc_id) AS df_docs
+  FROM paras GROUP BY para_hash
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN df_docs >= {BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       COALESCE(array_to_string(list(para_text ORDER BY para_idx) FILTER (WHERE df_docs < {BOILER_DF}), ' '), '') AS cleaned_text
+FROM paras JOIN dfreq USING (para_hash)
+GROUP BY doc_id
+""",
+    tags=("curation", "boilerplate"),
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: corpus-frequency boilerplate removal — drop paragraphs that
+    appear in >= BOILER_DF distinct documents and rebuild each document
+    from its kept paragraphs in order. The per-paragraph document
+    frequency is a groupBy on the 16-byte digest (text never shuffles);
+    the rebuild is one collect_list per doc sorted by paragraph index.
+    At 100 TB: two exchanges total (digest DF, doc rebuild), both on
+    narrow keys; the boilerplate table is usually tiny and broadcasts
+    back onto the paragraph stream."""
+    from test_dataengineer2026_spark.queries.dedup import _spark_paras
+
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    paras = _spark_paras(d)
+    dfreq = paras.groupBy("para_hash").agg(
+        F.count_distinct("doc_id").alias("df_docs")
+    )
+    joined = paras.join(dfreq, "para_hash")
+    boiler = F.col("df_docs") >= BOILER_DF
+    kept = F.when(~boiler, F.struct("para_idx", "para_text"))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(boiler.cast("int")).cast("long").alias("n_boiler"),
+        F.concat_ws(
+            " ", F.array_sort(F.collect_list(kept)).getField("para_text")
+        ).alias("cleaned_text"),
     )

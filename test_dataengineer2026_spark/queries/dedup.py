@@ -351,3 +351,73 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.greatest(ca, cb) >= CONTAIN_T)
     )
+
+
+# D8: "paragraph" granularity for exact substring-level dedup — fixed
+# 4-word windows stand in for real paragraph breaks (the synthetic corpus
+# has no newlines; on real data split on '\n\n' instead).
+LINE_WORDS = 4
+
+_PARAS_CTE = f"""
+ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+paras AS (
+  SELECT doc_id, CAST(i.i AS INTEGER) AS para_idx,
+         array_to_string(list_slice(t, i.i*{LINE_WORDS} + 1, (i.i+1)*{LINE_WORDS}), ' ') AS para_text,
+         md5(array_to_string(list_slice(t, i.i*{LINE_WORDS} + 1, (i.i+1)*{LINE_WORDS}), ' ')) AS para_hash
+  FROM ptoks,
+       unnest(generate_series(0, CAST(greatest(ceil(len(t)/{LINE_WORDS}.0), 1) AS BIGINT) - 1)) AS i(i)
+)
+"""
+
+
+def _spark_paras(d: DataFrame) -> DataFrame:
+    """(doc_id, para_idx, para_text, para_hash) — the Spark mirror of
+    _PARAS_CTE. The hash is computed map-side, so downstream frequency
+    shuffles move 16-byte digests, never the text."""
+    toks = F.split("text", " ")
+    n = F.greatest(F.ceil(F.size(toks) / LINE_WORDS), F.lit(1)).cast("int")
+    para = F.concat_ws(
+        " ", F.slice(F.col("t"), F.col("para_idx") * LINE_WORDS + 1, LINE_WORDS)
+    )
+    return (
+        d.select("doc_id", toks.alias("t"),
+                 F.explode(F.sequence(F.lit(0), n - 1)).alias("para_idx"))
+        .select(
+            "doc_id",
+            "para_idx",
+            para.alias("para_text"),
+            F.md5(para).alias("para_hash"),
+        )
+    )
+
+
+@register(
+    "D8_paragraph_dedup",
+    oracle=f"""
+WITH {_PARAS_CTE}
+SELECT doc_id, para_idx, para_hash,
+       COUNT(*) OVER (PARTITION BY para_hash) AS n_occ,
+       COUNT(*) OVER (PARTITION BY para_hash) > 1 AS is_dup
+FROM paras
+""",
+    tags=("dedup", "paragraph"),
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: paragraph-level exact dedup (the CCNet/Dolma line-dedup
+    shape): hash every paragraph, count corpus-wide occurrences, flag
+    repeats. Complements D1 (whole-doc) and D2 (near-dup): this is the
+    operator that strips repeated boilerplate passages across otherwise
+    distinct documents. At 100 TB only (doc_id, para_idx, digest) rows
+    shuffle — the window on para_hash is one exchange of ~40 B/paragraph
+    and the text stays at its source partition."""
+    from pyspark.sql import Window as W
+
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    paras = _spark_paras(d).drop("para_text")
+    w = W.partitionBy("para_hash")
+    n_occ = F.count(F.lit(1)).over(w).cast("long")
+    return paras.select(
+        "doc_id", "para_idx", "para_hash",
+        n_occ.alias("n_occ"), (n_occ > 1).alias("is_dup"),
+    )

@@ -461,3 +461,112 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return eligible.select("doc_id", F.explode(fps).alias("fingerprint"))
+
+
+# T8: PII patterns (emails, phone numbers, IPv4) — the pre-training
+# privacy scrub. The synthetic corpus carries no PII, so the query
+# plants deterministic PII derived from doc_id IN BOTH ENGINES and then
+# proves the scrub removes exactly what it should.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9-]{6,}[0-9]"
+
+_PII_SQL = (
+    "text || ' Contact u' || CAST(doc_id AS VARCHAR) || '@mail.example "
+    "or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' "
+    "|| CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+@register(
+    "T8_pii_redaction",
+    oracle=f"""
+WITH pii AS (SELECT doc_id, {_PII_SQL} AS raw FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(raw, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(raw, '{IP_RE}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(raw, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(raw,
+      '{EMAIL_RE}', '[EMAIL]', 'g'),
+      '{IP_RE}', '[IP]', 'g'),
+      '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+FROM pii
+""",
+    tags=("text", "pii"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: PII redaction — regex scrub of emails, IPv4 addresses and
+    phone numbers with per-class counts (the audit trail a privacy
+    pipeline must emit). Order matters: emails first (their domains can
+    contain digit runs), then IPs, then phones, so one class's
+    replacement token is never half-eaten by the next pattern. Pure
+    codegen scalar work: zero exchanges, text never leaves its scan
+    partition; at 100 TB this runs at scan speed like every T-family
+    op."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "[EMAIL]"), IP_RE, "[IP]"
+        ),
+        PHONE_RE,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(IP_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(raw, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+@register(
+    "T9_text_normalization",
+    oracle="""
+WITH messy AS (
+  SELECT doc_id,
+         '  <<' || upper(substr(text, 1, 16)) || '>>!!!  ' || text || '   The  End...  ' AS m
+  FROM documents
+)
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(m), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+  md5(trim(regexp_replace(regexp_replace(lower(m), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+  CAST(length(trim(regexp_replace(regexp_replace(lower(m), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+FROM messy
+""",
+    tags=("text", "normalize"),
+)
+def text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: canonical text normalization — lowercase, strip punctuation
+    and symbols to spaces, collapse whitespace, trim — plus the md5
+    fingerprint of the canonical form (the key D1 exact-dedup should
+    hash AFTER normalization so trivial formatting differences stop
+    defeating it). The query manufactures messy input (case, brackets,
+    punctuation, ragged spacing) from the clean corpus in both engines,
+    so the oracle proves the normalizer actually earns its keep.
+    Scalar codegen only — scan-speed at any scale."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  <<"), F.upper(F.substring("text", 1, 16)), F.lit(">>!!!  "),
+        F.col("text"), F.lit("   The  End...  "),
+    )
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(messy), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.md5(norm).alias("norm_fp"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )

@@ -96,7 +96,14 @@ def test_union_is_exchange_free(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["T1_token_count", "T3_quality_score", "X4_extract_resources", "F2_regex_funcs"],
+    [
+        "T1_token_count",
+        "T3_quality_score",
+        "T8_pii_redaction",
+        "T9_text_normalization",
+        "X4_extract_resources",
+        "F2_regex_funcs",
+    ],
 )
 def test_scalar_paths_stay_in_codegen(spark, name):
     """Text/extraction scalar pipelines run fused (no Python, no
@@ -164,6 +171,22 @@ def test_sessionize_single_shuffle(spark):
     cluster exactly once."""
     p = plan_string(QS["E1_batch_sessionize"](spark, SF_DIR_MID), "simple")
     assert exchange_count(p) == 1, p
+
+
+def test_paragraph_dedup_single_digest_exchange(spark):
+    """D8: paragraphs are hashed map-side; the corpus-frequency window
+    is the op's only exchange and it moves (doc_id, para_idx, digest)
+    rows — the paragraph text itself never shuffles."""
+    a = _audit(spark, "D8_paragraph_dedup")
+    assert a["exchanges"] == 1, a
+
+
+def test_boilerplate_removal_bounded_exchanges(spark):
+    """C10: digest document-frequency + per-doc rebuild — the only
+    exchanges are on the 16-byte digest and doc_id (AQE may add a
+    runtime coalesce but no extra shuffle keys)."""
+    a = _audit(spark, "C10_boilerplate_removal")
+    assert a["exchanges"] <= 3, a
 
 
 def test_repetition_signals_pruned_scan(spark):
