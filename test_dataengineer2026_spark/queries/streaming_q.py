@@ -444,3 +444,68 @@ def trigger_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = s.writeStream.foreachBatch(record).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.createDataFrame(seen, "batch_id long, n long")
+
+
+@register(
+    "M10_stream_stream_join",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 60000000 AS BIGINT) AS mins_after
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+""",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: stream-stream interval join (purchase attribution): each
+    view joins purchases by the same user landing within the following
+    hour. Both sides carry watermarks and the join carries the time
+    bound, so the state store evicts views older than watermark-1h and
+    purchases older than watermark — bounded state on an unbounded
+    stream, the property that makes this runnable forever at 100 TB/day.
+    Inner join + append mode means results are emission-order- and
+    batch-split-independent, so the batch self-join oracle recomputes
+    them exactly."""
+    apply_runtime_confs(spark)
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts "
+            "AND p_ts <= v_ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(v_ts)) div 60000000").alias(
+            "mins_after"
+        ),
+    )
+    return run_to_memory(joined, "m10_ssj", "append")

@@ -72,3 +72,32 @@ def test_kmeans_centroids_deterministic(spark, emb):
     a = {r.cell: r.c_emb for r in S.kmeans_centroids(emb, seeds).collect()}
     b = {r.cell: r.c_emb for r in S.kmeans_centroids(emb, seeds).collect()}
     assert a == b
+
+
+def test_pq_rerank_recovers_recall(spark, emb):
+    """J12e/J12f: raw ADC over 8-byte codes is a coarse ranker; the
+    shortlist + exact re-rank recipe recovers most of the exact top-10
+    while touching only shortlist/N of the raw vectors (measured at
+    sf0.001: 0.34 raw -> 0.90 reranked)."""
+    seeds = emb.filter(F.col("vec_id") < S.PQ_K)
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = _pairs(S.cosine_topk(q, emb, k=10))
+    raw = _pairs(S.pq_topk(q, emb, seeds))
+    reranked = _pairs(S.pq_topk_reranked(q, emb, seeds))
+    assert len(reranked & truth) / len(truth) >= 0.6
+    assert len(reranked & truth) >= len(raw & truth)
+
+
+def test_pq_codes_are_compact_and_deterministic(spark, emb):
+    """PQ encode emits one code in [0, PQ_K) per (vector, subspace) —
+    the 32x-compression invariant — and re-encoding is bit-stable."""
+    seeds = emb.filter(F.col("vec_id") < S.PQ_K)
+    cb = S.pq_codebook(seeds)
+    enc = S.pq_encode(emb, cb)
+    n_vecs = emb.count()
+    assert enc.count() == n_vecs * S.PQ_M
+    rng = enc.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 0 and rng[1] < S.PQ_K
+    a = sorted((r.id, r.m, r.code) for r in enc.collect())
+    b = sorted((r.id, r.m, r.code) for r in S.pq_encode(emb, cb).collect())
+    assert a == b

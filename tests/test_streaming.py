@@ -201,3 +201,51 @@ def test_stateful_funnel_folds_state_across_batches(spark):
     got = {r["user_id"]: r.asDict() for r in final.collect()}
     want = {r["user_id"]: r.asDict() for r in expected.collect()}
     assert got == want
+
+
+def test_m10_stream_stream_join_multibatch(spark):
+    """M10 over the 3-file feed (one file per micro-batch): views held
+    in the join state store must still match purchases arriving in
+    LATER micro-batches, and watermark eviction must not drop any
+    in-horizon pair — the result equals the batch self-join exactly."""
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_events_stream_multifile,
+        run_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    def side(df, typ, prefix):
+        return df.filter(F.col("event_type") == typ).select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    views = side(
+        read_events_stream_multifile(spark, SF_DIR), "view", "v"
+    ).withWatermark("v_ts", "1 hour")
+    purchases = side(
+        read_events_stream_multifile(spark, SF_DIR), "purchase", "p"
+    ).withWatermark("p_ts", "1 hour")
+    joined = views.join(
+        purchases,
+        F.expr("v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"),
+    ).select("v_id", "p_id")
+    got = {(r.v_id, r.p_id) for r in run_to_memory(joined, "m10_multi", "append").collect()}
+
+    ev = tables.load(spark, SF_DIR, "events")
+    v = side(ev, "view", "v")
+    p = side(ev, "purchase", "p")
+    want = {
+        (r.v_id, r.p_id)
+        for r in v.join(
+            p,
+            F.expr(
+                "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"
+            ),
+        )
+        .select("v_id", "p_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
