@@ -15,10 +15,17 @@ from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
-_DSUM_REV = (
-    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
-    "(CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DECIMAL(18,6)) AS DOUBLE)"
-)
+def _dsum_rev(p: str = "") -> str:
+    """Exact-decimal revenue sum (determinism.py convention), with an
+    optional table alias prefix for multi-table SQL."""
+    return (
+        f"CAST(CAST(SUM(CAST({p}l_extendedprice AS DECIMAL(18,4)) * "
+        f"(CAST(1 AS DECIMAL(8,4)) - CAST({p}l_discount AS DECIMAL(8,4)))) "
+        "AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+
+
+_DSUM_REV = _dsum_rev()
 
 
 @register(
@@ -150,3 +157,65 @@ def sql_udf_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT vec_id, round(l2norm(embedding), 9) AS norm "
         "FROM embeddings WHERE vec_id < 100"
     )
+
+
+_SQL4 = f"""
+SELECT n.n_name,
+       {_dsum_rev('l.')} AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "SQL4_tpch_q5",
+    oracle=_SQL4,
+    tags=("sql", "join"),
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q5-shaped local-supplier revenue — a six-table
+    join (two fact tables + four dims) with the classic co-nation
+    constraint. The optimizer showcase: dims broadcast, region/date
+    filters push into the scans, and join order is Catalyst's call, not
+    hand-scheduled. Identical SQL text runs on both engines."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL4)
+
+
+_SQL5 = f"""
+SELECT c.c_custkey, c.c_name,
+       {_dsum_rev('l.')} AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "SQL5_tpch_q10",
+    oracle=_SQL5,
+    tags=("sql", "topk"),
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q10-shaped returned-item report — top-20
+    customers by lost revenue. TakeOrderedAndProject caps the sort at
+    k=20 per partition, exact decimal revenue keeps the ranking
+    engine-identical (unique c_custkey tiebreak)."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL5)

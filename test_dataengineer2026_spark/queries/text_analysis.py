@@ -570,3 +570,145 @@ def text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_fp"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+# T10: fixed classifier weights (a fasttext-style linear quality filter
+# stand-in — in production these come from a trained model; frozen
+# literals keep the gate deterministic and oracle-checkable).
+T10_W = {"bias": -1.0, "len": 1.5, "ttr": 2.0, "wordlen": 0.5, "stop": -3.0}
+T10_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@register(
+    "T10_quality_classifier",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         least(len(string_split(text, ' ')) / 100.0, 1.0) AS f_len,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS f_ttr,
+         length(replace(text, ' ', '')) * 1.0
+           / (len(string_split(text, ' ')) * 10.0) AS f_wordlen,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains({list(T10_STOPWORDS)}, t))) * 1.0
+           / len(string_split(text, ' ')) AS f_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(f_len, 6) AS f_len, round(f_ttr, 6) AS f_ttr,
+       round(f_wordlen, 6) AS f_wordlen, round(f_stop, 6) AS f_stop,
+       round(1.0 / (1.0 + exp(-({T10_W['bias']} + {T10_W['len']} * f_len
+             + {T10_W['ttr']} * f_ttr + {T10_W['wordlen']} * f_wordlen
+             + {T10_W['stop']} * f_stop))), 6) AS quality,
+       round(1.0 / (1.0 + exp(-({T10_W['bias']} + {T10_W['len']} * f_len
+             + {T10_W['ttr']} * f_ttr + {T10_W['wordlen']} * f_wordlen
+             + {T10_W['stop']} * f_stop))), 6) >= 0.5 AS keep
+FROM feats
+""",
+    tags=("text", "quality", "classifier"),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: linear quality classifier — four interpretable features
+    (capped length, type-token ratio, mean word length, stopword
+    fraction) through a frozen-weight logistic gate, the fasttext-style
+    keep/drop filter every pretraining corpus passes through. All
+    higher-order array functions, zero UDFs, zero exchanges: the
+    classifier runs at scan speed and the keep flag is ready for a
+    partitioned sink."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nw = F.size(toks).cast("double")
+    f_len = F.least(nw / 100.0, F.lit(1.0))
+    f_ttr = F.size(F.array_distinct(toks)).cast("double") / nw
+    f_wordlen = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / (nw * 10.0)
+    stops = F.array(*[F.lit(s) for s in T10_STOPWORDS])
+    f_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
+        "double"
+    ) / nw
+    z = (
+        F.lit(T10_W["bias"])
+        + F.lit(T10_W["len"]) * f_len
+        + F.lit(T10_W["ttr"]) * f_ttr
+        + F.lit(T10_W["wordlen"]) * f_wordlen
+        + F.lit(T10_W["stop"]) * f_stop
+    )
+    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return d.select(
+        "doc_id",
+        F.round(f_len, 6).alias("f_len"),
+        F.round(f_ttr, 6).alias("f_ttr"),
+        F.round(f_wordlen, 6).alias("f_wordlen"),
+        F.round(f_stop, 6).alias("f_stop"),
+        quality.alias("quality"),
+        (quality >= 0.5).alias("keep"),
+    )
+
+
+#: T11: docs whose mean per-token surprisal exceeds this (micro-nats)
+#: are "surprising" under the corpus unigram LM — the KenLM-style
+#: perplexity gate. ~e^3.4 = 30 perplexity on this ~30-word vocabulary.
+T11_SURPRISAL_GATE = 3_400_000
+
+
+@register(
+    "T11_unigram_surprisal",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), uni AS (
+  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+), total AS (
+  SELECT SUM(cnt) AS n FROM uni
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(floor(-ln(uni.cnt * 1.0 / total.n) * 1000000.0) AS BIGINT) AS s_micro
+  FROM tok JOIN uni USING (t) CROSS JOIN total
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s_micro) AS BIGINT) AS surprisal_micro_total,
+       round(SUM(s_micro) * 1.0 / COUNT(*) / 1000000.0, 6) AS avg_surprisal_nats,
+       SUM(s_micro) * 1.0 / COUNT(*) > {T11_SURPRISAL_GATE} AS too_surprising
+FROM scored
+GROUP BY doc_id
+""",
+    tags=("text", "lm", "perplexity"),
+)
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: unigram-LM surprisal filter (the KenLM perplexity gate of
+    CCNet/Gopher, collapsed to its order-0 core): pass 1 builds the
+    corpus unigram table, pass 2 scores each document by mean -ln p(t).
+    Per-token surprisal is floor-quantized to integer micro-nats so the
+    per-doc sum is exact BIGINT arithmetic (order-independent across
+    engines); only the final mean divides. At 100 TB the unigram table
+    is vocabulary-sized — joined on token WITHOUT a broadcast hint (the
+    T5 lesson: vocabularies are unbounded; AQE may still choose to
+    broadcast a small one) and the 1-row total IS broadcast."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    uni = tok.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("n"))
+    s_micro = (
+        F.floor(-F.log(F.col("cnt").cast("double") / F.col("n")) * 1_000_000.0)
+        .cast("long")
+    )
+    scored = tok.join(uni, "t").crossJoin(F.broadcast(total)).select(
+        "doc_id", s_micro.alias("s_micro")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("s_micro").cast("long").alias("surprisal_micro_total"),
+        F.round(
+            F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1_000_000.0, 6
+        ).alias("avg_surprisal_nats"),
+        # double comparison on both sides: DuckDB CAST(double AS BIGINT)
+        # rounds while Spark truncates, so never integer-cast this mean
+        (
+            F.sum("s_micro").cast("double") / F.count(F.lit(1))
+            > F.lit(float(T11_SURPRISAL_GATE))
+        ).alias("too_surprising"),
+    )
