@@ -15,6 +15,7 @@ import importlib
 
 _MODULES = (
     "aggregations",
+    "sketches",
     "projections",
     "joins",
     "windows",
@@ -98,7 +99,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 135
+EXPECTED_MIN_QUERIES = 139
 
 _loaded = False
 

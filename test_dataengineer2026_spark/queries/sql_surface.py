@@ -219,3 +219,39 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL5)
+
+
+_SQL6 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6))
+            AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "SQL6_tpch_q18",
+    oracle=_SQL6,
+    tags=("sql", "subquery", "topk"),
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q18-shaped large-volume-customer query — an
+    aggregate HAVING subquery feeding an IN predicate, which Catalyst
+    rewrites to a left-semi join against the pre-aggregated lineitem
+    (no decorrelation-by-row, no repeated scans thanks to exchange
+    reuse). Exact decimal quantity sums keep the HAVING cut and the
+    reported sum engine-identical; LIMIT 100 runs as
+    TakeOrderedAndProject with the unique o_orderkey tiebreak."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL6)

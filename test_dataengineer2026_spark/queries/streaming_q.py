@@ -509,3 +509,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_memory(joined, "m10_ssj", "append")
+
+
+@register(
+    "M11_chained_window_agg",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) AS v
+  FROM events GROUP BY 1
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_active_hours,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(v) AS DECIMAL(18,6)) AS DOUBLE) AS total_value
+FROM hourly
+WHERE date_trunc('day', h) + INTERVAL 1 DAY
+      <= (SELECT MAX(ts) FROM events) - INTERVAL 2 DAY
+GROUP BY 1
+""",
+    tags=("streaming", "window", "chained"),
+)
+def chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: chained stateful windowed aggregations (Spark 3.4+ multiple
+    stateful operators): a 1-hour tumbling count/sum re-aggregated into
+    a 1-day rollup by windowing ON the inner window column — two state
+    stores in ONE append-mode pipeline, no intermediate sink. The inner
+    sum stays exact DECIMAL until the outer aggregate narrows it, so
+    hourly->daily re-aggregation is order-independent. Both operators
+    share the batch watermark; a day window emits once the watermark
+    passes its end, which implies every hour inside it is closed too —
+    the oracle replays that cut as day_end <= max(ts) - 2 days. This is
+    H1's hypertable rollup cascade running INSIDE the streaming engine:
+    at 100 TB the hourly state is what bounds memory, and the daily
+    tier reads the (tiny) closed-hour stream, not the events firehose."""
+    from test_dataengineer2026_spark.determinism import dec, dnarrow
+
+    apply_runtime_confs(spark)
+    s = read_events_stream_multifile(spark, sf_dir)
+    hourly = (
+        s.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("v"),
+        )
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.sum("n").cast("long").alias("n_events"),
+            dnarrow(F.sum("v")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_active_hours",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_memory(daily, "m11_chained_windows", "append")

@@ -241,3 +241,54 @@ def test_tfidf_no_unbounded_broadcast(spark):
     # never over the per-term df aggregate
     for op in hinted:
         assert "n_docs" in op, f"broadcast hint over non-singleton table: {op}"
+
+
+def test_tpch_q5_dims_broadcast(spark):
+    """SQL4: the four dimension joins broadcast; only the fact-to-fact
+    chains (customer/orders/lineitem) may shuffle."""
+    a = _audit(spark, "SQL4_tpch_q5")
+    assert a["joins"].count("BroadcastHashJoin") >= 3, a
+
+
+def test_tpch_q18_semi_join_topk(spark):
+    """SQL6: the IN (aggregate subquery) runs as a semi join, not a
+    repeated scan + filter, and LIMIT 100 caps the sort per partition."""
+    p = plan_string(QS["SQL6_tpch_q18"](spark, SF_DIR_MID), "simple")
+    assert "LeftSemi" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quality_classifier_map_only(spark):
+    """T10: the logistic quality gate is pure per-row scalar work —
+    zero exchanges, runs at scan speed."""
+    p = plan_string(QS["T10_quality_classifier"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 0, p
+
+
+def test_unigram_surprisal_no_unbounded_broadcast(spark):
+    """T11: the unigram table is vocabulary-sized — the tok->uni join
+    must carry no broadcast hint; only the 1-row total may."""
+    import re
+
+    logical = plan_string(QS["T11_unigram_surprisal"](spark, SF_DIR_MID), "extended")
+    hinted = re.findall(
+        r"ResolvedHint \(strategy=broadcast\)\s*\n\s*\+- ([^\n]*)", logical
+    )
+    assert hinted, "expected the 1-row total broadcast hint"
+    assert all("Aggregate" in h for h in hinted), hinted
+
+
+def test_countmin_cells_broadcast(spark):
+    """A11: the DEPTH x WIDTH cell grid is O(1)-sized — its estimate
+    join must broadcast, never shuffle the keys against it."""
+    a = _audit(spark, "A11_countmin_sketch")
+    assert "BroadcastHashJoin" in a["joins"], a
+    assert a["exchanges"] <= 4, a
+
+
+def test_hll_sketch_bounded_exchanges(spark):
+    """A12: hash -> distinct -> 256 registers -> 1-row fold: the only
+    row-scale exchange is the distinct; everything after operates on
+    sketch-sized data."""
+    a = _audit(spark, "A12_hll_sketch")
+    assert a["exchanges"] <= 3, a

@@ -14,6 +14,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark.extraction.extract import parse_number
+from tests.conftest import SF_DIR
 from test_dataengineer2026_spark.functions.text import shingles, tokens
 
 SLOW = {"max_examples": 10, "deadline": None}
@@ -121,3 +122,25 @@ def test_jaccard_matches_python_and_is_bounded(spark, pairs):
         expect = len(a & b) / len(a | b)
         assert abs(j - expect) < 1e-12
         assert 0.0 <= j <= 1.0
+
+
+def test_countmin_never_underestimates(spark):
+    """The Count-Min guarantee: est >= exact for every key."""
+    from test_dataengineer2026_spark import registry
+
+    df = registry.queries()["A11_countmin_sketch"](spark, SF_DIR)
+    row = df.selectExpr(
+        "min(overcount) AS min_over", "count(*) AS n"
+    ).collect()[0]
+    assert row.n > 0
+    assert row.min_over >= 0
+
+
+def test_hll_estimate_within_3_sigma(spark):
+    """HLL with m=256 registers has std error 1.04/sqrt(256) = 6.5%;
+    the estimate must land within ~3 sigma of the exact count."""
+    from test_dataengineer2026_spark import registry
+
+    df = registry.queries()["A12_hll_sketch"](spark, SF_DIR)
+    row = df.collect()[0]
+    assert abs(row.rel_err_pct) < 20.0, row
