@@ -214,3 +214,104 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
         )
     )
+
+
+@register(
+    "W6_cdc_merge",
+    oracle="""
+WITH log AS (
+  SELECT c_custkey, c_name, c_acctbal, 'S' AS op, 0 AS seq
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2), 'U', 1
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, 'D', 2
+  FROM customer WHERE c_custkey % 11 = 3
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name || ' (new)', 0.0, 'I', 2
+  FROM customer WHERE c_custkey % 13 = 5
+  UNION ALL
+  SELECT c_custkey, c_name, round(c_acctbal + 200.0, 2), 'U', 3
+  FROM customer WHERE c_custkey % 14 = 0
+)
+SELECT c_custkey, c_name, c_acctbal
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey
+                               ORDER BY seq DESC) AS rn
+  FROM log
+) WHERE rn = 1 AND op <> 'D'
+""",
+    tags=("window", "cdc", "merge"),
+)
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: CDC changelog merge — MERGE INTO semantics (upsert + delete)
+    expressed as one window pass, the table-format-free way to compact a
+    change stream into a snapshot. The snapshot enters as sequence 0 and
+    each changelog batch as its commit sequence; ROW_NUMBER per key over
+    descending sequence picks the terminal state, and terminal deletes
+    drop out. Keys touched twice (custkey % 7 and % 14) prove ordering:
+    the later update wins. ONE hash exchange on the key no matter how
+    many changelog batches pile up — at 100 TB this is the nightly
+    compaction of a Kafka CDC topic into the lakehouse snapshot, and
+    the changelog unions never shuffle individually (union is plan-free;
+    the single window exchange partitions the merged stream once)."""
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+
+    def batch(filt, name, bal, op, seq):
+        return c.filter(filt).select(
+            (F.col("c_custkey") + (1000000 if op == "I" else 0)).alias("c_custkey"),
+            name.alias("c_name"),
+            bal.alias("c_acctbal"),
+            F.lit(op).alias("op"),
+            F.lit(seq).alias("seq"),
+        )
+
+    snap = c.select(
+        "c_custkey", "c_name", "c_acctbal", F.lit("S").alias("op"), F.lit(0).alias("seq")
+    )
+    log = (
+        snap.unionByName(
+            batch(
+                F.col("c_custkey") % 7 == 0,
+                F.col("c_name"),
+                F.round(F.col("c_acctbal") + 100.0, 2),
+                "U",
+                1,
+            )
+        )
+        .unionByName(
+            batch(
+                F.col("c_custkey") % 11 == 3,
+                F.lit(None).cast("string"),
+                F.lit(None).cast("double"),
+                "D",
+                2,
+            )
+        )
+        .unionByName(
+            batch(
+                F.col("c_custkey") % 13 == 5,
+                F.concat(F.col("c_name"), F.lit(" (new)")),
+                F.lit(0.0),
+                "I",
+                2,
+            )
+        )
+        .unionByName(
+            batch(
+                F.col("c_custkey") % 14 == 0,
+                F.col("c_name"),
+                F.round(F.col("c_acctbal") + 200.0, 2),
+                "U",
+                3,
+            )
+        )
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )

@@ -292,3 +292,11 @@ def test_hll_sketch_bounded_exchanges(spark):
     sketch-sized data."""
     a = _audit(spark, "A12_hll_sketch")
     assert a["exchanges"] <= 3, a
+
+
+def test_cdc_merge_single_exchange(spark):
+    """W6: snapshot + N changelog batches merge with exactly ONE hash
+    exchange on the key — unions are plan-free, the window partitions
+    the merged stream once."""
+    p = plan_string(QS["W6_cdc_merge"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
