@@ -16,6 +16,7 @@ import importlib
 _MODULES = (
     "aggregations",
     "sketches",
+    "ml_q",
     "projections",
     "joins",
     "windows",
@@ -99,7 +100,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 141
+EXPECTED_MIN_QUERIES = 143
 
 _loaded = False
 

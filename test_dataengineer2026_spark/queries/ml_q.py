@@ -1,0 +1,144 @@
+"""In-database ML primitives ML1-ML2 — model fitting as aggregation.
+
+Reference basis: the spec's QA/analytics surface over extracted numerics
+(TEST_TECNICO_INGENIERO_DATOS.md:119 sanity stats); the natural next step
+every analytics engine ships is fitting simple models WITHOUT moving data
+out: OLS regression reduces to six sufficient statistics (n, Σx, Σy,
+Σx², Σy², Σxy), all algebraic aggregates.
+
+Scale notes (100 TB design point): the entire fit is ONE map-side-partial
+aggregation — sufficient statistics merge associatively, so network
+traffic is 6 numbers per group regardless of row count. This is the same
+shape `colStat`/MLlib summarizers use internally; here it's expressed
+declaratively so Catalyst fuses it with any upstream filter/project.
+Determinism: every sum runs in exact DECIMAL space (order-independent)
+and the closed-form solve happens on the narrowed doubles — both engines
+see identical inputs and apply identical IEEE arithmetic.
+
+The regressand is rescaled to kilo-currency (exact decimal multiply by
+0.001) so Σxy stays under the |sum| < 1e12 bound of the int64-backed
+DECIMAL(18,6) narrowing even at high scale factors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import dnarrow
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+#: Exact types: quantity is 2dp <= 50; price is 2dp <= ~1e5, so price in
+#: K-units carries 5 exact fractional digits.
+_QTY = "decimal(9,2)"
+_PRICE = "decimal(12,2)"
+_KSCALE = "decimal(6,3)"  # the 0.001 rescale literal
+
+
+def _x() -> Column:
+    return F.col("l_quantity").cast(_QTY)
+
+
+def _y() -> Column:
+    return F.col("l_extendedprice").cast(_PRICE) * F.lit("0.001").cast(_KSCALE)
+
+
+_SQL_X = f"CAST(l_quantity AS {_QTY.upper()})"
+_SQL_Y = f"(CAST(l_extendedprice AS {_PRICE.upper()}) * CAST(0.001 AS {_KSCALE.upper()}))"
+
+
+def _suffstats() -> list[Column]:
+    x, y = _x(), _y()
+    return [
+        F.count(F.lit(1)).alias("n"),
+        dnarrow(F.sum(x)).alias("sx"),
+        dnarrow(F.sum(y)).alias("sy"),
+        dnarrow(F.sum(x * x)).alias("sxx"),
+        dnarrow(F.sum(y * y)).alias("syy"),
+        dnarrow(F.sum(x * y)).alias("sxy"),
+    ]
+
+
+_SQL_SUFFSTATS = f"""
+  COUNT(*) AS n,
+  CAST(CAST(SUM({_SQL_X}) AS DECIMAL(18,6)) AS DOUBLE) AS sx,
+  CAST(CAST(SUM({_SQL_Y}) AS DECIMAL(18,6)) AS DOUBLE) AS sy,
+  CAST(CAST(SUM({_SQL_X} * {_SQL_X}) AS DECIMAL(18,6)) AS DOUBLE) AS sxx,
+  CAST(CAST(SUM({_SQL_Y} * {_SQL_Y}) AS DECIMAL(18,6)) AS DOUBLE) AS syy,
+  CAST(CAST(SUM({_SQL_X} * {_SQL_Y}) AS DECIMAL(18,6)) AS DOUBLE) AS sxy
+"""
+
+
+def _solve(df: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """Closed-form OLS from sufficient statistics (identical double
+    arithmetic on both engines; final round(,6) absorbs nothing — it is
+    cosmetic because the inputs are already bit-identical)."""
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x_n = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    return df.withColumns(
+        {
+            "slope_k_per_unit": F.round(slope, 6),
+            "intercept_k": F.round((F.col("sy") - slope * F.col("sx")) / n, 6),
+            "r2": F.round(cov_n * cov_n / (var_x_n * var_y_n), 6),
+        }
+    ).drop(*(c for c in ("sx", "sy", "sxx", "syy", "sxy") if c not in keep))
+
+
+_SQL_SOLVE = """
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_k_per_unit,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept_k,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+"""
+
+
+@register(
+    "ML1_ols_regression",
+    oracle=f"""
+WITH s AS (
+  SELECT {_SQL_SUFFSTATS} FROM lineitem
+)
+{_SQL_SOLVE}, sx, sy FROM s
+""",
+    tags=("ml", "agg"),
+)
+def ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML1: ordinary least squares, price-on-quantity, as a single
+    aggregation — the whole 100 TB table reduces map-side to six
+    sufficient statistics before one row crosses the network, then the
+    closed-form solve runs on the driver-free 1-row result. Also
+    returns sx/sy so the oracle pins the exact decimal sums, not just
+    the solved coefficients."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return _solve(li.agg(*_suffstats()), keep=("sx", "sy"))
+
+
+@register(
+    "ML2_grouped_ols",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag, {_SQL_SUFFSTATS}
+  FROM lineitem GROUP BY l_returnflag
+)
+{_SQL_SOLVE.replace("SELECT n,", "SELECT l_returnflag, n,")} FROM s
+""",
+    tags=("ml", "agg"),
+)
+def grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2: one OLS model PER GROUP in a single pass — the grouped
+    version of ML1 (a model per return-flag segment). Sufficient
+    statistics partial-aggregate map-side, shuffle one 6-number state
+    per group, and every group's solve is a scalar projection. This is
+    the pattern for fitting millions of per-key models (per-document,
+    per-domain, per-user) without a UDF or a driver loop."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return _solve(li.groupBy("l_returnflag").agg(*_suffstats()))

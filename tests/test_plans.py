@@ -300,3 +300,15 @@ def test_cdc_merge_single_exchange(spark):
     the merged stream once."""
     p = plan_string(QS["W6_cdc_merge"](spark, SF_DIR_MID), "simple")
     assert exchange_count(p) == 1, p
+
+
+def test_ols_single_aggregation(spark):
+    """ML1/ML2: model fitting is pure aggregation — partial map-side
+    states, at most one hash exchange (grouped), zero for the global
+    fit; no UDF, no driver loop."""
+    p1 = plan_string(QS["ML1_ols_regression"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p1) == 0, p1
+    p2 = plan_string(QS["ML2_grouped_ols"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p2) == 1, p2
+    for p in (p1, p2):
+        assert "HashAggregate" in p and "pythonUDF" not in p, p

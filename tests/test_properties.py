@@ -144,3 +144,18 @@ def test_hll_estimate_within_3_sigma(spark):
     df = registry.queries()["A12_hll_sketch"](spark, SF_DIR)
     row = df.collect()[0]
     assert abs(row.rel_err_pct) < 20.0, row
+
+
+def test_ols_fit_is_sane(spark):
+    """The fit must be well-formed: finite coefficients, r2 in [0, 1],
+    and mean-point consistency (the regression line passes through
+    (mean x, mean y) — an OLS identity)."""
+    import math
+
+    from test_dataengineer2026_spark import registry
+
+    row = registry.queries()["ML1_ols_regression"](spark, SF_DIR).collect()[0]
+    assert math.isfinite(row.slope_k_per_unit) and math.isfinite(row.intercept_k)
+    assert 0.0 <= row.r2 <= 1.0
+    mean_x, mean_y = row.sx / row.n, row.sy / row.n
+    assert abs(row.intercept_k + row.slope_k_per_unit * mean_x - mean_y) < 1e-3
