@@ -17,6 +17,7 @@ _MODULES = (
     "aggregations",
     "sketches",
     "ml_q",
+    "graph_q",
     "projections",
     "joins",
     "windows",
@@ -100,7 +101,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 143
+EXPECTED_MIN_QUERIES = 144
 
 _loaded = False
 

@@ -1,0 +1,120 @@
+"""Graph analytics GR1 — iterative algorithms as relational rounds.
+
+Reference basis: D6 (connected components) established the pattern —
+an iterative graph algorithm is a fixed point of join+aggregate rounds,
+no driver-side graph, no GraphX dependency. GR1 adds the weighted
+flavor: PageRank over the customer<->supplier trade graph (edges =
+distinct (o_custkey, l_suppkey) pairs via orders x lineitem, both
+directions, supplier ids offset into their own key space).
+
+Determinism across engines: classic PageRank sums doubles — order
+dependent. Here rank is an integer in MICRO-units and each round is
+pure integer arithmetic: contribution = rank DIV out_degree (floor
+division), damping = 150000 + (85 * sum) DIV 100. Integer addition is
+associative, so any partitioning and any engine yields bit-identical
+ranks; the DuckDB oracle unrolls the same five rounds as chained CTEs.
+
+Scale notes (100 TB design point): each round is one join on src (rank
+table x edge table, both hash-partitioned on the same key — a cluster
+co-partitions them once and reuses the layout) plus one aggregation on
+dst: shuffle O(edges) per round, rounds fixed at 5. Ranks/degrees are
+O(nodes). The quantization error (floor per edge) is bounded by
+out_degree micro-units per node per round — irrelevant at rank scale
+1e6 and, crucially, identical on every engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+#: rank quantum: 1.0 == 1_000_000 micro-units
+PR_SCALE = 1_000_000
+PR_ITERS = 5
+#: supplier node ids live above this offset
+PR_SUPP_OFFSET = 1_000_000
+
+
+def _oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         150000 + (85 * COALESCE(SUM(p.r // e.d), 0)) // 100 AS r
+  FROM nodes n
+  LEFT JOIN e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  GROUP BY n.node
+)"""
+        )
+        prev = f"r{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {PR_SUPP_OFFSET} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s, c FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+e AS (SELECT src, dst, d FROM edges JOIN deg USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+{rounds_sql}
+SELECT node, CAST(r AS BIGINT) AS rank_micro FROM {prev}
+"""
+
+
+@register(
+    "GR1_pagerank",
+    oracle=_oracle(),
+    tags=("graph", "iterative"),
+)
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR1: five damped PageRank rounds over the customer<->supplier
+    trade graph, entirely as join+aggregate — see module docstring for
+    the integer-arithmetic determinism contract. Edges and degrees are
+    computed once and cached for the five consumers; every round's only
+    driver involvement is assembling the next plan (no collect)."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e = edges.join(deg, "src").cache()
+    nodes = edges.select(F.col("src").alias("node")).distinct().cache()
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(150000).cast("long")
+                + F.expr("85 * coalesce(s, 0L) div 100")
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("rank_micro"))

@@ -159,3 +159,16 @@ def test_ols_fit_is_sane(spark):
     assert 0.0 <= row.r2 <= 1.0
     mean_x, mean_y = row.sx / row.n, row.sy / row.n
     assert abs(row.intercept_k + row.slope_k_per_unit * mean_x - mean_y) < 1e-3
+
+
+def test_pagerank_structure(spark):
+    """Every rank carries at least the damping floor (0.15), and the
+    highest-ranked node is a supplier — suppliers are the hubs of the
+    bipartite trade graph (far fewer suppliers than customers)."""
+    from test_dataengineer2026_spark import registry
+    from test_dataengineer2026_spark.queries.graph_q import PR_SUPP_OFFSET
+
+    rows = registry.queries()["GR1_pagerank"](spark, SF_DIR).collect()
+    assert rows and all(r.rank_micro >= 150000 for r in rows)
+    top = max(rows, key=lambda r: r.rank_micro)
+    assert top.node >= PR_SUPP_OFFSET
