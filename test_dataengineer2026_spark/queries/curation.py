@@ -472,3 +472,84 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.array_sort(F.collect_list(kept)).getField("para_text")
         ).alias("cleaned_text"),
     )
+
+
+#: C11 temperature: weight language l by p_l^ALPHA (renormalized) — the
+#: multilingual rebalancing exponent of mBERT/XLM-R (alpha in [0.2, 0.7]
+#: upsamples tail languages). Quantized to integer micro-weights.
+C11_ALPHA = 0.3
+C11_PW_SCALE = 1_000_000
+C11_GATE_BITS = 16  # 4 hex chars -> u in [0, 65536)
+
+
+@register(
+    "C11_temperature_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n_l) AS n FROM s),
+w AS (
+  SELECT lang, n_l,
+         CAST(floor(pow(n_l * 1.0 / n, {C11_ALPHA}) * {C11_PW_SCALE}) AS BIGINT)
+           AS pw_q,
+         n // 2 AS t
+  FROM s CROSS JOIN tot
+),
+z AS (SELECT SUM(pw_q) AS z FROM w)
+SELECT d.doc_id, d.lang
+FROM documents d
+JOIN w ON w.lang = d.lang
+CROSS JOIN z
+WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 4))::BIGINT
+        * z.z * w.n_l
+      < w.pw_q * w.t * {2 ** C11_GATE_BITS}
+""",
+    tags=("curation", "sampling", "multilingual"),
+)
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: temperature-scaled multilingual sampling — language l keeps
+    documents at rate min(1, w_l * T / n_l) where w_l ∝ p_l^alpha
+    (alpha=0.3 upsamples tail languages, the mBERT/XLM-R exponent) and
+    T is the half-corpus target. The ONLY floating-point step is
+    pow(p, alpha), immediately floor-quantized to integer micro-weights;
+    the per-document gate is then a pure int64 inequality
+    (h16 * Z * n_l < pw_q * T * 2^16), so membership is bit-identical on
+    both engines — no double comparison sits on the keep/drop boundary.
+    The min(1,·) clamp is implicit: when the rate exceeds 1 the RHS
+    exceeds every possible h16 * Z * n_l. At 100 TB: one tiny stats agg,
+    the per-lang weights broadcast, and the gate is a map-side filter at
+    scan speed (int64 products bounded: h16 < 2^16, Z <= #langs * 1e6,
+    so the LHS stays under 2^63 up to ~1e8 docs per language; shard the
+    gate by a wider T scale past that)."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    tot = s.agg(F.sum("n_l").alias("n"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_l",
+        F.floor(
+            F.pow(F.col("n_l") / F.col("n"), F.lit(C11_ALPHA)) * C11_PW_SCALE
+        )
+        .cast("long")
+        .alias("pw_q"),
+        F.expr("n div 2").alias("t"),
+    )
+    z = w.agg(F.sum("pw_q").alias("z"))
+    h16 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(w), "lang")
+        .crossJoin(F.broadcast(z))
+        .filter(
+            h16 * F.col("z") * F.col("n_l")
+            < F.col("pw_q") * F.col("t") * F.lit(2**C11_GATE_BITS)
+        )
+        .select("doc_id", "lang")
+    )

@@ -312,3 +312,15 @@ def test_ols_single_aggregation(spark):
     assert exchange_count(p2) == 1, p2
     for p in (p1, p2):
         assert "HashAggregate" in p and "pythonUDF" not in p, p
+
+
+def test_temperature_sample_broadcast_gate(spark):
+    """C11: the per-language weight table and the 1-row Z broadcast; the
+    documents scan itself never shuffles — the keep/drop gate is a
+    map-side filter. The only exchanges carry per-language counts."""
+    a = _audit(spark, "C11_temperature_sample")
+    assert all(j == "BroadcastHashJoin" or j == "BroadcastNestedLoopJoin" for j in a["joins"]), a
+    # the stats/weight/Z aggregations each plan an exchange, but every
+    # one carries per-language states (<= #langs rows) after map-side
+    # partials; none moves document rows.
+    assert a["exchanges"] <= 4, a
