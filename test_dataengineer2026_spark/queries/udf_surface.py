@@ -165,3 +165,52 @@ def python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(chunker("text")).alias("chunk_idx", "chunk_text")
     )
+
+
+def _arrow_doc_stats(batches):
+    """V7 kernel: pure-Arrow columnar compute — no pandas materialization,
+    no Python-per-row loop; every op is a vectorized pyarrow.compute call
+    over the incoming RecordBatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        t = b.column("text")
+        words = pc.split_pattern(t, " ")
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("doc_id"),
+                pc.cast(pc.binary_length(pc.cast(t, pa.binary())), pa.int64()),
+                pc.cast(pc.list_value_length(words), pa.int64()),
+                pc.list_element(words, 0),
+            ],
+            names=["doc_id", "n_bytes", "n_words", "first_word"],
+        )
+
+
+@register(
+    "V7_map_in_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       string_split(text, ' ')[1] AS first_word
+FROM documents
+""",
+    tags=("udf", "arrow"),
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7: mapInArrow — the zero-copy tier of the Python UDF surface:
+    batches arrive as Arrow RecordBatches and are transformed with
+    pyarrow.compute kernels, never converted to pandas (mapInPandas'
+    per-batch DataFrame construction cost disappears; for wide binary
+    columns that conversion is the dominant overhead). Same plan shape
+    as V5: one ArrowEvalPython-style exchange-free map stage at source
+    width — the right tier for byte-level multimodal preprocessing
+    where pandas object-dtype boxing would double memory."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_doc_stats,
+        "doc_id long, n_bytes long, n_words long, first_word string",
+    )
