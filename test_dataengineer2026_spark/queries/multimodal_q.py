@@ -62,3 +62,64 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     return sample_frames(attach_binary(d), frame_size=100, max_frames=3)
+
+
+@register(
+    "MM3_modality_router",
+    oracle="""
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'
+                       WHEN 1 THEN 'image/png'
+                       ELSE 'audio/wav' END AS modality,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(strlen(text) + CASE doc_id % 3 WHEN 0 THEN 3
+                                               WHEN 1 THEN 4
+                                               ELSE 4 END) AS BIGINT)
+         AS total_bytes
+FROM documents
+GROUP BY 1
+""",
+    tags=("multimodal", "sink"),
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM3: magic-byte modality routing — the ingest fan-out of a mixed
+    media lake: sniff each opaque binary payload's leading bytes
+    (JPEG FF D8 FF / PNG 89 'PNG' / WAV 'RIFF'), tag its MIME type, and
+    write a modality-partitioned store that downstream per-modality
+    decoders (V5/MM2) prune statically. The sniff is hex(substring) over
+    BINARY — pure JVM codegen, no UDF: routing 100 TB of blobs costs one
+    scan plus the partitioned write, and unknown magics would land in an
+    'unknown' partition instead of failing the job. Payload magics here
+    are synthesized deterministically (doc_id mod 3) since the corpus is
+    text; the sniffing and routing plumbing is the real thing."""
+    import pyspark.sql.functions as F
+
+    from test_dataengineer2026_spark.queries.sources_q import _stage
+    from test_dataengineer2026_spark.sources import io as sio
+
+    apply_runtime_confs(spark)
+    d = attach_binary(tables.load(spark, sf_dir, "documents"))
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes([0xFF, 0xD8, 0xFF])))
+        .when(F.col("doc_id") % 3 == 1, F.lit(b"\x89PNG"))
+        .otherwise(F.lit(b"RIFF"))
+    )
+    payloads = d.select(
+        "doc_id", F.concat(magic, F.col("content")).alias("payload")
+    )
+    head = F.hex(F.substring("payload", 1, 4))
+    sniffed = payloads.select(
+        "doc_id",
+        "payload",
+        F.when(head.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(head == F.lit("89504E47"), F.lit("image/png"))
+        .when(head == F.lit("52494646"), F.lit("audio/wav"))
+        .otherwise(F.lit("unknown"))
+        .alias("modality"),
+    )
+    out = _stage("modality_store", sf_dir)
+    sio.sink_parquet(sniffed, out, partition_by=["modality"])
+    back = sio.scan_parquet(spark, out)
+    return back.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+    )
