@@ -35,6 +35,7 @@ _MODULES = (
     "sql_surface",
     "extraction_q",
     "sources_q",
+    "timeseries_q",
 )
 
 # Exactly the 50 queries the round-2 driver window should verify, in order.
@@ -101,7 +102,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 147
+EXPECTED_MIN_QUERIES = 150
 
 _loaded = False
 

@@ -343,3 +343,54 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+@register(
+    "J14_bloom_pruned_join",
+    oracle=f"""
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice')} AS urgent_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+""",
+    tags=("join", "bloom", "runtime-filter"),
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14: runtime Bloom-filter semi-join reduction — prune the fact
+    side BEFORE its join shuffle using a 16 KiB filter built from the
+    selective dim side (operators/bloom.py).
+
+    The urgent-orders key set is hashed into a one-row bitset map,
+    broadcast onto lineitem, and only might-match rows proceed to the
+    exact join (which removes Bloom false positives, so the result is
+    provably the plain join — the oracle). At 100 TB this is the
+    standard fact-to-fact reducer when the filtered dim is too big to
+    broadcast as a hash relation but ~80% of fact rows would lose the
+    join: shuffle volume drops by the filter's selectivity for a
+    constant 16 KiB broadcast. (When the dim DOES fit the broadcast
+    threshold, skip the Bloom — the broadcast hash join already prunes
+    for free; Spark's own runtime.bloomFilter injection makes the same
+    call from stats.)
+    """
+    from test_dataengineer2026_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    urgent = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bf = bloom_build(urgent, "o_orderkey")
+    pruned = bloom_probe(li, bf, "l_orderkey")
+    joined = pruned.join(
+        urgent.select("o_orderkey", "o_orderpriority"),
+        pruned.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("urgent_revenue"),
+    )

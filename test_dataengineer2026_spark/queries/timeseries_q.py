@@ -1,0 +1,197 @@
+"""Time-series regularization: calendar gap-fill, LOCF, interpolation.
+
+The reference's spec centers on periodic technical-report series (annual
+production/reserves figures, repo:TEST.md:80-99) — real report streams
+have missing periods, and every downstream per-period computation (YoY
+deltas, rollups H1, as-of enrichment J10) silently skips gaps unless the
+series is regularized first. TS1/TS2 are the canonical fixes, expressed
+relationally: densify each entity's series onto a complete calendar, then
+carry-forward (LOCF) or linearly interpolate the missing values.
+
+Scale posture: the observed aggregate shuffles once on (entity, period);
+the calendar is GENERATED per entity with ``sequence()`` + ``explode``
+(no shuffle — rows materialize inside the task that holds the entity
+span); the fill windows sort within entity partitions only. Nothing in
+the chain is proportional to the calendar span except the final output,
+so a 100 TB event stream with a 10-year calendar densifies in one shuffle
+plus one per-entity sort. No driver-side loops, no UDFs — every step is
+whole-stage-codegen relational algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import dsum, sql_dsum
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+
+_OBS_SQL = f"""
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         {sql_dsum("value")} AS day_value
+  FROM events GROUP BY 1, 2
+"""
+
+_CAL_SQL = """
+  SELECT user_id,
+         CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY 1)
+"""
+
+
+def _daily_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) event count and exact-decimal value sum."""
+    e = tables.load(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("day_value"),
+    )
+
+
+def _densified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed dailies left-joined onto each user's complete calendar.
+
+    The calendar spans each user's own [min(day), max(day)] — generated
+    with ``sequence``/``explode`` from the span row, so gap rows are
+    created where the data already lives instead of shuffled in.
+    """
+    obs = _daily_observed(spark, sf_dir)
+    span = obs.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return cal.join(obs, ["user_id", "day"], "left")
+
+
+@register(
+    "TS1_gap_fill_locf",
+    oracle=f"""
+WITH obs AS ({_OBS_SQL}),
+cal AS ({_CAL_SQL})
+SELECT c.user_id, c.day,
+       COALESCE(o.n_events, 0) AS n_events,
+       LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       o.n_events IS NULL AS is_gap
+FROM cal c LEFT JOIN obs o ON o.user_id = c.user_id AND o.day = c.day
+""",
+    tags=("timeseries", "window"),
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1: densify each user's daily series onto a complete calendar and
+    carry the last observed daily value forward across gaps (LOCF).
+
+    Gap days get ``n_events = 0``, ``is_gap = true``, and the most recent
+    at-or-before observed ``day_value`` — the standard regularization
+    before per-period joins or rollups. LOCF is ``last(ignorenulls)``
+    over a rows-unbounded-preceding window: one linear scan per user
+    partition, no self-join. The LOCF'd double is copied, never
+    re-computed, so cross-engine determinism reduces to TS0 aggregation
+    determinism (exact decimal sums, determinism.py).
+    """
+    apply_runtime_confs(spark)
+    filled = _densified(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "TS2_linear_interpolation",
+    oracle=f"""
+WITH obs AS ({_OBS_SQL}),
+cal AS ({_CAL_SQL}),
+edged AS (
+  SELECT c.user_id, c.day, o.day_value,
+         LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+         LAST_VALUE(CASE WHEN o.day_value IS NOT NULL THEN c.day END
+                    IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_prev,
+         FIRST_VALUE(o.day_value IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_next,
+         FIRST_VALUE(CASE WHEN o.day_value IS NOT NULL THEN c.day END
+                     IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d_next
+  FROM cal c LEFT JOIN obs o ON o.user_id = c.user_id AND o.day = c.day
+)
+SELECT user_id, day,
+       CASE
+         WHEN day_value IS NOT NULL THEN day_value
+         WHEN v_prev IS NULL THEN v_next
+         WHEN v_next IS NULL THEN v_prev
+         ELSE v_prev + (v_next - v_prev) *
+              (CAST(date_diff('day', d_prev, day) AS DOUBLE) /
+               CAST(date_diff('day', d_prev, d_next) AS DOUBLE))
+       END AS interp_value,
+       day_value IS NULL AS is_gap
+FROM edged
+""",
+    tags=("timeseries", "window"),
+)
+def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2: linear interpolation across calendar gaps — each missing day
+    gets ``v_prev + (v_next - v_prev) * elapsed/gap_span`` between its
+    bracketing observations.
+
+    Both brackets come from the same two IGNORE NULLS window scans TS1
+    uses (last-backward + first-forward), so interpolation costs exactly
+    one extra window direction over LOCF — still one shuffle + one sort
+    per user, never a self-join on inequality. The arithmetic is written
+    identically on both engines (same op order, same casts) so IEEE-754
+    evaluation is bit-equal given bit-equal inputs.
+    """
+    apply_runtime_confs(spark)
+    filled = _densified(spark, sf_dir)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    v_prev = F.last("day_value", ignorenulls=True).over(wb)
+    d_prev = F.last(obs_day, ignorenulls=True).over(wb)
+    v_next = F.first("day_value", ignorenulls=True).over(wf)
+    d_next = F.first(obs_day, ignorenulls=True).over(wf)
+    frac = F.datediff(F.col("day"), d_prev).cast("double") / F.datediff(
+        d_next, d_prev
+    ).cast("double")
+    interp = (
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(v_prev.isNull(), v_next)
+        .when(v_next.isNull(), v_prev)
+        .otherwise(v_prev + (v_next - v_prev) * frac)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        interp.alias("interp_value"),
+        F.col("day_value").isNull().alias("is_gap"),
+    )

@@ -324,3 +324,60 @@ def test_temperature_sample_broadcast_gate(spark):
     # one carries per-language states (<= #langs rows) after map-side
     # partials; none moves document rows.
     assert a["exchanges"] <= 4, a
+
+
+def test_bloom_probe_filters_before_join_shuffle(spark):
+    """J14: the Bloom probe must materialize as a Filter on the fact
+    scan side (pre-exchange), the bitset build as a one-row broadcast —
+    so the fact side shrinks before any shuffle toward the exact join."""
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    import pyspark.sql.functions as F
+
+    li = tables.load(spark, SF_DIR_MID, "lineitem")
+    urgent = tables.load(spark, SF_DIR_MID, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bf = bloom_build(urgent, "o_orderkey")
+    pruned = bloom_probe(li, bf, "l_orderkey")
+    plan = plan_string(pruned)
+    # the 1-row bitset arrives via broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # probing adds no hash exchange on the fact side
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bloom_no_false_negatives_and_selective(spark):
+    """Every true match survives the probe (count equals the exact join)
+    and the filter actually prunes (urgent orders are ~1/5 of keys, so
+    well under half the fact rows may survive)."""
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    import pyspark.sql.functions as F
+
+    li = tables.load(spark, SF_DIR_MID, "lineitem")
+    orders = tables.load(spark, SF_DIR_MID, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    bf = bloom_build(urgent, "o_orderkey")
+    survived = bloom_probe(li, bf, "l_orderkey")
+    n_total = li.count()
+    n_survived = survived.count()
+    n_true = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "leftsemi").count()
+    assert n_true <= n_survived <= n_total
+    assert n_survived < 0.5 * n_total, (n_survived, n_total)
+    # false-positive rate within ~4x of the analytic bound for m=2^17,k=3
+    n_keys = urgent.count()
+    import math
+
+    fpr_bound = (1 - math.exp(-3 * n_keys / (1 << 17))) ** 3
+    n_candidates_wrong = n_survived - n_true
+    assert n_candidates_wrong <= max(50, 4 * fpr_bound * n_total), (
+        n_candidates_wrong,
+        fpr_bound,
+    )

@@ -172,3 +172,59 @@ def test_pagerank_structure(spark):
     assert rows and all(r.rank_micro >= 150000 for r in rows)
     top = max(rows, key=lambda r: r.rank_micro)
     assert top.node >= PR_SUPP_OFFSET
+
+
+def test_gap_fill_series_is_dense_and_locf_carries(spark):
+    """TS1: every user's output is a contiguous daily calendar from their
+    first to last active day; gap rows carry zero events and the most
+    recent observed value; non-gap rows carry their own day's value."""
+    from pyspark.sql import Window
+
+    from test_dataengineer2026_spark import registry
+
+    out = registry.queries()["TS1_gap_fill_locf"](spark, SF_DIR).cache()
+    try:
+        span = out.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_days"),
+            (F.datediff(F.max("day"), F.min("day")) + 1).alias("span_days"),
+        )
+        holes = span.filter(F.col("n_days") != F.col("span_days")).count()
+        assert holes == 0
+        bad_gap = out.filter(
+            F.col("is_gap") & (F.col("n_events") != 0)
+        ).count()
+        assert bad_gap == 0
+        # first day per user is observed (span starts at min observed day)
+        first_rows = out.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("day")),
+        ).filter(F.col("rk") == 1)
+        assert first_rows.filter(F.col("is_gap")).count() == 0
+        assert out.filter(F.col("locf_value").isNull()).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_interpolation_bounded_by_brackets(spark):
+    """TS2: interpolated gap values lie within [min, max] of the user's
+    observed daily values (linear interpolation can't overshoot)."""
+    from test_dataengineer2026_spark import registry
+
+    out = registry.queries()["TS2_linear_interpolation"](spark, SF_DIR).cache()
+    try:
+        bounds = (
+            out.filter(~F.col("is_gap"))
+            .groupBy("user_id")
+            .agg(
+                F.min("interp_value").alias("lo"),
+                F.max("interp_value").alias("hi"),
+            )
+        )
+        joined = out.filter(F.col("is_gap")).join(bounds, "user_id")
+        overshoot = joined.filter(
+            (F.col("interp_value") < F.col("lo") - 1e-9)
+            | (F.col("interp_value") > F.col("hi") + 1e-9)
+        ).count()
+        assert overshoot == 0
+    finally:
+        out.unpersist()
