@@ -321,3 +321,62 @@ def dynamic_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("day").cast("string").alias("day"), "n_events", "total_value"
     )
+
+
+@register(
+    "S13_zorder_layout",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS box_revenue,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+""",
+    tags=("sources", "layout", "zorder"),
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: Z-order clustered parquet layout (operators/zorder.py) — the
+    OPTIMIZE ZORDER BY pattern: interleave (l_partkey, l_suppkey) bits
+    into a Morton code, range-partition + sort the table on it, write,
+    and answer a 2-D box predicate from the clustered store.
+
+    Each output file covers a compact rectangle of (partkey, suppkey)
+    space, so the box scan prunes on BOTH dimensions via row-group
+    min/max stats — a single-column sort layout prunes only one
+    (quantified in tests/test_plans.py::test_zorder_prunes_both_dims).
+    Layout never changes values, so the oracle is the plain box query
+    against the unclustered table. One range exchange to write; the
+    read-back box filter is pushed into the parquet scan.
+    """
+    from test_dataengineer2026_spark.operators.zorder import zorder_by
+
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = _stage("lineitem_zorder", sf_dir)
+    # min-max scale both keys into the same 10-bit domain before
+    # interleaving — otherwise the wider key's high bits dominate and
+    # the layout degenerates to a 1-D sort (operators/zorder.py). Bounds
+    # come from a 1-row aggregate broadcast, so the scaling is
+    # sf-independent and costs one cheap stats pass.
+    bounds = li.agg(
+        F.max("l_partkey").alias("__pk_max"), F.max("l_suppkey").alias("__sk_max")
+    )
+    scaled = li.join(F.broadcast(bounds))
+    clustered = zorder_by(
+        scaled,
+        F.col("l_partkey") * 1023 / F.col("__pk_max"),
+        F.col("l_suppkey") * 1023 / F.col("__sk_max"),
+        n_files=16,
+        bits=10,
+    ).drop("__pk_max", "__sk_max")
+    sio.sink_parquet(clustered, out)
+    back = sio.scan_parquet(spark, out).filter(
+        F.col("l_partkey").between(100, 300) & F.col("l_suppkey").between(10, 40)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("box_revenue"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )

@@ -12,6 +12,7 @@ multiplying shuffle volume on a real cluster; here it fails CI instead.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import registry
 from test_dataengineer2026_spark.plans.audit import (
@@ -381,3 +382,68 @@ def test_bloom_no_false_negatives_and_selective(spark):
         n_candidates_wrong,
         fpr_bound,
     )
+
+
+def test_zorder_prunes_both_dims(spark, tmp_path):
+    """S13: quantify layout quality from parquet footers. Under Z-order,
+    each file's (partkey, suppkey) min/max rectangle is compact in BOTH
+    dims, so the 2-D box intersects few files; under a partkey-only sort
+    the suppkey stats span everything and only the partkey dim prunes.
+    Assert the box query could skip more files in the Z layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.operators.zorder import zorder_by
+
+    li = tables.load(spark, SF_DIR_MID, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    # Normalize both keys into the same 8-bit domain before interleaving
+    # (zorder_by's documented contract) — raw keys would let partkey's
+    # ~20x-wider range dominate every Morton prefix.
+    pk_max, sk_max = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    z_dir, s_dir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_by(
+        li,
+        F.col("l_partkey") * 255 / pk_max,
+        F.col("l_suppkey") * 255 / sk_max,
+        n_files=32,
+        bits=8,
+    ).write.parquet(z_dir)
+    li.repartitionByRange(32, "l_partkey").sortWithinPartitions(
+        "l_partkey"
+    ).write.parquet(s_dir)
+
+    # Box wide in partkey (90% of the domain) but narrow in suppkey
+    # (30%): the partkey-sorted layout must touch ~every file, while the
+    # Z layout prunes on the suppkey dimension too.
+    def files_overlapping_box(d, pk=(100, int(pk_max * 0.95)), sk=(10, 40)):
+        hit = total = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                total += 1
+                st_pk = md.row_group(g).column(cols["l_partkey"]).statistics
+                st_sk = md.row_group(g).column(cols["l_suppkey"]).statistics
+                if (
+                    st_pk.min <= pk[1]
+                    and st_pk.max >= pk[0]
+                    and st_sk.min <= sk[1]
+                    and st_sk.max >= sk[0]
+                ):
+                    hit += 1
+        return hit, total
+
+    z_hit, z_total = files_overlapping_box(z_dir)
+    s_hit, s_total = files_overlapping_box(s_dir)
+    assert z_total >= 8 and s_total >= 8
+    # Z-order: the 2-D box touches a minority of row groups; 1-D sort
+    # cannot prune on suppkey at all, so it touches more.
+    assert z_hit < s_hit, (z_hit, z_total, s_hit, s_total)
+    assert z_hit <= z_total // 2, (z_hit, z_total)
