@@ -36,6 +36,7 @@ _MODULES = (
     "extraction_q",
     "sources_q",
     "timeseries_q",
+    "quality_q",
 )
 
 # Exactly the 50 queries the round-2 driver window should verify, in order.
@@ -102,7 +103,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 151
+EXPECTED_MIN_QUERIES = 153
 
 _loaded = False
 
