@@ -195,3 +195,82 @@ def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_value"),
         F.col("day_value").isNull().alias("is_gap"),
     )
+
+
+_TS3_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS dv
+  FROM events GROUP BY 1, 2
+), win AS (
+  SELECT user_id, day, dv,
+         CAST(CAST(SUM(dv) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS s,
+         CAST(CAST(SUM(dv * dv) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS s2,
+         CAST(COUNT(dv) OVER w AS DOUBLE) AS n
+  FROM obs
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, day,
+       CAST(CAST(dv AS DECIMAL(18,6)) AS DOUBLE) AS day_value,
+       round((CAST(CAST(dv AS DECIMAL(18,6)) AS DOUBLE) - s / n) /
+             sqrt((s2 - s * s / n) / n), 6) AS zscore
+FROM win
+WHERE n >= 4 AND (s2 - s * s / n) / n > 0
+  AND abs((CAST(CAST(dv AS DECIMAL(18,6)) AS DOUBLE) - s / n) /
+          sqrt((s2 - s * s / n) / n)) > 2.0
+"""
+
+
+@register(
+    "TS3_rolling_zscore_anomaly",
+    oracle=_TS3_ORACLE,
+    tags=("timeseries", "window", "quality"),
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS3: trailing-window anomaly detection — flag each (user, day)
+    whose daily value sits more than 2 sigma from the mean of the user's
+    PREVIOUS six observed days (frame 6 PRECEDING .. 1 PRECEDING, so the
+    spike never inflates its own baseline).
+
+    Determinism is the whole trick: the rolling mean/variance come from
+    window sums of EXACT decimals (sum and sum-of-squares of the
+    DECIMAL(18,4) daily value — decimal addition is associative, so
+    frame evaluation order is irrelevant), narrowed once to DOUBLE, and
+    the remaining fp ops (two divides, one sqrt, one subtract) are
+    written in the same order on both engines — bit-equal z-scores,
+    rounded to 6dp only for display. One shuffle on user_id + one
+    per-user sort; the window is rows-based so cost is O(1) per row
+    regardless of calendar span. At 100 TB this is the standard
+    streaming-ingest health gate run as a batch: no self-joins, no UDFs,
+    whole chain in codegen.
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("dv")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, -1)
+    )
+    narrow = lambda c: c.cast("decimal(18,6)").cast("double")  # noqa: E731
+    s = narrow(F.sum("dv").over(w))
+    s2 = narrow(F.sum(F.col("dv") * F.col("dv")).over(w))
+    n = F.count("dv").over(w).cast("double")
+    x = narrow(F.col("dv"))
+    win = obs.select(
+        "user_id", "day", x.alias("day_value"), s.alias("s"), s2.alias("s2"),
+        n.alias("n"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    z = (F.col("day_value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        win.filter((F.col("n") >= 4) & (var > 0) & (F.abs(z) > 2.0))
+        .select("user_id", "day", "day_value", F.round(z, 6).alias("zscore"))
+    )
