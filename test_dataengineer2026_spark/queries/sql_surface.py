@@ -255,3 +255,154 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL6)
+
+
+_DSUM_QTY = (
+    "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,6)) "
+    "AS DOUBLE)"
+)
+
+# Q14: identical text on both engines — promo share of revenue in one
+# month, computed as a ratio of two exact-decimal conditional sums.
+_SQL7 = """
+SELECT 100.00 *
+       CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                  (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))
+             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,6)) AS DOUBLE) /
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                  (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4))))
+            AS DECIMAL(18,6)) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register(
+    "SQL7_tpch_q14",
+    oracle=_SQL7,
+    tags=("sql", "join"),
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q14-shaped promotion-effect query — the share
+    of one month's revenue coming from PROMO parts. A single fact-dim
+    join (part broadcasts, the shipdate range pushes into the lineitem
+    scan) feeding one global aggregate; both conditional revenue sums
+    are exact decimals narrowed once, so the final ratio is bit-equal
+    cross-engine."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL7)
+
+
+# Q17: small-quantity-order revenue — correlated scalar subquery that
+# Catalyst decorrelates into an aggregate+join on l_partkey. The
+# correlated avg uses the exact-sum/count form so the 0.2x threshold is
+# the same double on both engines.
+_SQL8 = f"""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+            AS DECIMAL(18,6)) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11'
+  AND p.p_size <= 10
+  AND l.l_quantity < (
+    SELECT 0.2 * ({_DSUM_QTY} / COUNT(l_quantity))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@register(
+    "SQL8_tpch_q17",
+    oracle=_SQL8,
+    tags=("sql", "subquery"),
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q17-shaped small-quantity-order query. The
+    per-part average quantity is a correlated scalar subquery over the
+    SAME fact table — the plan contract is that Catalyst decorrelates it
+    into one groupBy(l_partkey) aggregate joined back (exchange reuse,
+    no per-row re-scan). Brand/size filters prune the part dim before it
+    broadcasts."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL8)
+
+
+# Q19: disjunction of conjunctive brand/size/quantity predicates — the
+# optimizer must push the common join key through the OR and evaluate
+# the residual disjunction post-join.
+_SQL9 = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+             (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4))))
+       AS DECIMAL(18,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register(
+    "SQL9_tpch_q19",
+    oracle=_SQL9,
+    tags=("sql", "join"),
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q19-shaped discounted-revenue query — three
+    OR'd conjunctions over the joined fact+dim. The join key is common
+    to every branch, so the join itself stays a plain broadcast equi-join
+    with the disjunction as a residual filter; per-branch part predicates
+    still prune the broadcast side."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL9)
+
+
+# Q22: customers with above-average balances and no orders — a global
+# scalar subquery threshold plus a NOT EXISTS anti-join, grouped by
+# nation as the stand-in for TPC-H's phone country code.
+_SQL10 = """
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,6))
+            AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+  SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+              AS DECIMAL(18,6)) AS DOUBLE) / COUNT(*)
+  FROM customer c2 WHERE c2.c_acctbal > 0.0
+)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+@register(
+    "SQL10_tpch_q22",
+    oracle=_SQL10,
+    tags=("sql", "subquery", "join"),
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H-Q22-shaped global-sales-opportunity query —
+    positive-balance customers above the global average balance with no
+    premium (>400k) orders, counted per nation. Exercises an uncorrelated scalar
+    subquery (computed once, broadcast as a literal-like filter) and a
+    NOT EXISTS that plans as a left-anti join on c_custkey (the totalprice
+    filter pushes into the orders scan before the anti-join)."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL10)
