@@ -118,3 +118,106 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("node", F.col("r").cast("long").alias("rank_micro"))
+
+
+_GR2_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.u = e1.v
+  JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+pernode AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+  ) GROUP BY node
+)
+SELECT CAST(d.node AS BIGINT) AS suppkey,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN pernode p ON p.node = d.node
+"""
+
+
+@register(
+    "GR2_triangle_count",
+    oracle=_GR2_ORACLE,
+    tags=("graph", "join"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR2: per-node triangle counting on the supplier co-supply graph
+    (suppliers are adjacent when they ship lines of the same order).
+
+    Edge build: lineitem self-joined on l_orderkey with u < v — fan-out
+    is bounded by lines-per-order (~4-7), so the pair explosion is
+    linear in the fact table, then DISTINCT collapses it to the edge
+    set. Triangles are the textbook two-hash-join enumeration over the
+    ORDERED edge list (u < v < w): each triangle materializes exactly
+    once, no permutation blow-up, no cross join — candidate wedges come
+    from an equi-join on the shared endpoint and close via a second
+    equi-join on (u, w). Per-node counts then explode each triangle to
+    its three corners and aggregate. Everything is integer counts —
+    engine-identical by construction. At 100 TB the known refinement is
+    degree-ordering the edge direction (point low-degree -> high-degree)
+    to cap wedge fan-out on skewed graphs; the u < v total order stands
+    in for it here and keeps the oracle expressible.
+    """
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    pernode = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(pernode, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+    )
