@@ -421,3 +421,97 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "para_idx", "para_hash",
         n_occ.alias("n_occ"), (n_occ > 1).alias("is_dup"),
     )
+
+
+@register(
+    "D9_canonical_selection",
+    oracle=f"""
+WITH RECURSIVE {_SETS_CTE},
+posting AS (
+  SELECT doc, len(sh) AS set_size, unnest(sh) AS shingle FROM sets
+),
+pair_counts AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         COUNT(*) AS n_shared
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_counts
+  WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc, doc_a AS nbr FROM pairs
+),
+r AS (
+  SELECT doc, nbr FROM sym
+  UNION
+  SELECT r.doc, s.nbr FROM r JOIN sym s ON r.nbr = s.doc
+),
+m AS (SELECT doc, MIN(nbr) AS mn FROM r GROUP BY doc),
+clustered AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id,
+         CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT)
+           AS quality
+  FROM documents d LEFT JOIN m ON d.doc_id = m.doc
+)
+SELECT doc_id, cluster_id,
+       FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+       ) AS canonical_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+       ) AS is_kept
+FROM clustered
+""",
+    tags=("dedup", "clustering", "curation"),
+)
+def canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: quality-aware canonicalization — within each transitive
+    near-dup cluster (D6's connected components over the Jaccard >= 0.8
+    pair graph), KEEP the highest-quality member instead of the
+    arbitrary min-id one.
+
+    This is the retention policy production dedup actually wants: "drop
+    duplicates" really means "keep the best copy" (longest / richest
+    vocabulary — here the distinct-token count, a deterministic integer
+    with doc_id as total-order tiebreak). Composition: D6 cluster labels
+    (join+agg rounds, O(edges) shuffle per round) + one per-doc scalar
+    quality pass + one window over cluster_id to elect the canonical
+    member — a single extra shuffle on the cluster key. Every cluster
+    emits exactly one is_kept=true row, so downstream filtering is a
+    codegen predicate, not a join back to a keeper table.
+    """
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = D.neardup_pairs_inverted(
+        d, "text", "doc_id", n=3, threshold=0.8
+    ).select("doc_a", "doc_b")
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    cc = D.connected_components(nodes, pairs)
+    quality = d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("quality"),
+    )
+    clustered = cc.select(F.col("doc").alias("doc_id"), "cluster_id").join(
+        quality, "doc_id"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    canonical = F.first("doc_id").over(w)
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("is_kept"),
+    )
