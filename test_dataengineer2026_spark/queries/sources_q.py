@@ -380,3 +380,43 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").alias("min_pk"),
         F.max("l_suppkey").alias("max_sk"),
     )
+
+
+@register(
+    "S14_compact_small_files",
+    oracle=f"""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_text_bytes
+FROM documents
+GROUP BY lang, source
+""",
+    tags=("sources", "layout", "compaction"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: small-file compaction (sources/io.py:compact_parquet) — the
+    OPTIMIZE half of the layout story (S13 is the CLUSTER half).
+
+    Simulates a fragmented ingest by staging documents across 64 tiny
+    files (a streaming sink's typical debris), then compacts with a
+    byte-budget planner: the Hadoop listing gives actual store bytes,
+    output task count = ceil(bytes / target), one round-robin exchange
+    rewrites. The registered result re-reads the COMPACTED store and
+    aggregates, proving compaction is value-neutral; the file-count
+    guarantee itself is pinned in tests/test_plans.py::
+    test_compaction_hits_target_file_count. Compaction never sorts and
+    never shuffles by key, so it cannot skew; at 100 TB it runs
+    per-partition-directory with the same planner math.
+    """
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    frag = _stage("docs_fragmented", sf_dir)
+    d.repartition(64).write.mode("overwrite").parquet(frag)
+    out = _stage("docs_compacted", sf_dir)
+    sio.compact_parquet(spark, frag, out, target_bytes=8 * 1024 * 1024)
+    back = sio.scan_parquet(spark, out)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_bytes"),
+    )

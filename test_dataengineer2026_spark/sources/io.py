@@ -71,3 +71,48 @@ def sink_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def parquet_leaf_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a parquet store via the Hadoop
+    FileSystem listing API — a driver-side METADATA operation (same class
+    of work as Delta/Iceberg reading their manifest), never a data scan,
+    and portable to any FS the cluster mounts (HDFS/S3/local)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """S14: small-file compaction — the OPTIMIZE pattern. Size the output
+    task count from the store's ACTUAL bytes (metadata listing, above)
+    so each output file lands near ``target_bytes``, then rewrite with a
+    round-robin repartition.
+
+    Small files are the classic silent killer at 100 TB: a streaming or
+    per-partition ingest leaves thousands of KB-sized files per
+    partition, and every downstream scan pays a task + open + footer
+    read per file. Compaction is pure data movement — one round-robin
+    exchange, no sort, no skew sensitivity — and the planner math is
+    O(files) metadata on the driver. Returns the output file count.
+    """
+    import math
+
+    _, total = parquet_leaf_stats(spark, src)
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    return n_out

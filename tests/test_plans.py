@@ -473,3 +473,25 @@ def test_dq2_moves_keys_only(spark):
     a = _audit(spark, "DQ2_referential_integrity")
     for rs in a["read_schemas"]:
         assert rs.count(",") == 0, a["read_schemas"]  # one column per scan
+
+
+def test_compaction_hits_target_file_count(spark, tmp_path):
+    """S14: the compaction planner sizes output files from actual store
+    bytes — a 64-fragment store compacts to ceil(bytes/target) files,
+    each within ~2x of the byte budget, and row counts are preserved."""
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.sources import io as sio
+
+    d = tables.load(spark, SF_DIR_MID, "documents")
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "out")
+    d.repartition(64).write.parquet(frag)
+    n_before, total = sio.parquet_leaf_stats(spark, frag)
+    assert n_before == 64, n_before
+    target = max(total // 4, 1)
+    n_planned = sio.compact_parquet(spark, frag, out, target_bytes=target)
+    n_after, _ = sio.parquet_leaf_stats(spark, out)
+    assert n_after == n_planned <= 6, (n_before, n_planned, n_after)
+    assert n_after < n_before
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(frag).count()
+    )
