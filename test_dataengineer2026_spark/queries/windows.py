@@ -315,3 +315,85 @@ def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("c_custkey", "c_name", "c_acctbal")
     )
+
+
+_SCD2_EFF = "1998-06-01"
+
+
+@register(
+    "W7_scd2_dimension",
+    oracle=f"""
+WITH upd AS (
+  SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+),
+ins AS (
+  SELECT c_custkey + 1000000 AS c_custkey, c_name || ' (new)' AS c_name,
+         0.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 13 = 5
+)
+SELECT b.c_custkey, b.c_name, b.c_acctbal,
+       DATE '1992-01-01' AS valid_from,
+       DATE '{_SCD2_EFF}' AS valid_to,
+       FALSE AS is_current
+FROM customer b JOIN upd u ON b.c_custkey = u.c_custkey
+UNION ALL
+SELECT b.c_custkey, b.c_name, b.c_acctbal,
+       DATE '1992-01-01', NULL, TRUE
+FROM customer b WHERE NOT EXISTS (
+  SELECT 1 FROM upd u WHERE u.c_custkey = b.c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, DATE '{_SCD2_EFF}', NULL, TRUE FROM upd
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal, DATE '{_SCD2_EFF}', NULL, TRUE FROM ins
+""",
+    tags=("window", "cdc", "dimension"),
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: slowly-changing-dimension Type 2 merge — apply one change
+    batch (updates + inserts, synthesized deterministically from the
+    snapshot exactly like W6's changelog) to a versioned dimension,
+    emitting full validity history: changed keys get their old row
+    closed (valid_to = effective date, is_current = false) plus a new
+    open row; unchanged keys keep one open row; inserts open at the
+    effective date.
+
+    The merge is three key-partitioned joins against the SAME change
+    batch — an inner join (expire), an anti join (carry), and the batch
+    itself (open) — all on c_custkey, so a cluster computes the whole
+    history rewrite in one co-partitioned pass over the dimension; the
+    change batch is the small side and broadcasts. No window needed for
+    a single batch; multi-batch folding is W6's sequenced-changelog
+    territory. As-of lookups against the result are J10's asof join on
+    (key, valid_from).
+    """
+    apply_runtime_confs(spark)
+    c = tables.load(spark, sf_dir, "customer")
+    eff = F.lit(_SCD2_EFF).cast("date")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 13 == 5).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.col("c_name"), F.lit(" (new)")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    base = c.select("c_custkey", "c_name", "c_acctbal")
+    keys = upd.select("c_custkey")
+    d0 = F.lit("1992-01-01").cast("date")
+    null_d = F.lit(None).cast("date")
+    expired = base.join(keys, "c_custkey", "semi").select(
+        "*", d0.alias("valid_from"), eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    carried = base.join(keys, "c_custkey", "anti").select(
+        "*", d0.alias("valid_from"), null_d.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    opened = upd.unionByName(ins).select(
+        "*", eff.alias("valid_from"), null_d.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return expired.unionByName(carried).unionByName(opened)
