@@ -712,3 +712,58 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(float(T11_SURPRISAL_GATE))
         ).alias("too_surprising"),
     )
+
+
+@register(
+    "T12_bpe_pair_stats",
+    oracle="""
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 30
+""",
+    tags=("text", "tokenizer", "topk"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: byte-pair frequency statistics — the inner loop of BPE
+    tokenizer training. One corpus pass counts every adjacent character
+    pair inside every whitespace word; the top pair is what a BPE
+    trainer would merge next (iterating = re-running this count over the
+    re-segmented corpus, each round a full relational pass — the
+    map-reduce formulation of tokenizer training).
+
+    The pair explosion is a codegen higher-order function (sequence +
+    transform + explode — fan-out = characters per doc, linear), counts
+    combine map-side before the single pair-key shuffle, and the top-30
+    is TakeOrderedAndProject with the pair string as total-order
+    tiebreak. Words shorter than 2 chars are filtered BEFORE the
+    sequence call (Spark's sequence(1, 0) auto-steps backwards rather
+    than returning empty — the T7 gotcha).
+    """
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
