@@ -142,3 +142,100 @@ def grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     li = tables.load(spark, sf_dir, "lineitem")
     return _solve(li.groupBy("l_returnflag").agg(*_suffstats()))
+
+
+def _sql_dot_ml(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1,{dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+_ML3_K = 5
+
+
+@register(
+    "ML3_knn_classifier",
+    oracle=f"""
+WITH test AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+  FROM embeddings WHERE vec_id % 10 = 0
+), train AS (
+  SELECT vec_id AS cand_id, embedding AS ce, label FROM embeddings
+  WHERE vec_id % 10 <> 0
+), scored AS (
+  SELECT query_id, true_label, cand_id, label,
+         round({_sql_dot_ml('qe', 'ce')} /
+               (sqrt({_sql_dot_ml('qe', 'qe')}) *
+                sqrt({_sql_dot_ml('ce', 'ce')})), 9) AS cos_sim
+  FROM test CROSS JOIN train
+), nn AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_ML3_K}
+), votes AS (
+  SELECT query_id, true_label, label, COUNT(*) AS n_votes
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT query_id, true_label, label AS predicted_label, n_votes,
+       label = true_label AS is_correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY n_votes DESC, label) AS vrk
+  FROM votes
+) WHERE vrk = 1
+""",
+    tags=("ml", "vector", "topk"),
+)
+def knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3: k-nearest-neighbor label prediction — the relational form of
+    embedding-based classification / weak-label propagation over a
+    training corpus (tag the unlabeled 10% from their 5 most
+    cosine-similar labeled neighbors, majority vote, smallest-label
+    tiebreak).
+
+    Pure composition of shipped pieces: the J12 brute-force top-k
+    (queries broadcast, corpus streams — zero corpus shuffle) feeding a
+    two-level deterministic vote (groupBy count, then a row_number
+    window with the total order n_votes DESC, label ASC). At 100 TB the
+    top-k stage swaps for the IVF/PQ path (J12c-f) unchanged — the vote
+    is oblivious to how neighbors were found. Output: one row per test
+    vector with prediction, vote count, and correctness flag.
+    """
+    from test_dataengineer2026_spark.operators import similarity as S
+
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+    test = e.filter(F.col("vec_id") % 10 == 0)
+    train = e.filter(F.col("vec_id") % 10 != 0)
+    nn = S.cosine_topk(test, train, k=_ML3_K)
+    labeled = nn.join(
+        train.select(F.col("vec_id").alias("cand_id"), "label"), "cand_id"
+    ).join(
+        test.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        ),
+        "query_id",
+    )
+    votes = labeled.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    from pyspark.sql import Window as W
+
+    vw = W.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("vrk", F.row_number().over(vw))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            "n_votes",
+            (F.col("label") == F.col("true_label")).alias("is_correct"),
+        )
+    )
