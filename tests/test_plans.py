@@ -495,3 +495,49 @@ def test_compaction_hits_target_file_count(spark, tmp_path):
     assert (
         spark.read.parquet(out).count() == spark.read.parquet(frag).count()
     )
+
+
+def test_ts3_bounded_exchanges_no_global_sort(spark):
+    """TS3: daily agg + per-user window = at most two hash exchanges
+    ((user, day) then user), and never a range partitioning — the
+    anomaly scan must not serialize a global sort."""
+    p = plan_string(QS["TS3_rolling_zscore_anomaly"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) <= 2, p
+    assert "rangepartitioning" not in p, p
+
+
+def test_gr2_no_cartesian(spark):
+    """GR2: triangle enumeration is equi-joins only — a cartesian or
+    broadcast-nested-loop anywhere means the ordered-edge join
+    degenerated and would never survive a real graph."""
+    p = plan_string(QS["GR2_triangle_count"](spark, SF_DIR_MID), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_t12_topk_and_single_pair_shuffle(spark):
+    """T12: the BPE pair count shuffles once on the pair key (map-side
+    partial combine first) and takes the top-30 with
+    TakeOrderedAndProject, not a global sort."""
+    p = plan_string(QS["T12_bpe_pair_stats"](spark, SF_DIR_MID), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert exchange_count(p) == 1, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_w7_change_batch_broadcasts(spark):
+    """W7: the SCD2 merge's three joins all probe the small change
+    batch — every join is broadcast, the dimension itself never
+    shuffles."""
+    a = _audit(spark, "W7_scd2_dimension")
+    assert a["joins"], a
+    assert all(j == "BroadcastHashJoin" for j in a["joins"]), a
+    assert a["exchanges"] == 0, a
+
+
+def test_ml3_corpus_never_shuffles_before_scoring(spark):
+    """ML3: the kNN scorer inherits J12's shape — test vectors
+    broadcast, the train corpus streams into the scorer with no
+    pre-scoring exchange."""
+    p = plan_string(QS["ML3_knn_classifier"](spark, SF_DIR_MID), "simple")
+    assert "BroadcastNestedLoopJoin" in p, p
