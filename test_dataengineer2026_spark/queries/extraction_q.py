@@ -371,3 +371,87 @@ def normalize_numeric_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw string",
     )
     return df.select("raw", X.parse_number(F.col("raw")).alias("parsed"))
+
+
+@register(
+    "X11_entity_resolution",
+    oracle="""
+WITH dirty AS (
+  SELECT p_partkey, p_name,
+         CASE CAST(p_partkey % 3 AS INTEGER)
+           WHEN 0 THEN upper(p_name)
+           WHEN 1 THEN string_split(p_name, ' ')[2] || ' ' ||
+                       string_split(p_name, ' ')[1]
+           ELSE p_name || ' Inc.'
+         END AS raw_name
+  FROM part
+),
+keyed AS (
+  SELECT p_partkey, p_name, raw_name,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_replace(lower(raw_name), '[^a-z0-9 ]', '', 'g'), ' '),
+             t -> t <> '' AND t NOT IN ('inc', 'ltd', 'co'))),
+           ' ') AS entity_key
+  FROM dirty
+)
+SELECT entity_key,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT raw_name) AS n_raw_variants,
+       COUNT(DISTINCT p_name) AS n_canonical_names,
+       CAST(MIN(p_partkey) AS BIGINT) AS min_partkey
+FROM keyed
+GROUP BY entity_key
+""",
+    tags=("extraction", "normalization", "dedup"),
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: entity resolution by canonical-key blocking — the spec's
+    company/name normalization (TEST_TECNICO_INGENIERO_DATOS.md:32
+    "normalización ... nombres de compañías") as a corpus operator.
+
+    A dirty feed is synthesized deterministically from the part catalog
+    (case mangling, token reordering, corporate-suffix noise — the three
+    classic record-linkage perturbations), then every record is mapped
+    to its canonical entity key: lowercase → strip non-alphanumerics →
+    tokenize → drop corporate-suffix stopwords → SORT tokens → rejoin.
+    The token-sort key is order-insensitive, so "WIDGET red", "red
+    widget" and "red widget Inc." all land on one key — resolution
+    becomes an exact groupBy/join on the key instead of a fuzzy O(n²)
+    compare. Everything is codegen string/array work; one shuffle on the
+    entity key. At 100 TB this is the blocking stage of record linkage:
+    within-block fuzzy verify (D3's Jaccard machinery) only ever sees
+    same-key candidates.
+    """
+    apply_runtime_confs(spark)
+    p = tables.load(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
+    raw = (
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_name"))
+        .when(
+            F.col("p_partkey") % 3 == 1,
+            F.concat(
+                F.element_at(toks, 2), F.lit(" "), F.element_at(toks, 1)
+            ),
+        )
+        .otherwise(F.concat(F.col("p_name"), F.lit(" Inc.")))
+    )
+    dirty = p.select("p_partkey", "p_name", raw.alias("raw_name"))
+    cleaned = F.split(
+        F.regexp_replace(F.lower("raw_name"), "[^a-z0-9 ]", ""), " "
+    )
+    kept = F.filter(
+        cleaned,
+        lambda t: (t != "") & ~t.isin("inc", "ltd", "co"),
+    )
+    key = F.array_join(F.sort_array(kept), " ")
+    return (
+        dirty.withColumn("entity_key", key)
+        .groupBy("entity_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("raw_name").alias("n_raw_variants"),
+            F.countDistinct("p_name").alias("n_canonical_names"),
+            F.min("p_partkey").cast("bigint").alias("min_partkey"),
+        )
+    )
