@@ -553,3 +553,115 @@ def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+from test_dataengineer2026_spark.operators import dedup as DD  # noqa: E402
+
+
+@register(
+    "C12_leakage_free_split",
+    oracle="""
+WITH RECURSIVE sets AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+         )) AS sh
+  FROM documents
+),
+posting AS (
+  SELECT doc, len(sh) AS set_size, unnest(sh) AS shingle FROM sets
+),
+pair_counts AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         COUNT(*) AS n_shared
+  FROM posting a JOIN posting b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM pair_counts
+  WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
+),
+sym AS (
+  SELECT doc_a AS doc, doc_b AS nbr FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+r AS (
+  SELECT doc, nbr FROM sym
+  UNION
+  SELECT r.doc, s.nbr FROM r JOIN sym s ON r.nbr = s.doc
+),
+m AS (SELECT doc, MIN(nbr) AS mn FROM r GROUP BY doc),
+clustered AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN m ON d.doc_id = m.doc
+),
+folded AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT
+                   % 10 = 0
+              THEN 'eval' ELSE 'train' END AS fold
+  FROM clustered
+)
+SELECT fold,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT cluster_id) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM (
+          SELECT cluster_id FROM folded
+          GROUP BY cluster_id HAVING COUNT(DISTINCT fold) > 1
+       )) AS BIGINT) AS n_straddling_clusters
+FROM folded
+GROUP BY fold
+""",
+    tags=("curation", "dedup", "sampling"),
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: contamination-safe train/eval split — fold assignment is a
+    deterministic hash of the NEAR-DUP CLUSTER id (D6's connected
+    components), not the document id, so a document and all its
+    near-duplicates land in the same fold by construction. Splitting at
+    document granularity leaks eval content into training whenever two
+    near-copies straddle the cut — the classic benchmark-contamination
+    bug C6 decontaminates after the fact; C12 prevents it structurally.
+
+    The fold function is the C2 content-hash gate applied to cluster_id
+    (first 32 md5 bits mod 10 → ~10% eval), a pure map-side expression
+    on top of the D6 labels. The query also audits itself: the
+    straddling-cluster count is computed from the data and must be 0.
+    Cost over plain D6: one extra aggregation — nothing new shuffles at
+    100 TB.
+    """
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    pairs = DD.neardup_pairs_inverted(
+        d, "text", "doc_id", n=3, threshold=0.8
+    ).select("doc_a", "doc_b")
+    nodes = d.select(F.col("doc_id").alias("doc"))
+    cc = DD.connected_components(nodes, pairs)
+    fold = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+        == 0,
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    folded = cc.select(
+        F.col("doc").alias("doc_id"), "cluster_id", fold.alias("fold")
+    ).cache()
+    straddle = (
+        folded.groupBy("cluster_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_straddling_clusters"))
+    )
+    per_fold = folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return per_fold.crossJoin(F.broadcast(straddle)).select(
+        "fold", "n_docs", "n_clusters", "n_straddling_clusters"
+    )
