@@ -166,3 +166,162 @@ def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("us").alias("end_us"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+
+
+@register(
+    "E2_funnel_conversion",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+         (SELECT COUNT(*) FROM s2) AS n2,
+         (SELECT COUNT(*) FROM s3) AS n3
+)
+SELECT 1 AS step, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
+       1.0 AS conversion_from_prev FROM counts
+UNION ALL
+SELECT 2, 'view>click', n2,
+       CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM counts
+UNION ALL
+SELECT 3, 'view>click>purchase', n3,
+       CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM counts
+""",
+    tags=("events", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: ORDERED funnel conversion (view -> click -> purchase) — each
+    stage counts users whose first stage-k event happens strictly AFTER
+    their first stage-(k-1) event, the sequencing constraint that
+    separates a funnel from three independent counts (M6 is this
+    operator's streaming-state twin).
+
+    Relational shape: stage k is a conditional min-aggregation joined
+    against stage k-1's first-times — every join and groupBy keys on
+    user_id, so on a cluster the whole cascade sits in ONE
+    hash-partitioning of user_id (co-partitioned joins, no re-shuffle
+    between stages; the filter e.ts > t_prev is a residual on the
+    join). Stage populations shrink monotonically, so later stages scan
+    less, and the final 3-row report is a broadcast of three scalar
+    counts. Conversion ratios are count/count doubles — deterministic.
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n3"))
+    counts = n1.crossJoin(n2).crossJoin(n3)
+    return counts.select(
+        F.expr(
+            """stack(3,
+          1, 'view', CAST(n1 AS BIGINT), CAST(1.0 AS DOUBLE),
+          2, 'view>click', CAST(n2 AS BIGINT),
+             CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+          3, 'view>click>purchase', CAST(n3 AS BIGINT),
+             CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        ) AS (step, stage, n_users, conversion_from_prev)"""
+        )
+    )
+
+
+@register(
+    "E3_cohort_retention",
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+)
+SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+       COUNT(*) AS n_active,
+       CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+         AS retention_rate
+FROM activity a
+JOIN cohorts c ON a.user_id = c.user_id
+JOIN sizes s ON c.cohort_day = s.cohort_day
+WHERE date_diff('day', c.cohort_day, a.day) <= 14
+GROUP BY 1, 2, s.cohort_size
+""",
+    tags=("events", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: cohort retention — users grouped by first-activity day, each
+    later active day counted at its offset, rates against the cohort's
+    size (the canonical growth-analytics triangle, offsets 0-14).
+
+    One exchange on user_id covers the distinct-day projection, the
+    cohort min, and the cohort join (co-partitioned); the final
+    (cohort, offset) rollup is the only second shuffle and its
+    cardinality is days x offsets, tiny at any scale. Cohort sizes join
+    back broadcast. The DISTINCT day projection first is the scale
+    trick: retention counts users-active-per-day, so the fact table
+    collapses to |users| x |active days| before anything else touches
+    it.
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    joined = (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("bigint"))
+        .filter(F.col("day_offset") <= 14)
+        .join(F.broadcast(sizes), "cohort_day")
+    )
+    return joined.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "cohort_size",
+    ).agg(F.count(F.lit(1)).alias("n_active")).select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
+         ).alias("retention_rate"),
+    )
