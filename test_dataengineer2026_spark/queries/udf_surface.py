@@ -214,3 +214,90 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         _arrow_doc_stats,
         "doc_id long, n_bytes long, n_words long, first_word string",
     )
+
+
+def _cents(x: pd.Series) -> int:
+    """Exact integer cents from a 2dp-valued double column: scale, rint,
+    sum as int64 — integer addition is order-independent, so the result
+    is deterministic under any pandas batch ordering."""
+    import numpy as np
+
+    if len(x) == 0:
+        return 0
+    return int(np.rint(x.to_numpy(dtype="float64") * 100.0).astype("int64").sum())
+
+
+def _merge_spend(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
+    """V8 cogroup body: one output row per key with both sides' counts
+    and exact-cent totals — either side may be empty for a given key."""
+    (k,) = key
+    return pd.DataFrame(
+        {
+            "key": [k],
+            "n_orders": [len(orders_pdf)],
+            "order_cents": [_cents(orders_pdf["o_totalprice"])]
+            if len(orders_pdf)
+            else [0],
+            "n_events": [len(events_pdf)],
+            "event_cents": [_cents(events_pdf["value"])]
+            if len(events_pdf)
+            else [0],
+        }
+    )
+
+
+@register(
+    "V8_cogrouped_pandas",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS oc
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT user_id AS k, COUNT(*) AS n_events,
+         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS ec
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.k, e.k) AS key,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.oc, 0) AS order_cents,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(e.ec, 0) AS event_cents
+FROM o FULL OUTER JOIN e ON o.k = e.k
+""",
+    tags=("udf", "cogroup"),
+)
+def cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8: the cogrouped-map UDF tier —
+    ``groupBy().cogroup().applyInPandas`` hands BOTH tables' rows for
+    the same key to one Python function (orders by o_custkey, events by
+    user_id), completing the UDF surface (V1 scalar, V2 grouped map, V3
+    grouped agg, V4 UDTF, V5/V7 map tiers).
+
+    Cogroup is Spark's align-two-tables-in-Python primitive (the
+    merge-asof / custom-join escape hatch). Plan shape: each side
+    shuffles once on its key, then Arrow ships per-key row groups to
+    Python with NO join materialized first. The body does integer-cent
+    sums (scale, rint, int64) so Python-side float ordering can't leak
+    into results; the oracle is the equivalent FULL OUTER JOIN of two
+    aggregates. At 100 TB the Python body must stay O(rows-per-key) —
+    heavy per-key math belongs in V3/built-ins — but the cogroup
+    NETWORK cost is exactly two co-partitioned shuffles, same as a SQL
+    join.
+    """
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    e = tables.load(spark, sf_dir, "events").select("user_id", "value")
+    out = (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            _merge_spend,
+            schema="key long, n_orders long, order_cents long, "
+            "n_events long, event_cents long",
+        )
+    )
+    return out
