@@ -43,7 +43,24 @@ HEADLINE = [
 ]
 
 
+#: Ambient-load gate: a loaded box inflates every timing uniformly (r2
+#: recorded +19% at loadavg 7.5 with zero plan changes), so wait for the
+#: box to go idle before timing. Bounded — if the load never drops we
+#: run anyway and record the load so the number is interpretable.
+MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
+MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300"))
+
+
+def _wait_for_idle() -> float:
+    waited = 0.0
+    while os.getloadavg()[0] > MAX_LOAD and waited < MAX_WAIT_SEC:
+        time.sleep(15)
+        waited += 15
+    return waited
+
+
 def main() -> None:
+    load_waited_sec = _wait_for_idle()
     spark = get_session("bench", shuffle_partitions=max(CPUS, 16))
     qs = registry.queries()
     # untimed warmup: JVM/codegen/parquet-footer caches, plus one tiny
@@ -76,6 +93,7 @@ def main() -> None:
         # ambient load (measured ~15.9 s idle vs ~29 s at loadavg 4+), so
         # a delta without the load average is not interpretable.
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "load_waited_sec": load_waited_sec,
     }
     prev = _latest_prior_bench()
     if prev:
@@ -90,9 +108,11 @@ def main() -> None:
 
 
 def _latest_prior_bench() -> dict | None:
-    """Newest BENCH_r{N}.json next to this script, parsed, with its
-    round number — so every bench run reports per-query regression
-    deltas against the last recorded round."""
+    """Best (lowest-total) BENCH_r{N}.json next to this script, parsed,
+    with its round number. Deltas compare against the *best* prior run,
+    not the newest: a round benched on a loaded box (r2: loadavg 7.5,
+    +19% across the board) would otherwise poison every later delta
+    with a flattering baseline."""
     import glob
     import re
 
@@ -112,7 +132,7 @@ def _latest_prior_bench() -> dict | None:
         if "value" not in data or "queries" not in data:
             continue
         n = int(m.group(1))
-        if best is None or n > best[0]:
+        if best is None or data["value"] < best[1]["value"]:
             best = (n, data)
     if best is None:
         return None

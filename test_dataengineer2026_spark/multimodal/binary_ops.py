@@ -8,11 +8,13 @@ the JVM->Python boundary once per batch, not per row — and each batch
 yields a plain pandas DataFrame, so the Spark-side plumbing (schema,
 partitioning, batch shape) is real regardless of which decoder backs it.
 
-The actual image decode is STUBBED: this container has no image/audio
-libraries, so ``decode_image`` raises NotImplementedError unless PIL is
-importable, and the feature extractor uses a clearly-marked
-deterministic fake (dimensions derived from byte length) that keeps the
-pipeline testable end-to-end.
+Image decode is REAL for PNG: ``multimodal/png.py`` is a pure-stdlib
+decoder (IHDR parse + zlib IDAT inflate + filter reversal), used by
+``decode_image`` and the MM4 query. Other formats (JPEG etc.) route
+through PIL when importable and otherwise raise ValueError — an explicit
+unsupported-format error, not a stub. ``extract_features`` (V5) keeps
+its clearly-marked deterministic fake dims because its payloads are
+UTF-8 text, not images; MM4 is the real decode surface.
 """
 
 from __future__ import annotations
@@ -31,6 +33,11 @@ FEATURE_SCHEMA = (
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string, frame_len long"
 
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "n_pixels long, pixel_sum long, pixel_min int, pixel_max int"
+)
+
 
 def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Materialize an opaque binary payload column (UTF-8 bytes of the
@@ -38,18 +45,30 @@ def attach_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content", F.encode(F.col(text_col), "UTF-8"))
 
 
-def decode_image(payload: bytes):
-    """Decode an image payload. STUB: no imaging library in this
-    environment; the real path is gated behind an import-try."""
+def decode_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode an image payload -> (width, height, bit_depth, channels,
+    raw pixel bytes).
+
+    PNG decodes natively (pure-stdlib ``multimodal.png``); other formats
+    go through PIL when present, else raise ValueError — unsupported
+    input is an explicit error, never a silent fake.
+    """
+    from test_dataengineer2026_spark.multimodal import png  # noqa: PLC0415
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, depth, color_type, pixels = png.decode_png(payload)
+        return w, h, depth, {0: 1, 2: 3}[color_type], pixels
     try:
-        from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
 
-        return Image.open(io.BytesIO(payload))
-    except ImportError as e:  # pragma: no cover - env has no PIL
-        raise NotImplementedError(
-            "image decode requires PIL/pillow; not available in this build"
-        ) from e
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        raise ValueError(
+            "unsupported image format (only PNG decodes without PIL; "
+            f"leading bytes {payload[:4]!r})"
+        ) from None
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover - env has no PIL
+    return img.width, img.height, 8, len(img.getbands()), img.tobytes()
 
 
 def _fake_dims(n: int) -> tuple[int, int]:
@@ -85,6 +104,83 @@ def extract_features(df_with_binary: DataFrame) -> DataFrame:
 
     return df_with_binary.select("doc_id", "content").mapInPandas(
         op, schema=FEATURE_SCHEMA
+    )
+
+
+def _synth_pixels(doc_id: int) -> tuple[int, int, bytes]:
+    """Deterministic test image for ``doc_id``: dims and greyscale pixel
+    values derive from the id by closed-form arithmetic, so a SQL oracle
+    can recompute every expected pixel via generate_series without ever
+    touching PNG bytes."""
+    width = 3 + doc_id % 6
+    height = 2 + doc_id % 5
+    pixels = bytes(
+        (doc_id + 31 * y + 7 * x) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+    return width, height, pixels
+
+
+def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real (spec-conformant, zlib-compressed, filter-rotated)
+    PNG payload per row, derived deterministically from the id."""
+    from test_dataengineer2026_spark.multimodal.png import encode_png  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                w, h, px = _synth_pixels(int(doc_id))
+                payloads.append(encode_png(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(op, schema="doc_id long, payload binary")
+
+
+def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
+    """REAL image decode over binary PNG payloads via mapInPandas:
+    IHDR parse + zlib IDAT inflate + scanline filter reversal, then
+    SQL-checkable pixel statistics. Arrow batches cross to Python once
+    per batch; at 100 TB this runs decoder-parallel on executors with
+    nothing on the driver."""
+    from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, depth, ctype, pixels = decode_png(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        depth,
+                        ctype,
+                        len(pixels),
+                        sum(pixels),
+                        min(pixels),
+                        max(pixels),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "n_pixels",
+                    "pixel_sum",
+                    "pixel_min",
+                    "pixel_max",
+                ],
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        op, schema=PNG_FEATURE_SCHEMA
     )
 
 

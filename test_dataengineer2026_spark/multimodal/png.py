@@ -1,0 +1,180 @@
+"""Minimal pure-stdlib PNG codec (encoder + decoder).
+
+This container has no imaging libraries, but PNG itself needs only
+``zlib`` + ``struct``: a PNG is an 8-byte signature followed by chunks
+(length, type, payload, crc32); pixels live in IDAT chunks as a single
+zlib stream of filtered scanlines (one leading filter byte per row,
+filter types 0-4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Decoding =
+parse IHDR, inflate the concatenated IDATs, reverse the per-row filter.
+
+The decoder handles 8-bit greyscale (colour type 0) and 8-bit RGB
+(colour type 2) — no palette, no interlace (Adam7 raises ValueError:
+unsupported is an explicit error, not a silent wrong answer). That is a
+*real* decode: the bytes that come out are the image's actual pixels,
+checksummable against an oracle.
+
+The encoder exists so queries/tests can synthesize deterministic PNGs
+without any external fixture, and deliberately rotates through all five
+filter types row-by-row so round-trips exercise every reversal path.
+
+Scale posture: both directions are plain ``bytes -> bytes`` functions
+with no Spark dependency; the query layer calls them inside
+``mapInPandas`` so 100 TB of blobs decode Arrow-batch-at-a-time on
+executors, never on the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: bytes per pixel by PNG colour type (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3}
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def _filter_row(ftype: int, row: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (RFC 2083 §6.3-6.6)."""
+    n = len(row)
+    out = bytearray(n)
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0          # left
+        b = prior[i] if prior else 0                  # up
+        c = prior[i - bpp] if (prior and i >= bpp) else 0  # up-left
+        x = row[i]
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return bytes(out)
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
+    """Encode raw 8-bit pixels into a spec-conformant PNG.
+
+    ``pixels`` is row-major, ``width*height*channels`` bytes. Rows are
+    filtered with type ``row_index % 5`` so every decoder filter path is
+    exercised by any image of >=5 rows.
+    """
+    bpp = _CHANNELS[color_type]
+    if len(pixels) != width * height * bpp:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    stride = width * bpp
+    prior = b""
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _filter_row(ftype, row, prior, bpp)
+        prior = row
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a PNG payload -> (width, height, bit_depth, color_type,
+    raw row-major pixel bytes).
+
+    Real decode: IHDR parse, zlib inflate of all IDAT chunks, per-row
+    filter reversal. Raises ValueError on anything that is not an 8-bit
+    non-interlaced grey/RGB PNG — unsupported inputs fail loudly.
+    """
+    if payload[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = bit_depth = color_type = None
+    interlace = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError("unsupported compression/filter method")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + payload + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _CHANNELS:
+        raise ValueError(
+            f"unsupported PNG: bit_depth={bit_depth} color_type={color_type}"
+        )
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    bpp = _CHANNELS[color_type]
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT payload does not match dimensions")
+    out = bytearray()
+    prior = b"\x00" * stride
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:
+            for i in range(stride):
+                row[i] = (row[i] + (row[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prior[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(a, prior[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad scanline filter {ftype}")
+        out += row
+        prior = bytes(row)
+    return width, height, bit_depth, color_type, bytes(out)

@@ -6,7 +6,10 @@ order). ``DRIVER_PRIORITY`` below rotates not-yet-driver-green queries to the
 front of the registry so every query earns a green CORRECTNESS row across
 rounds; names absent from the tuple keep plain registration order after the
 prioritized block. Round 1 verified the relational core (A/P/J/W/O/U/F-core,
-50 rows, all green) — round 2 front-loads the S/X/M/V/J12/F9/F10/T/D families.
+50 rows, all green); round 2 the S/X/M/V/J12/F9/F10/T/D families (50 rows,
+all green). Round 3 front-loads the remaining SQL/GR/ML/TS/DQ/W6-7/E/C/D8-9/
+J12b-d/J14/A11-12/S11-14/M10-11 block; the 19-name residue (J12e/f, X10/X11,
+W4b, F9b/c, X2b, V7/V8, MM2/MM3, T6-T12) plus round-3 additions go round 4.
 """
 
 from __future__ import annotations
@@ -39,66 +42,73 @@ _MODULES = (
     "quality_q",
 )
 
-# Exactly the 50 queries the round-2 driver window should verify, in order.
+# Exactly the 50 queries the round-3 driver window should verify, in order.
+# Every name here is absent from CORRECTNESS_r01.json and CORRECTNESS_r02.json.
 DRIVER_PRIORITY = (
-    # sources (S1-S10)
-    "S1_binary_file_scan",
-    "S2_parquet_scan_pruned",
-    "S3_csv_roundtrip",
-    "S4_json_roundtrip",
-    "S5_text_scan",
-    "S6_json_sink_roundtrip",
-    "S7_csv_sink_roundtrip",
-    "S8_partitioned_parquet_roundtrip",
-    "S9_stream_file_source",
-    "S10_foreach_batch_sink",
-    # extraction (X1-X9)
-    "X1_pdf_extract_text",
-    "X2_extract_table_cells",
-    "X3_extract_metadata",
-    "X4_extract_resources",
-    "X5_extract_reserves",
-    "X6_extract_economics",
-    "X7_normalize_numeric",
-    "X8_null_fill_contract",
-    "X9_validate_extraction",
-    # streaming (M1-M9)
-    "M1_watermark_append",
-    "M2_tumbling_window",
-    "M3_sliding_window",
-    "M4_session_window",
-    "M5_stream_dedup",
-    "M6_stateful_funnel",
-    "M7_stream_static_join",
-    "M8_late_data_policy",
-    "M9_trigger_control",
-    # UDF surface (V1-V6)
-    "V1_scalar_pandas_udf",
-    "V2_grouped_map_udf",
-    "V3_grouped_agg_udaf",
-    "V4_python_udtf",
-    "V5_mm_binary_features",
-    "V6_sql_udf_registration",
-    # remaining §2 singletons
-    "J12_similarity_join",
-    "F9_json_funcs",
-    "F10_vector_math",
-    # text analysis (F12 = T1-T5)
-    "T1_token_count",
-    "T2_lang_id",
-    "T3_quality_score",
-    "T4_fingerprint",
-    "T5_tfidf_top_term",
-    # dedup family (flagship LLM-pipeline ops)
-    "D1_exact_dedup",
-    "D2_minhash_lsh",
-    "D3_ngram_jaccard",
-    "D4_simhash",
-    "D5_embedding_neardup",
-    "D6_neardup_clusters",
-    "D7_containment_dedup",
-    # decontamination (C6) rounds out the window
-    "C6_decontaminate",
+    # SQL surface (TPC-H shapes + subquery/CTE)
+    "SQL1_tpch_q3",
+    "SQL2_correlated_subquery",
+    "SQL3_cte_window",
+    "SQL4_tpch_q5",
+    "SQL5_tpch_q10",
+    "SQL6_tpch_q18",
+    "SQL7_tpch_q14",
+    "SQL8_tpch_q17",
+    "SQL9_tpch_q19",
+    "SQL10_tpch_q22",
+    # graph
+    "GR1_pagerank",
+    "GR2_triangle_count",
+    # ML
+    "ML1_ols_regression",
+    "ML2_grouped_ols",
+    "ML3_knn_classifier",
+    # time series
+    "TS1_gap_fill_locf",
+    "TS2_linear_interpolation",
+    "TS3_rolling_zscore_anomaly",
+    # data quality
+    "DQ1_expectation_checks",
+    "DQ2_referential_integrity",
+    # CDC / SCD2
+    "W6_cdc_merge",
+    "W7_scd2_dimension",
+    # event analytics
+    "E1_batch_sessionize",
+    "E2_funnel_conversion",
+    "E3_cohort_retention",
+    # curation (C6 went green in r2)
+    "C1_corpus_curation",
+    "C2_stratified_sample",
+    "C3_mixture_weights",
+    "C4_chunk_documents",
+    "C5_pack_sequences",
+    "C7_quota_sample",
+    "C8_length_percentiles",
+    "C9_shuffle_shards",
+    "C10_boilerplate_removal",
+    "C11_temperature_sample",
+    "C12_leakage_free_split",
+    # dedup extensions
+    "D8_paragraph_dedup",
+    "D9_canonical_selection",
+    # ANN ladder core rungs (e/f PQ variants -> round 4)
+    "J12b_srp_lsh_ann",
+    "J12c_ivf_ann",
+    "J12d_ivf_kmeans_ann",
+    # bloom-pruned join
+    "J14_bloom_pruned_join",
+    # sketches
+    "A11_countmin_sketch",
+    "A12_hll_sketch",
+    # storage layout
+    "S11_bucketed_join",
+    "S12_dynamic_partition_backfill",
+    "S13_zorder_layout",
+    "S14_compact_small_files",
+    # streaming extensions
+    "M10_stream_stream_join",
+    "M11_chained_window_agg",
 )
 
 # Every name the registry must contain after load_all() — a deleted or

@@ -16,6 +16,14 @@ from pyspark.sql import SparkSession
 RUNTIME_CONFS: dict[str, str] = {
     # Deterministic timestamp semantics vs the DuckDB oracle (naive/UTC).
     "spark.sql.session.timeZone": "UTC",
+    # Parquet timestamps without isAdjustedToUTC must read as TIMESTAMP
+    # (LTZ, UTC session) — not TIMESTAMP_NTZ. The testdata generator writes
+    # plain timestamp[us]; with NTZ inference on (Spark 4 default) every
+    # unix_micros/watermark/window op over events.ts changes type, and the
+    # DuckDB oracle treats the same bytes as epoch-micros. Pinning this off
+    # keeps ts micros bit-identical across engines regardless of how the
+    # harness regenerates the parquet.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # AQE: runtime coalescing, skew-join splitting, dynamic join selection.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

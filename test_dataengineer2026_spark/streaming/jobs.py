@@ -37,6 +37,23 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _STAGE_ROOT = os.path.join(_REPO_ROOT, ".tmp", "stream_stage")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size of the source events parquet — staged feeds cache across
+    runs, but the harness regenerates testdata between rounds; a stale
+    staged copy would silently diverge from the oracle's fresh view."""
+    src = tables.table_path(sf_dir, "events")
+    st = os.stat(src)
+    return f"{st.st_mtime_ns}:{st.st_size}"
+
+
+def _stage_is_current(done_marker: str, sf_dir: str) -> bool:
+    try:
+        with open(done_marker) as f:
+            return f.read() == _source_fingerprint(sf_dir)
+    except OSError:
+        return False
+
+
 def stage_events_dir(sf_dir: str) -> str:
     """File stream sources need a directory; stage the single events
     parquet file into one (symlink, no copy)."""
@@ -65,7 +82,7 @@ def stage_events_multifile(spark: SparkSession, sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_STAGE_ROOT, tag + "_multi")
     done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
+    if _stage_is_current(done, sf_dir):
         return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
@@ -90,7 +107,8 @@ def stage_events_multifile(spark: SparkSession, sf_dir: str) -> str:
         shutil.move(os.path.join(tmp, src), dst)
         shutil.rmtree(tmp)
         os.utime(dst, (base + i * 100, base + i * 100))
-    open(done, "w").close()
+    with open(done, "w") as f:
+        f.write(_source_fingerprint(sf_dir))
     return d
 
 
@@ -116,7 +134,7 @@ def stage_events_late_feed(spark: SparkSession, sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_STAGE_ROOT, tag + "_late")
     done = os.path.join(d, "_STAGED")
-    if os.path.exists(done):
+    if _stage_is_current(done, sf_dir):
         return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
@@ -140,7 +158,8 @@ def stage_events_late_feed(spark: SparkSession, sf_dir: str) -> str:
         shutil.move(os.path.join(tmp, src), dst)
         shutil.rmtree(tmp)
         os.utime(dst, (base + i * 100, base + i * 100))
-    open(done, "w").close()
+    with open(done, "w") as f:
+        f.write(_source_fingerprint(sf_dir))
     return d
 
 
@@ -159,14 +178,25 @@ def read_staged_stream(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of events with the same ns->us timestamp handling
-    as the batch loader (tables.load)."""
+    """Streaming scan of events with the same timestamp handling as the
+    batch loader (tables.load).
+
+    The harness has shipped events.ts both as TIMESTAMP(NANOS) (which
+    Spark's vectorized reader only accepts as raw long nanos) and as
+    TIMESTAMP(MICROS); probe the batch footer and branch, instead of
+    hard-coding one physical type and silently corrupting the other
+    (a long-schema read of a MICROS column followed by ``div 1000``
+    shrinks every timestamp 1000x)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage_events_dir(sf_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    d = stage_events_dir(sf_dir)
+    batch = spark.read.parquet(d)
+    if dict(batch.dtypes).get("ts") == "bigint":
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .parquet(d)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return spark.readStream.schema(batch.schema).parquet(d)
 
 
 def run_to_memory(
