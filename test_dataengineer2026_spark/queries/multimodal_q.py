@@ -10,8 +10,10 @@ from pyspark.sql import DataFrame, SparkSession
 from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.multimodal.binary_ops import (
     attach_binary,
+    decode_png_features,
     extract_features,
     sample_frames,
+    synthesize_png,
 )
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
@@ -62,6 +64,51 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     return sample_frames(attach_binary(d), frame_size=100, max_frames=3)
+
+
+@register(
+    "MM4_png_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 6 AS width,
+         2 + doc_id % 5 AS height
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.width, d.height,
+         (d.doc_id + 31 * y.y + 7 * x.x) % 256 AS v
+  FROM dims d,
+       unnest(generate_series(0, d.width - 1)) AS x(x),
+       unnest(generate_series(0, d.height - 1)) AS y(y)
+)
+SELECT doc_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth,
+       CAST(0 AS INTEGER) AS color_type,
+       COUNT(*) AS n_pixels,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(MIN(v) AS INTEGER) AS pixel_min,
+       CAST(MAX(v) AS INTEGER) AS pixel_max
+FROM px
+GROUP BY 1, 2, 3
+""",
+    tags=("multimodal", "mapInPandas", "decode"),
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM4: REAL image decode end-to-end. Each document id deterministically
+    synthesizes a spec-conformant greyscale PNG (zlib-compressed IDAT,
+    scanline filters rotating through all five types), and the decode
+    operator parses IHDR, inflates, reverses the filters and emits pixel
+    statistics. The oracle never sees PNG bytes — it recomputes every
+    expected pixel from the closed-form (doc_id + 31y + 7x) % 256 via
+    generate_series, so encoder and decoder cannot share a compensating
+    bug that survives the comparison. Both sides are mapInPandas over
+    Arrow batches: at 100 TB the decode runs decoder-parallel on
+    executors, one Python crossing per batch, nothing on the driver."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return decode_png_features(synthesize_png(d))
 
 
 @register(
