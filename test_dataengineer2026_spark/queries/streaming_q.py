@@ -571,3 +571,80 @@ def chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(daily, "m11_chained_windows", "append")
+
+
+@register(
+    "M12_stream_observability",
+    oracle="""
+SELECT CAST(3 AS BIGINT) AS n_data_batches,
+       CAST(COUNT(*) AS BIGINT) AS total_input_rows,
+       CAST(COUNT(*) AS BIGINT) AS observed_rows,
+       CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 1 ELSE 0 END)
+            AS BIGINT) AS dropped_late_rows
+FROM events
+""",
+    tags=("streaming", "observability"),
+)
+def stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: production streaming monitoring (TEST.md:162) — the M8 late
+    feed re-run with the two observability surfaces attached:
+    ``df.observe`` (named count metric evaluated inside the stream, no
+    extra action) and a ``StreamingQueryListener`` capturing per-batch
+    progress (input rows, state-operator watermark drops). The emitted
+    metrics table is fully determined by the staged feed: 3 single-file
+    micro-batches, every source row observed, and exactly the oldest
+    split (ts < 2024-01-11, delivered last against a weeks-ahead
+    watermark) kept out of the aggregate. The late-drop count is derived
+    as input-minus-aggregated from the final sink state rather than the
+    stateOperators' numRowsDroppedByWatermark gauge: this engine build
+    filters late rows in an uninstrumented pre-operator Filter, so the
+    gauge undercounts — the derived number is the outcome a monitor
+    actually alerts on and is engine-version-independent. At 100 TB
+    listener progress is driver-side control-plane data, a few KB per
+    batch regardless of data volume."""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        MetricsListener,
+        read_staged_stream,
+        stage_events_late_feed,
+    )
+
+    apply_runtime_confs(spark)
+    listener = MetricsListener()
+    listener.attach(spark)
+    try:
+        s = read_staged_stream(spark, stage_events_late_feed(spark, sf_dir))
+        observed = s.observe("m12_obs", F.count(F.lit(1)).alias("obs_rows"))
+        agg = (
+            observed.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sink = run_to_memory(agg, "m12_observability", "update")
+        listener.await_terminated()
+    finally:
+        listener.detach(spark)
+    # Update-mode emissions grow monotonically per key; max(n) per window
+    # is the final aggregated count, so admitted = sum of finals.
+    admitted = (
+        sink.groupBy("window")
+        .agg(F.max("n").alias("n_final"))
+        .agg(F.coalesce(F.sum("n_final"), F.lit(0)).alias("admitted"))
+    )
+    data_batches = [p for p in listener.progress if p["num_input_rows"] > 0]
+    total_input = sum(p["num_input_rows"] for p in data_batches)
+    observed_rows = sum(
+        p["observed"].get("m12_obs", {}).get("obs_rows", 0)
+        for p in data_batches
+    )
+    meta = spark.createDataFrame(
+        [(len(data_batches), total_input, observed_rows)],
+        "n_data_batches long, total_input_rows long, observed_rows long",
+    )
+    return meta.crossJoin(admitted).select(
+        "n_data_batches",
+        "total_input_rows",
+        "observed_rows",
+        (F.col("total_input_rows") - F.col("admitted"))
+        .cast("long")
+        .alias("dropped_late_rows"),
+    )

@@ -199,6 +199,69 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(batch.schema).parquet(d)
 
 
+class MetricsListener:
+    """StreamingQueryListener capturing per-batch progress for the
+    observability surface (M12): input row counts, watermark drop counts
+    from the state operators, and ``df.observe`` metrics. Listener
+    callbacks run on the engine's listener-bus thread, so completion is
+    signalled via the terminated event and awaited with a bounded
+    spin-wait, never assumed."""
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                dropped = sum(
+                    op.numRowsDroppedByWatermark for op in p.stateOperators
+                )
+                observed = {
+                    name: row.asDict()
+                    for name, row in (p.observedMetrics or {}).items()
+                }
+                outer.progress.append(
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "dropped_by_watermark": dropped,
+                        "observed": observed,
+                    }
+                )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                outer.terminated = True
+
+        self.progress: list[dict] = []
+        self.terminated = False
+        self._listener = _L()
+
+    def attach(self, spark: SparkSession) -> None:
+        spark.streams.addListener(self._listener)
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self._listener)
+
+    def await_terminated(self, timeout_sec: float = 60.0) -> None:
+        import time
+
+        t0 = time.monotonic()
+        while not self.terminated:
+            if time.monotonic() - t0 > timeout_sec:
+                raise TimeoutError(
+                    "streaming listener never saw query termination"
+                )
+            time.sleep(0.1)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

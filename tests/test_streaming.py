@@ -249,3 +249,34 @@ def test_m10_stream_stream_join_multibatch(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_m12_listener_captures_progress_and_observed_metrics(spark):
+    """M12 surface: the StreamingQueryListener must capture >=1 progress
+    event with per-batch input rows and df.observe metrics, and signal
+    termination."""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        MetricsListener,
+        read_events_stream_multifile,
+        run_to_memory,
+    )
+
+    from tests.conftest import SF_DIR
+
+    lst = MetricsListener()
+    lst.attach(spark)
+    try:
+        s = read_events_stream_multifile(spark, SF_DIR)
+        obs = s.observe("t_obs", F.count(F.lit(1)).alias("obs_rows"))
+        agg = obs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        run_to_memory(agg, "t_m12_listener", "complete")
+        lst.await_terminated()
+    finally:
+        lst.detach(spark)
+
+    data = [p for p in lst.progress if p["num_input_rows"] > 0]
+    assert len(data) >= 1
+    assert lst.terminated
+    total = sum(p["num_input_rows"] for p in data)
+    observed = sum(p["observed"]["t_obs"]["obs_rows"] for p in data)
+    assert total == observed > 0
