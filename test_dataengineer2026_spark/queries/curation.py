@@ -102,7 +102,8 @@ WITH t AS (
 SELECT lang, n_docs, total_tokens,
        ({_RATE_CASE_SQL.replace("lang", "t.lang")}) * {MIX_BUDGET} AS target_tokens,
        LEAST(1.0::DOUBLE,
-             ({_RATE_CASE_SQL.replace("lang", "t.lang")}) * {MIX_BUDGET} / total_tokens)
+             ({_RATE_CASE_SQL.replace("lang", "t.lang")}) * {MIX_BUDGET}
+               / nullif(total_tokens, 0))
          AS sample_rate
 FROM t
 """,
@@ -136,7 +137,9 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_tokens",
         target.alias("target_tokens"),
-        F.least(F.lit(1.0), target / F.col("total_tokens")).alias("sample_rate"),
+        F.least(
+            F.lit(1.0), target / F.nullif(F.col("total_tokens"), F.lit(0))
+        ).alias("sample_rate"),
     )
 
 

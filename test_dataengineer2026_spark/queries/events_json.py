@@ -196,10 +196,10 @@ SELECT 1 AS step, 'view' AS stage, CAST(n1 AS BIGINT) AS n_users,
        1.0 AS conversion_from_prev FROM counts
 UNION ALL
 SELECT 2, 'view>click', n2,
-       CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM counts
+       CAST(n2 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), 0.0) FROM counts
 UNION ALL
 SELECT 3, 'view>click>purchase', n3,
-       CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM counts
+       CAST(n3 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), 0.0) FROM counts
 """,
     tags=("events", "funnel"),
 )
@@ -251,9 +251,9 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             """stack(3,
           1, 'view', CAST(n1 AS BIGINT), CAST(1.0 AS DOUBLE),
           2, 'view>click', CAST(n2 AS BIGINT),
-             CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE),
+             CAST(n2 AS DOUBLE) / nullif(CAST(n1 AS DOUBLE), CAST(0 AS DOUBLE)),
           3, 'view>click>purchase', CAST(n3 AS BIGINT),
-             CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)
+             CAST(n3 AS DOUBLE) / nullif(CAST(n2 AS DOUBLE), CAST(0 AS DOUBLE))
         ) AS (step, stage, n_users, conversion_from_prev)"""
         )
     )

@@ -9,9 +9,12 @@ per-example job would make hypothesis unusably slow on a JVM engine).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
 
 from test_dataengineer2026_spark.extraction.extract import parse_number
 from tests.conftest import SF_DIR
@@ -228,3 +231,68 @@ def test_interpolation_bounded_by_brackets(spark):
         assert overshoot == 0
     finally:
         out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Empty-corpus ratio guards (round-3 ADVICE): ratio queries must stay
+# parity-correct — NULL ratios, no div-by-zero divergence — when their
+# input filters down to nothing.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """An sf dir whose events and documents tables have the production
+    schema but zero rows."""
+    from tests.conftest import SF_DIR
+
+    d = tmp_path_factory.mktemp("empty_sf")
+    for t in ("events", "documents"):
+        src = tables.load(spark, SF_DIR, t)
+        src.limit(0).write.mode("overwrite").parquet(str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _empty_duck(empty_sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{empty_sf_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+def test_e2_funnel_empty_corpus_parity(spark, empty_sf_dir):
+    from test_dataengineer2026_spark.registry import all_specs
+    from tests.conftest import assert_parity
+
+    spec = all_specs()["E2_funnel_conversion"]
+    df = spec.fn(spark, empty_sf_dir)
+    rows = df.collect()
+    # 3 report rows survive an empty corpus; ratios are NULL, not errors
+    assert len(rows) == 3
+    assert all(r.n_users == 0 for r in rows)
+    assert all(r.conversion_from_prev is None for r in rows[1:])
+    assert_parity(df, _empty_duck(empty_sf_dir), spec.oracle)
+
+
+def test_c3_mixture_empty_corpus_parity(spark, empty_sf_dir):
+    from test_dataengineer2026_spark.registry import all_specs
+    from tests.conftest import assert_parity
+
+    spec = all_specs()["C3_mixture_weights"]
+    df = spec.fn(spark, empty_sf_dir)
+    assert df.count() == 0
+    assert_parity(df, _empty_duck(empty_sf_dir), spec.oracle)
+
+
+def test_t11_surprisal_empty_corpus_parity(spark, empty_sf_dir):
+    from test_dataengineer2026_spark.registry import all_specs
+    from tests.conftest import assert_parity
+
+    spec = all_specs()["T11_unigram_surprisal"]
+    df = spec.fn(spark, empty_sf_dir)
+    assert df.count() == 0
+    assert_parity(df, _empty_duck(empty_sf_dir), spec.oracle)
