@@ -163,18 +163,27 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Edge build: lineitem self-joined on l_orderkey with u < v — fan-out
     is bounded by lines-per-order (~4-7), so the pair explosion is
     linear in the fact table, then DISTINCT collapses it to the edge
-    set. Triangles are the textbook two-hash-join enumeration over the
-    ORDERED edge list (u < v < w): each triangle materializes exactly
-    once, no permutation blow-up, no cross join — candidate wedges come
-    from an equi-join on the shared endpoint and close via a second
-    equi-join on (u, w). Per-node counts then explode each triangle to
-    its three corners and aggregate. Everything is integer counts —
-    engine-identical by construction. At 100 TB the known refinement is
-    degree-ordering the edge direction (point low-degree -> high-degree)
-    to cap wedge fan-out on skewed graphs; the u < v total order stands
-    in for it here and keeps the oracle expressible.
+    set. Triangles enumerate over the DEGREE-ORDERED orientation
+    (operators/graph.py): every edge points low-(degree, id) ->
+    high-(degree, id), wedges come from an equi-join on the shared
+    center with an order residual, and close via a second equi-join —
+    each triangle materializes exactly once at its unique lowest corner,
+    no cross join. On a skewed co-supply graph (one supplier in a huge
+    share of orders) this caps the hub's wedge fan-out at ~0 instead of
+    C(hub_degree, 2) — out-degree under the total order is O(sqrt(m)) —
+    verified by tests/test_plans.py::test_gr2_degree_orientation_cuts
+    _skew_wedges. The triangle multiset is orientation-independent, so
+    the u < v oracle still recomputes it exactly. Per-node counts then
+    explode each triangle to its three corners and aggregate; integer
+    counts — engine-identical by construction.
     """
     apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.operators.graph import (
+        degree_table,
+        orient_by_degree,
+        triangles_oriented,
+    )
+
     li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     a = li.alias("a")
     b = li.alias("b")
@@ -186,30 +195,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e1 = pairs.alias("e1")
-    e2 = pairs.alias("e2")
-    e3 = pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .select(
-            F.col("e1.u").alias("a"),
-            F.col("e1.v").alias("b"),
-            F.col("e2.v").alias("c"),
-        )
-    )
+    deg = degree_table(pairs)
+    tri = triangles_oriented(orient_by_degree(pairs, deg))
     pernode = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    deg = (
-        pairs.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return (
         deg.join(pernode, "node", "left")

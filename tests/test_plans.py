@@ -541,3 +541,39 @@ def test_ml3_corpus_never_shuffles_before_scoring(spark):
     pre-scoring exchange."""
     p = plan_string(QS["ML3_knn_classifier"](spark, SF_DIR_MID), "simple")
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_gr2_degree_orientation_cuts_skew_wedges(spark):
+    """GR2 refinement: on a hub-skewed graph the degree-ordered
+    orientation must enumerate far fewer candidate wedges than the
+    naive u<v orientation, while producing the exact triangle set."""
+    from test_dataengineer2026_spark.operators.graph import (
+        degree_table,
+        orient_by_degree,
+        triangles_oriented,
+        wedge_candidate_count,
+    )
+
+    # hub 0 -- leaves 1..50, plus a leaf path 1-2, 2-3, ... 49-50:
+    # every path edge closes a triangle with the hub => 49 triangles.
+    edges = [(0, i) for i in range(1, 51)] + [(i, i + 1) for i in range(1, 50)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    deg = degree_table(pairs)
+
+    naive_wedges = wedge_candidate_count(
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    ).first()["n_wedges"]
+    oriented = orient_by_degree(pairs, deg)
+    ordered_wedges = wedge_candidate_count(oriented).first()["n_wedges"]
+
+    # naive: hub 0 is the low id on all 50 of its edges -> C(50,2)=1225
+    # wedges at the hub alone; degree-ordered: all hub edges point INTO
+    # the hub, so wedges only form at degree<=3 leaves.
+    assert naive_wedges >= 1225
+    assert ordered_wedges < 100
+    assert ordered_wedges < naive_wedges / 10
+
+    tri = triangles_oriented(oriented)
+    got = {tuple(sorted((r.a, r.b, r.c))) for r in tri.collect()}
+    want = {tuple(sorted((0, i, i + 1))) for i in range(1, 50)}
+    assert got == want
