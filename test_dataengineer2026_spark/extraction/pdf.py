@@ -485,3 +485,43 @@ def render_pdf_hex(text: str) -> bytes:
         % (len(objs) + 1, xref_at)
     )
     return bytes(out)
+
+
+def render_scanned_pdf(text: str) -> bytes:
+    """text -> one-page PDF with NO text layer: the page's only content
+    is a graphics (image-placeholder) stream, the shape of a scanned
+    report where each page is a raster with nothing for a text extractor
+    to find. ``text`` only sizes the fake raster payload; none of it is
+    recoverable — extract_pages must return [] for these bytes."""
+    gfx = zlib.compress(
+        b"q 612 0 0 792 0 0 cm /Im1 Do Q %% raster placeholder, %d source bytes"
+        % len(text.encode("latin-1", "replace"))
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R >>",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(gfx), gfx),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def render_scanned_pdf_udf(text: pd.Series) -> pd.Series:
+    """Vectorized scanned-PDF (no text layer) renderer for X9b."""
+    return text.map(render_scanned_pdf)

@@ -455,3 +455,51 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").cast("bigint").alias("min_partkey"),
         )
     )
+
+
+@register(
+    "X9b_text_layer_check",
+    oracle="""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_pages,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE length(text) END AS BIGINT)
+         AS n_chars,
+       doc_id % 7 <> 0 AS has_text_layer,
+       CASE WHEN doc_id % 7 = 0 THEN 'no_text_layer' END AS quarantine_reason
+FROM documents
+""",
+    tags=("extraction", "validate", "pdf"),
+)
+def text_layer_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9b: scanned-PDF honesty bit — a corpus where every 7th document
+    renders as a text-layer-free scan (graphics-only content stream,
+    extraction/pdf.py:render_scanned_pdf) and the rest as born-digital
+    PDFs. The validator must flag pages=0/chars=0 docs with an explicit
+    'no_text_layer' quarantine reason instead of passing silent empty
+    extractions downstream (round-2 VERDICT gap: an OCR-needing report
+    previously produced empty pages with no signal). Page counting and
+    char totals run over the extractor's own output via higher-order
+    array functions — no second Python crossing after pages_udf."""
+    apply_runtime_confs(spark)
+    d = tables.parallelize(tables.load(spark, sf_dir, "documents"), "doc_id")
+    content = F.when(
+        F.col("doc_id") % 7 == 0, P.render_scanned_pdf_udf("text")
+    ).otherwise(P.render_pdf_udf("text"))
+    pages = d.select("doc_id", P.pages_udf(content).alias("pgs"))
+    n_chars = F.aggregate(
+        "pgs", F.lit(0).cast("long"), lambda acc, pg: acc + F.length(pg.text)
+    )
+    flagged = pages.select(
+        "doc_id",
+        F.size("pgs").cast("long").alias("n_pages"),
+        n_chars.alias("n_chars"),
+    ).select(
+        "doc_id",
+        "n_pages",
+        "n_chars",
+        (F.col("n_chars") > 0).alias("has_text_layer"),
+        F.when(F.col("n_chars") == 0, F.lit("no_text_layer"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("quarantine_reason"),
+    )
+    return flagged
