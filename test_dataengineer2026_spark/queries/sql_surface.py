@@ -406,3 +406,362 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL10)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the rest of the TPC-H suite, adapted to this schema (no
+# partsupp table, no l_shipmode/l_commitdate/l_receiptdate columns —
+# each adaptation preserves the original query's PLAN SHAPE: the join
+# graph, the subquery/decorrelation pattern, and the aggregation form).
+# Identical SQL text runs on Spark and DuckDB unless noted.
+# ---------------------------------------------------------------------------
+
+_DEC_QTY = "CAST(l_quantity AS DECIMAL(18,4))"
+_DEC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,4))"
+_DEC_DISC = "CAST(l_discount AS DECIMAL(8,4))"
+_DEC_ONE = "CAST(1 AS DECIMAL(8,4))"
+
+
+def _narrow(expr: str) -> str:
+    return f"CAST(CAST({expr} AS DECIMAL(18,6)) AS DOUBLE)"
+
+
+_SQL11 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_narrow(f'SUM({_DEC_QTY})')} AS sum_qty,
+       {_narrow(f'SUM({_DEC_PRICE})')} AS sum_base_price,
+       {_narrow(f'SUM({_DEC_PRICE} * ({_DEC_ONE} - {_DEC_DISC}))')} AS sum_disc_price,
+       {_narrow(f'SUM({_DEC_PRICE} * ({_DEC_ONE} - {_DEC_DISC}) * ({_DEC_ONE} + CAST(l_tax AS DECIMAL(8,4))))')} AS sum_charge,
+       {_narrow(f'SUM({_DEC_QTY})')} / COUNT(*) AS avg_qty,
+       {_narrow(f'SUM({_DEC_PRICE})')} / COUNT(*) AS avg_price,
+       {_narrow('SUM(CAST(l_discount AS DECIMAL(18,4)))')} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("SQL11_tpch_q1", oracle=_SQL11, tags=("sql", "agg"))
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q1 pricing summary as SQL text (A1 is the
+    DataFrame twin) — one scan, map-side partial aggregation into 6
+    groups, every money sum exact-decimal before the double narrow."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL11)
+
+
+_SQL12 = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("SQL12_tpch_q4", oracle=_SQL12, tags=("sql", "subquery"))
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q4 order-priority checking. The commitdate/
+    receiptdate lateness test becomes ship-lag > 60 days (this schema
+    carries no commit/receipt dates) — the plan shape is the point:
+    EXISTS plans as a left-semi join on o_orderkey with the date filter
+    pushed below it, never a per-row subquery."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL12)
+
+
+_SQL13 = f"""
+SELECT {_narrow(f'SUM({_DEC_PRICE} * {_DEC_DISC})')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@register("SQL13_tpch_q6", oracle=_SQL13, tags=("sql", "agg"))
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q6 forecasting-revenue-change — a pure
+    scan+filter+global-agg with every predicate pushed into the parquet
+    scan; the canonical predicate-pushdown exhibit."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL13)
+
+
+_SQL14 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_narrow('SUM(volume)')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+         {_DEC_PRICE.replace('l_', 'l.l_')} * ({_DEC_ONE} - {_DEC_DISC.replace('l_', 'l.l_')}) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("SQL14_tpch_q7", oracle=_SQL14, tags=("sql", "join"))
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q7 volume shipping between two nations — the
+    double-nation-join disjunction; both nation dims broadcast and the
+    OR stays a residual on the joined row, not a union of two plans."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL14)
+
+
+_SQL15 = f"""
+SELECT o_year,
+       {_narrow("SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)")} /
+       {_narrow('SUM(volume)')} AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         {_DEC_PRICE.replace('l_', 'l.l_')} * ({_DEC_ONE} - {_DEC_DISC.replace('l_', 'l.l_')}) AS volume,
+         n1.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  JOIN region r ON n2.n_regionkey = r.r_regionkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND p.p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("SQL15_tpch_q8", oracle=_SQL15, tags=("sql", "join"))
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q8 national market share — an eight-table join
+    tree where every dim broadcasts and the share is a conditional-sum
+    ratio (exact decimal, narrowed once per side)."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL15)
+
+
+_SQL16 = f"""
+SELECT nation, o_year, {_narrow('SUM(amount)')} AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         {_DEC_PRICE.replace('l_', 'l.l_')} * ({_DEC_ONE} - {_DEC_DISC.replace('l_', 'l.l_')}) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_type = 'STANDARD'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("SQL16_tpch_q9", oracle=_SQL16, tags=("sql", "join"))
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q9 product-type profit per nation-year. This
+    schema has no partsupp, so profit reduces to discounted revenue
+    (no ps_supplycost term) — the five-table join-through-facts shape
+    and the nation/year rollup are intact."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL16)
+
+
+_SQL17 = """
+SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+            THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("SQL17_tpch_q12", oracle=_SQL17, tags=("sql", "join"))
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q12 shipping-mode priority split. No
+    l_shipmode column, so the mode bucket becomes a ship-lag bucket
+    (>30 days = SLOW) — the fact-fact join with two conditional counts
+    per bucket is the preserved shape."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL17)
+
+
+_SQL18 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("SQL18_tpch_q13", oracle=_SQL18, tags=("sql", "join", "agg"))
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q13 customer order-count distribution — a
+    LEFT join with a filter in the JOIN condition (not WHERE: customers
+    with zero surviving orders must keep their c_count = 0 row), then a
+    two-level aggregation producing the histogram."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL18)
+
+
+_SQL19 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_narrow(f'SUM({_DEC_PRICE} * ({_DEC_ONE} - {_DEC_DISC}))')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("SQL19_tpch_q15", oracle=_SQL19, tags=("sql", "subquery"))
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q15 top supplier — the revenue CTE is used
+    twice (join input and MAX subquery); exchange reuse means lineitem
+    aggregates once. Exact-decimal revenue makes the MAX tie-set
+    engine-identical."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL19)
+
+
+_SQL20 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register("SQL20_tpch_q16", oracle=_SQL20, tags=("sql", "agg"))
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q16 parts/supplier relationship — partsupp is
+    absent, so the supplier set per part comes from shipped lineitem;
+    COUNT(DISTINCT) plans as a two-phase partial-distinct aggregate."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL20)
+
+
+_SQL21 = """
+SELECT s.s_suppkey, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_suppkey
+ORDER BY numwait DESC, s.s_suppkey
+LIMIT 20
+"""
+
+
+@register("SQL21_tpch_q21", oracle=_SQL21, tags=("sql", "subquery", "topk"))
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q21 suppliers-who-kept-orders-waiting — the
+    EXISTS/NOT-EXISTS pair on the same fact table (here: lines in
+    multi-supplier orders that shipped last, with no receipt/commit
+    dates the lateness is pure shipdate order). Catalyst plans the pair
+    as a left-semi then left-anti join on l_orderkey — three passes
+    over lineitem, zero correlated re-execution."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL21)
+
+
+_SQL22 = f"""
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         {_narrow(f'SUM({_DEC_PRICE})')} AS supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p.p_partkey, ps.suppkey, ps.supplycost, s.s_acctbal, n.n_name
+FROM part p
+JOIN ps ON ps.partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 25 AND r.r_name = 'EUROPE'
+  AND ps.supplycost = (
+    SELECT MIN(ps2.supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s.s_acctbal DESC, p.p_partkey, ps.suppkey
+LIMIT 100
+"""
+
+
+@register("SQL22_tpch_q2", oracle=_SQL22, tags=("sql", "subquery", "topk"))
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q2 minimum-cost supplier — partsupp is derived
+    from shipped volume (exact-decimal per-pair totals), and the
+    region-restricted MIN is the classic correlated subquery that
+    Catalyst decorrelates into a per-part aggregate joined back. The
+    double equality is safe because both engines derive the value from
+    the identical decimal narrow."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL22)
