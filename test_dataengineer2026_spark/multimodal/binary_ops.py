@@ -184,6 +184,81 @@ def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+WAV_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, bit_depth int, "
+    "n_samples long, sample_sum long, sample_min int, sample_max int"
+)
+
+
+def _synth_samples(doc_id: int) -> tuple[int, list[int]]:
+    """Deterministic PCM16 test signal: rate and samples derive from the
+    id in closed form so a SQL oracle recomputes them via
+    generate_series without touching WAV bytes."""
+    rate = 8000 + (doc_id % 4) * 4000
+    n = 20 + doc_id % 30
+    samples = [((doc_id * 31 + i * 17) % 65536) - 32768 for i in range(n)]
+    return rate, samples
+
+
+def synthesize_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real RIFF/PCM16 WAV payload per row, derived
+    deterministically from the id."""
+    from test_dataengineer2026_spark.multimodal.wav import encode_wav  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                rate, samples = _synth_samples(int(doc_id))
+                payloads.append(encode_wav(samples, rate))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(op, schema="doc_id long, payload binary")
+
+
+def decode_wav_features(df_with_payload: DataFrame) -> DataFrame:
+    """REAL audio decode over binary WAV payloads via mapInPandas: RIFF
+    chunk walk, fmt parse, PCM16 sample unpack, then SQL-checkable
+    sample statistics. Same executor-parallel batch shape as the PNG
+    path."""
+    from test_dataengineer2026_spark.multimodal.wav import decode_wav  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, nch, depth, samples = decode_wav(bytes(payload))
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        nch,
+                        depth,
+                        len(samples),
+                        sum(samples),
+                        min(samples),
+                        max(samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_channels",
+                    "bit_depth",
+                    "n_samples",
+                    "sample_sum",
+                    "sample_min",
+                    "sample_max",
+                ],
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        op, schema=WAV_FEATURE_SCHEMA
+    )
+
+
 def sample_frames(
     df_with_binary: DataFrame, frame_size: int = 100, max_frames: int = 3
 ) -> DataFrame:

@@ -11,9 +11,11 @@ from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.multimodal.binary_ops import (
     attach_binary,
     decode_png_features,
+    decode_wav_features,
     extract_features,
     sample_frames,
     synthesize_png,
+    synthesize_wav,
 )
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
@@ -109,6 +111,46 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     return decode_png_features(synthesize_png(d))
+
+
+@register(
+    "MM5_wav_decode",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         8000 + (doc_id % 4) * 4000 AS sample_rate,
+         20 + doc_id % 30 AS n_samples
+  FROM documents
+), smp AS (
+  SELECT d.doc_id, d.sample_rate, d.n_samples,
+         (d.doc_id * 31 + i.i * 17) % 65536 - 32768 AS v
+  FROM dims d, unnest(generate_series(0, d.n_samples - 1)) AS i(i)
+)
+SELECT doc_id,
+       CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(16 AS INTEGER) AS bit_depth,
+       COUNT(*) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sample_sum,
+       CAST(MIN(v) AS INTEGER) AS sample_min,
+       CAST(MAX(v) AS INTEGER) AS sample_max
+FROM smp
+GROUP BY 1, 2
+""",
+    tags=("multimodal", "mapInPandas", "decode", "audio"),
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM5: REAL audio decode end-to-end — the WAV twin of MM4. Each
+    document id synthesizes a spec-conformant RIFF/PCM16 payload
+    (multimodal/wav.py), the decode operator walks the chunk structure
+    and unpacks actual samples, and the oracle recomputes every expected
+    sample from the closed form ((id*31 + i*17) % 65536 - 32768) via
+    generate_series — encoder and decoder cannot share a compensating
+    bug that survives. mapInPandas both ways: executor-parallel,
+    Arrow-batched, nothing on the driver."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return decode_wav_features(synthesize_wav(d))
 
 
 @register(

@@ -92,3 +92,31 @@ def test_decode_image_dispatches_png():
 def test_decode_image_unsupported_format_raises_value_error():
     with pytest.raises(ValueError, match="unsupported image format"):
         decode_image(b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+# WAV codec (MM5) — same real-decode contract as PNG
+
+
+def test_wav_roundtrip_and_errors():
+    from test_dataengineer2026_spark.multimodal.wav import decode_wav, encode_wav
+
+    s = [((7 * 31 + i * 17) % 65536) - 32768 for i in range(25)]
+    sr, nch, depth, out = decode_wav(encode_wav(s, 8000))
+    assert (sr, nch, depth, out) == (8000, 1, 16, s)
+    assert decode_wav(encode_wav(s[:24], 16000, n_channels=2))[1] == 2
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not audio at all")
+    with pytest.raises(ValueError):
+        decode_wav(encode_wav(s, 8000)[:-10])
+
+
+def test_wav_layout_is_canonical_riff():
+    import struct
+
+    from test_dataengineer2026_spark.multimodal.wav import encode_wav
+
+    p = encode_wav([0, 1, -1], 44100)
+    assert p[:4] == b"RIFF" and p[8:12] == b"WAVE"
+    assert p[12:16] == b"fmt " and struct.unpack_from("<I", p, 16)[0] == 16
+    fmt_code, nch, rate = struct.unpack_from("<HHI", p, 20)
+    assert (fmt_code, nch, rate) == (1, 1, 44100)
