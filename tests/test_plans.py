@@ -577,3 +577,48 @@ def test_gr2_degree_orientation_cuts_skew_wedges(spark):
     got = {tuple(sorted((r.a, r.b, r.c))) for r in tri.collect()}
     want = {tuple(sorted((0, i, i + 1))) for i in range(1, 50)}
     assert got == want
+
+
+def test_sql_q6_full_pushdown_zero_exchange(spark):
+    """SQL13/Q6: every predicate reaches the parquet scan and the global
+    aggregate needs no hash exchange — the canonical scan+filter+agg."""
+    a = _audit(spark, "SQL13_tpch_q6")
+    assert a["exchanges"] == 0, a
+    pushed = " ".join(a["pushed_filters"])
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, (frag, pushed)
+
+
+def test_sql_q4_exists_plans_as_semi_join(spark):
+    """SQL12/Q4: the EXISTS subquery must plan as ONE left-semi join on
+    o_orderkey (no per-row subquery execution), with the order-date
+    window pushed into the orders scan."""
+    p = plan_string(QS["SQL12_tpch_q4"](spark, SF_DIR_MID), "simple")
+    assert p.count("LeftSemi") == 1, p
+    a = _audit(spark, "SQL12_tpch_q4")
+    assert any("o_orderdate" in f for f in a["pushed_filters"]), a
+
+
+def test_sql_q21_semi_plus_anti_no_cartesian(spark):
+    """SQL21/Q21: EXISTS -> left-semi, NOT EXISTS -> left-anti, and the
+    non-equi lateness condition stays a residual on the equi-join —
+    never a nested-loop/cartesian plan."""
+    p = plan_string(QS["SQL21_tpch_q21"](spark, SF_DIR_MID), "simple")
+    assert p.count("LeftSemi") == 1 and p.count("LeftAnti") == 1, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_mm_decode_pipelines_are_map_only(spark):
+    """MM4/MM5: synthesize->decode is two mapInPandas crossings and ZERO
+    exchanges — a 100 TB decode sweep must not shuffle payload bytes."""
+    for name in ("MM4_png_decode", "MM5_wav_decode"):
+        a = _audit(spark, name)
+        assert a["exchanges"] == 0, (name, a)
+        p = plan_string(QS[name](spark, SF_DIR_MID), "simple")
+        assert p.count("MapInPandas") == 2, (name, p)
