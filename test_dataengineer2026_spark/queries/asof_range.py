@@ -110,3 +110,88 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "purchase_value", "prior_view_id", "prior_view_value"
     )
+
+
+_J15_ORACLE = """
+WITH iv AS (
+  SELECT o_orderkey AS k,
+         o_orderdate AS s,
+         o_orderdate + to_days(CAST(o_orderkey % 14 + 1 AS INTEGER)) AS e
+  FROM orders
+  WHERE o_totalprice > 450000
+)
+SELECT a.k AS a_orderkey, b.k AS b_orderkey,
+       CAST((epoch_us(LEAST(a.e, b.e)) - epoch_us(GREATEST(a.s, b.s)))
+            // 86400000000 AS BIGINT) AS overlap_days
+FROM iv a JOIN iv b
+  ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+@register(
+    "J15_interval_overlap_join",
+    oracle=_J15_ORACLE,
+    tags=("join", "interval", "banded"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: interval-overlap self-join via GRID BANDING — the missing
+    sibling of J9's point-in-range join. Each premium order owns a
+    [orderdate, orderdate + 1..14 days] interval; the query finds every
+    overlapping interval pair.
+
+    Scale shape: a naive overlap join is a theta join (the DuckDB oracle
+    runs exactly that — fine at 1.5k rows, quadratic death at 100 TB).
+    Here each interval explodes to the month cells it touches (<= 2 for
+    a 14-day span), pairs equi-join on the cell key, the true overlap
+    predicate runs as a residual, and DISTINCT collapses pairs that
+    co-occur in two cells. Shuffle volume is O(intervals x cells/interval)
+    and per-cell fan-out is bounded by cell population — the same
+    bucketize-then-equi-join trick as D2's LSH bands, applied to time.
+    """
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 450000
+    )
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("s"),
+        (
+            F.col("o_orderdate")
+            + F.make_dt_interval(days=(F.col("o_orderkey") % 14 + 1).cast("int"))
+        ).alias("e"),
+    )
+    cells = iv.select(
+        "k",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", F.col("s")),
+                F.date_trunc("month", F.col("e")),
+                F.expr("interval 1 month"),
+            )
+        ).alias("cell"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.k").alias("a_orderkey"),
+            F.col("b.k").alias("b_orderkey"),
+            F.expr(
+                "(unix_micros(least(a.e, b.e)) - unix_micros(greatest(a.s, b.s)))"
+                " div 86400000000"
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs

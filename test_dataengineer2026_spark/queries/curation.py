@@ -668,3 +668,65 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_fold.crossJoin(F.broadcast(straddle)).select(
         "fold", "n_docs", "n_clusters", "n_straddling_clusters"
     )
+
+
+#: C13 curriculum phase edges (chars of text) — fixed thresholds, not
+#: quantiles, so phase assignment is deterministic and engine-identical.
+C13_PHASE_EDGES = (200, 400, 600, 800)
+
+
+@register(
+    "C13_curriculum_order",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS score,
+         CASE WHEN length(text) < {C13_PHASE_EDGES[0]} THEN 0
+              WHEN length(text) < {C13_PHASE_EDGES[1]} THEN 1
+              WHEN length(text) < {C13_PHASE_EDGES[2]} THEN 2
+              WHEN length(text) < {C13_PHASE_EDGES[3]} THEN 3
+              ELSE 4 END AS phase
+  FROM documents
+)
+SELECT doc_id, lang, score, CAST(phase AS INTEGER) AS phase,
+       CAST(ROW_NUMBER() OVER (PARTITION BY phase ORDER BY score, doc_id)
+            AS BIGINT) AS pos_in_phase
+FROM scored
+""",
+    tags=("curation", "curriculum", "window"),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: curriculum ordering — easy-to-hard training order without a
+    global sort. Docs land in fixed difficulty PHASES (closed-form
+    thresholds on the score, here text length as the difficulty proxy),
+    and ordering is only materialized WITHIN a phase (row_number over a
+    phase-partitioned window). A trainer consumes phases in sequence;
+    intra-phase order is defined yet never requires one machine to sort
+    the corpus: at 100 TB each phase's window sorts locally after one
+    hash exchange on phase, the same bounded-exchange shape as C9's
+    shard shuffle. Fixed edges (not quantiles) keep assignment
+    deterministic under any partitioning."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window as W
+
+    d = tables.load(spark, sf_dir, "documents")
+    score = F.length("text").cast("long")
+    phase = (
+        F.when(score < C13_PHASE_EDGES[0], 0)
+        .when(score < C13_PHASE_EDGES[1], 1)
+        .when(score < C13_PHASE_EDGES[2], 2)
+        .when(score < C13_PHASE_EDGES[3], 3)
+        .otherwise(4)
+        .cast("int")
+    )
+    scored = d.select(
+        "doc_id", "lang", score.alias("score"), phase.alias("phase")
+    )
+    w = W.partitionBy("phase").orderBy("score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        "phase",
+        F.row_number().over(w).cast("long").alias("pos_in_phase"),
+    )

@@ -325,3 +325,53 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_active").cast("double") / F.col("cohort_size").cast("double")
          ).alias("retention_rate"),
     )
+
+
+_E4_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS step1, t2 AS step2, t3 AS step3, COUNT(*) AS n_paths
+FROM seq
+WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, step1, step2, step3
+LIMIT 20
+"""
+
+
+@register(
+    "E4_event_path_trigrams",
+    oracle=_E4_ORACLE,
+    tags=("events", "window", "topk"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: behavioral path mining — the top-20 most common 3-step event
+    sequences across all user journeys (the "what do users do next"
+    report every product-analytics stack ships). One window over
+    (user_id order by ts, event_id) produces both LEADs with a single
+    sort within the user partition; the trigram count is a two-phase
+    aggregate and the top-20 runs as TakeOrderedAndProject with full
+    column tiebreaks — no global sort of the path table."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    e = tables.load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(20)
+    )

@@ -767,3 +767,77 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(30)
     )
+
+
+@register(
+    "T13_bigram_surprisal",
+    oracle="""
+WITH tl AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tok AS (
+  SELECT doc_id, toks[g.i] AS t, g.i AS pos
+  FROM tl, unnest(generate_series(1, len(toks))) AS g(i)
+), bg AS (
+  SELECT doc_id,
+         lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+         t AS w2
+  FROM tok
+), pairs AS (
+  SELECT doc_id, w1, w2 FROM bg WHERE w1 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, COUNT(*) AS cnt2 FROM pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS cnt1 FROM pairs GROUP BY w1
+), scored AS (
+  SELECT p.doc_id,
+         CAST(floor(-ln(c2.cnt2 * 1.0 / c1.cnt1) * 1000000.0) AS BIGINT) AS s_micro
+  FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s_micro) AS BIGINT) AS surprisal_micro_total,
+       round(SUM(s_micro) * 1.0 / COUNT(*) / 1000000.0, 6) AS avg_surprisal_nats
+FROM scored
+GROUP BY doc_id
+""",
+    tags=("text", "lm", "perplexity"),
+)
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: bigram conditional surprisal — T11's unigram gate upgraded
+    one LM order: each token is scored by -ln p(w2 | w1) with
+    p = c(w1,w2) / c(w1,·), both counts from the corpus itself. Same
+    determinism contract as T11 (floor-quantized micro-nats, exact
+    BIGINT sums, one final rounded division). Shape at 100 TB: bigrams
+    come from a doc-partitioned window (no self-join of the token
+    table), the two count tables are vocabulary²- and vocabulary-sized
+    equi-joins on the bigram key — no broadcast of unbounded state, the
+    same posture the T5 fix established."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window as W
+
+    d = tables.load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "t")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.select("doc_id", F.lag("t").over(w).alias("w1"), F.col("t").alias("w2"))
+        .filter(F.col("w1").isNotNull())
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cnt1"))
+    s_micro = (
+        F.floor(
+            -F.log(F.col("cnt2").cast("double") / F.col("cnt1")) * 1_000_000.0
+        ).cast("long")
+    )
+    scored = (
+        pairs.join(c2, ["w1", "w2"]).join(c1, "w1").select("doc_id", s_micro.alias("s_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s_micro").cast("long").alias("surprisal_micro_total"),
+        F.round(
+            F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1_000_000.0, 6
+        ).alias("avg_surprisal_nats"),
+    )
