@@ -345,3 +345,55 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stable_row_id"
         ),
     )
+
+
+@register(
+    "F13_url_funcs",
+    oracle="""
+WITH u AS (
+  SELECT doc_id, lang,
+         'https://' || source || '.example.com/docs/' || lang || '/'
+           || CAST(doc_id AS VARCHAR) || '?ref=corpus' AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       source || '.example.com' AS host,
+       '/docs/' || lang || '/' || CAST(doc_id AS VARCHAR) AS path,
+       'ref=corpus' AS query,
+       'example.com' AS registered_domain
+FROM u JOIN documents USING (doc_id, lang)
+""",
+    tags=("functions", "url", "web"),
+)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: URL parsing for web-corpus curation — host/path/query split
+    via the JVM-side parse_url (no UDF) plus a registered-domain
+    derivation (last two host labels), the key for domain-level dedup,
+    blocklists, and per-site quota sampling in a crawl pipeline. URLs
+    are synthesized deterministically from (source, lang, doc_id) since
+    the corpus carries no real ones; the parsing path is the real
+    surface. The oracle reconstructs each component by string algebra —
+    parse_url must agree with it exactly."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.array_join(
+            F.slice(F.split(host, "\\."), -2, 2), "."
+        ).alias("registered_domain"),
+    )

@@ -420,3 +420,43 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(F.length("text")).cast("bigint").alias("total_text_bytes"),
     )
+
+
+@register(
+    "S15_schema_evolution",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang, n_chars
+  FROM documents
+)
+GROUP BY lang
+""",
+    tags=("sources", "schema-evolution"),
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: parquet schema evolution — a table written by two producer
+    generations (v1 files lack the later-added ``lang`` column; v2
+    files carry it), read back as ONE table with mergeSchema, old rows
+    surfacing NULL for the new column. This is how a 100 TB lake
+    actually evolves: no rewrite of historical files, the footer merge
+    happens at planning time, and per-file pruning still works because
+    the union schema is resolved per row-group. The aggregate proves
+    both generations land in one scan."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    out = _stage("s15_evolving", sf_dir)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars")
+    v1.write.mode("overwrite").parquet(f"{out}/gen=v1")
+    v2.write.mode("overwrite").parquet(f"{out}/gen=v2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
