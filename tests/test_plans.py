@@ -622,3 +622,20 @@ def test_mm_decode_pipelines_are_map_only(spark):
         assert a["exchanges"] == 0, (name, a)
         p = plan_string(QS[name](spark, SF_DIR_MID), "simple")
         assert p.count("MapInPandas") == 2, (name, p)
+
+
+def test_j15_interval_overlap_is_banded_not_cartesian(spark):
+    """J15: the overlap join must ride the month-cell equi-key with the
+    overlap predicate as a residual — never a nested-loop/cartesian."""
+    p = plan_string(QS["J15_interval_overlap_join"](spark, SF_DIR_MID), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    a = _audit(spark, "J15_interval_overlap_join")
+    assert a["joins"], a
+
+
+def test_c13_curriculum_no_global_sort(spark):
+    """C13: ordering is phase-local — one hash exchange on phase, no
+    rangepartitioning (global sort) anywhere in the plan."""
+    p = plan_string(QS["C13_curriculum_order"](spark, SF_DIR_MID), "simple")
+    assert "Exchange rangepartitioning" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
