@@ -48,7 +48,7 @@ HEADLINE = [
 #: box to go idle before timing. Bounded — if the load never drops we
 #: run anyway and record the load so the number is interpretable.
 MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
-MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300"))
+MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "180"))
 
 
 def _wait_for_idle() -> float:

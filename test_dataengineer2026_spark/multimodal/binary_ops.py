@@ -184,6 +184,37 @@ def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
     )
 
 
+AHASH_SCHEMA = "doc_id long, width int, height int, ahash long"
+
+
+def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
+    """MM6: average-hash (aHash) perceptual fingerprint over REALLY
+    decoded PNG pixels — bit i is set iff pixel i exceeds the image
+    mean. The tiny-image analogue of the pHash near-dup key: images
+    with similar luminance structure collide, so downstream dedup is an
+    equi-join on the hash (or banded Hamming buckets), never pairwise
+    pixel comparison. Integer bit math end-to-end (image mean is the
+    single double, computed identically cross-engine)."""
+    from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _depth, _ctype, pixels = decode_png(bytes(payload))
+                mean = sum(pixels) / len(pixels)
+                ahash = 0
+                for idx, v in enumerate(pixels):
+                    if v > mean:
+                        ahash |= 1 << idx
+                rows.append((doc_id, w, h, ahash))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "ahash"])
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        op, schema=AHASH_SCHEMA
+    )
+
+
 WAV_FEATURE_SCHEMA = (
     "doc_id long, sample_rate int, n_channels int, bit_depth int, "
     "n_samples long, sample_sum long, sample_min int, sample_max int"

@@ -212,3 +212,47 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_payloads"),
         F.sum(F.length("payload")).cast("long").alias("total_bytes"),
     )
+
+
+@register(
+    "MM6_perceptual_hash",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 6 AS width,
+         2 + doc_id % 5 AS height
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.width, d.height,
+         y.y * d.width + x.x AS idx,
+         (d.doc_id + 31 * y.y + 7 * x.x) % 256 AS v
+  FROM dims d,
+       unnest(generate_series(0, d.width - 1)) AS x(x),
+       unnest(generate_series(0, d.height - 1)) AS y(y)
+), m AS (
+  SELECT doc_id, SUM(v) * 1.0 / COUNT(*) AS mean FROM px GROUP BY doc_id
+)
+SELECT px.doc_id,
+       CAST(px.width AS INTEGER) AS width,
+       CAST(px.height AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN px.v > m.mean THEN 1::BIGINT << px.idx ELSE 0 END)
+            AS BIGINT) AS ahash
+FROM px JOIN m USING (doc_id)
+GROUP BY px.doc_id, px.width, px.height
+""",
+    tags=("multimodal", "mapInPandas", "decode", "neardup"),
+)
+def mm_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM6: perceptual average-hash over REAL decoded pixels (MM4's
+    decode feeding an image near-dup key). The oracle recomputes every
+    bit from the closed pixel form, so the decode + thresholding path is
+    verified bit-for-bit; the hash is the equi-join key that replaces
+    pairwise image comparison at 100 TB (same banding discipline as
+    D2/D5). Map-only plan: synthesize -> decode+hash, zero exchanges."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.multimodal.binary_ops import (
+        decode_png_ahash,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    return decode_png_ahash(synthesize_png(d))

@@ -199,3 +199,63 @@ def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in parts[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+@register(
+    "DQ3_financial_reconciliation",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6))
+              AS DOUBLE) AS line_total,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CASE WHEN li.l_orderkey IS NULL THEN 'no_lineitems'
+            WHEN abs(o.o_totalprice - li.line_total)
+                 <= 0.05 * o.o_totalprice THEN 'reconciled'
+            ELSE 'price_drift' END AS status,
+       COUNT(*) AS n_orders,
+       CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6))
+            AS DOUBLE) AS order_value
+FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+GROUP BY 1
+""",
+    tags=("quality", "reconciliation"),
+)
+def financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3: cross-table reconciliation — the header-vs-detail audit every
+    finance pipeline runs: each order's booked total against the sum of
+    its lines, bucketed into reconciled (within 5%), price_drift, and
+    no_lineitems. One pre-aggregation of the detail table (map-side
+    partial on l_orderkey) then a key-join with the header — detail rows
+    never move unaggregated, and the 3-row report is what a monitor
+    alerts on. Exact-decimal sums on both sides keep the 5% boundary
+    decision engine-identical."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.determinism import dsum
+
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        tables.load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_extendedprice").alias("line_total"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left")
+    status = (
+        F.when(F.col("l_orderkey").isNull(), "no_lineitems")
+        .when(
+            F.abs(F.col("o_totalprice") - F.col("line_total"))
+            <= 0.05 * F.col("o_totalprice"),
+            "reconciled",
+        )
+        .otherwise("price_drift")
+    )
+    return (
+        j.select(status.alias("status"), "o_totalprice")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("order_value"),
+        )
+    )
