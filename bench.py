@@ -59,6 +59,21 @@ def _wait_for_idle() -> float:
     return waited
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat. This box is a microVM:
+    host neighbors show up as steal time, not load average, and steal
+    swings individual queries 2-3x — recording it makes a noisy round
+    distinguishable from a plan regression."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
 def main() -> None:
     load_waited_sec = _wait_for_idle()
     spark = get_session("bench", shuffle_partitions=max(CPUS, 16))
@@ -69,6 +84,13 @@ def main() -> None:
     # one-time engine setup that is not a property of the query).
     qs["A1_group_agg"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     qs["M2_tumbling_window"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # ... and the Python worker pool: the first Arrow-batched UDF in a
+    # session pays ~2s of daemon/worker startup that belongs to the
+    # engine, not to whichever Pandas-UDF query happens to run first.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    steal0, total0 = _cpu_ticks()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -95,6 +117,11 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
         "load_waited_sec": load_waited_sec,
     }
+    steal1, total1 = _cpu_ticks()
+    if total1 > total0:
+        out["cpu_steal_pct"] = round(
+            100.0 * (steal1 - steal0) / (total1 - total0), 2
+        )
     prev = _latest_prior_bench()
     if prev:
         out["delta_vs"] = prev["round"]
