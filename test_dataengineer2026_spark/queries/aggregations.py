@@ -389,3 +389,130 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dnarrow(F.sum("value_dec")).alias("total_value"),
     )
     return daily
+
+
+@register(
+    "H2_incremental_rollup_refresh",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+""",
+    tags=("rollup", "incremental", "cdc"),
+)
+def incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: incremental materialized-rollup maintenance — H1's hourly
+    tier kept fresh ALGEBRAICALLY. The feed splits into an initial load
+    and a late batch (event_id % 10 == 0, spread over most hours); the
+    refresh aggregates ONLY the late batch, then merges per-hour partial
+    states additively (counts add, exact-decimal sums add) into the
+    standing rollup via a full-outer join on the hour key.
+
+    Scale contract: refresh cost is O(late rows) + O(touched hours) —
+    the initial fact set is never rescanned (it exists only inside the
+    standing aggregate). That is the continuous-aggregate refresh model
+    of every streaming-lakehouse rollup, and it works precisely because
+    count/sum are commutative monoids; the oracle proves merged state ==
+    full recompute. The exact-decimal sums stay DECIMAL through the
+    merge and narrow to DOUBLE once, so incremental and batch answers
+    are bit-identical."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.determinism import dec, dnarrow
+
+    e = tables.load(spark, sf_dir, "events")
+    initial = e.filter(F.col("event_id") % 10 != 0)
+    late = e.filter(F.col("event_id") % 10 == 0)
+
+    def partial(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("v"),
+        )
+
+    base = partial(initial)
+    delta = partial(late)
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = b.join(d, F.col("b.h") == F.col("d.h"), "full_outer").select(
+        F.coalesce(F.col("b.h"), F.col("d.h")).alias("h"),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b.v"), F.lit(0).cast("decimal(18,4)"))
+            + F.coalesce(F.col("d.v"), F.lit(0).cast("decimal(18,4)"))
+        ).alias("v"),
+    )
+    return merged.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n",
+        dnarrow(F.col("v")).alias("total_value"),
+    )
+
+
+#: A13 histogram geometry: equi-width price bins.
+A13_BIN_WIDTH = 1000
+
+
+@register(
+    "A13_histogram_quantiles",
+    oracle=f"""
+WITH bins AS (
+  SELECT CAST(floor(l_extendedprice / {A13_BIN_WIDTH}) AS BIGINT) AS bin,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT bin, cnt,
+         SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(cnt) OVER () AS total
+  FROM bins
+)
+SELECT CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(MIN(CASE WHEN cum >= 0.50 * total THEN bin END) * {A13_BIN_WIDTH}
+            AS BIGINT) AS p50_bin_floor,
+       CAST(MIN(CASE WHEN cum >= 0.95 * total THEN bin END) * {A13_BIN_WIDTH}
+            AS BIGINT) AS p95_bin_floor,
+       CAST(MIN(CASE WHEN cum >= 0.99 * total THEN bin END) * {A13_BIN_WIDTH}
+            AS BIGINT) AS p99_bin_floor
+FROM c
+""",
+    tags=("agg", "sketch", "quantile"),
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: mergeable histogram quantiles — the production alternative to
+    sorting 100 TB for a percentile: an equi-width integer-bin histogram
+    is an algebraic aggregate (bin counts add), and quantile estimates
+    read off the cumulative distribution at bin resolution. The bin
+    cumsum window runs over O(bins) rows (~500 here), not O(data), so
+    the only data-sized operation is one map-side-combined groupBy.
+    Bin-floor estimates are pure integer math — engine-identical, unlike
+    interpolated approx_percentile internals (A4's approx path stays the
+    built-in; this is the verifiable twin, same contract as A12 vs A4)."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window as W
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    bins = li.groupBy(
+        F.floor(F.col("l_extendedprice") / A13_BIN_WIDTH).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = bins.select(
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    q = lambda p: (  # noqa: E731
+        F.min(F.when(F.col("cum") >= p * F.col("total"), F.col("bin")))
+        * A13_BIN_WIDTH
+    ).cast("long")
+    return c.agg(
+        F.max("total").cast("long").alias("n_rows"),
+        q(0.50).alias("p50_bin_floor"),
+        q(0.95).alias("p95_bin_floor"),
+        q(0.99).alias("p99_bin_floor"),
+    )

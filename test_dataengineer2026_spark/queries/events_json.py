@@ -375,3 +375,61 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(20)
     )
+
+
+#: E5 attribution lookback window (microseconds) — 7 days.
+E5_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "E5_first_touch_attribution",
+    oracle=f"""
+SELECT p.event_id AS purchase_id,
+       p.user_id,
+       MIN(struct_pack(ts := v.ts, event_id := v.event_id)).event_id
+         AS first_view_id
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND v.ts < p.ts
+ AND epoch_us(p.ts) - epoch_us(v.ts) <= {E5_LOOKBACK_US}
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+""",
+    tags=("events", "attribution", "window"),
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: first-touch attribution — each purchase credits the EARLIEST
+    view by the same user inside a 7-day lookback (J10's as-of join is
+    the last-touch twin; marketing attribution needs both ends). The
+    join keys on user_id with the time window as a residual, so at
+    100 TB both sides co-partition on user once and fan-out is bounded
+    by events-per-user-per-week; the argmin over (ts, event_id) is a
+    min over a struct — total order, engine-identical under ties."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (
+            F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("v_ts"))
+            <= E5_LOOKBACK_US
+        ),
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.min(F.struct(F.col("v_ts"), F.col("view_id")))
+        .getField("view_id")
+        .alias("first_view_id")
+    )
