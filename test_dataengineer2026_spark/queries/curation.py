@@ -730,3 +730,51 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phase",
         F.row_number().over(w).cast("long").alias("pos_in_phase"),
     )
+
+
+#: C14: max docs kept per registered domain.
+C14_DOMAIN_CAP = 15
+
+
+@register(
+    "C14_domain_quota_sample",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, source || '.example.com' AS domain,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(doc_id::VARCHAR), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, domain FROM ranked WHERE rk <= {C14_DOMAIN_CAP}
+""",
+    tags=("curation", "sampling", "web"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: per-domain quota sampling — cap every site's contribution to
+    the corpus (the anti-SEO-spam / anti-single-site-dominance gate of
+    crawl curation, the consumer of F13's registered_domain). Selection
+    within a domain orders by a content hash (deterministic, unbiased,
+    reproducible across engines and reruns — same contract as C2's hash
+    gate), and the cap is a row_number cutoff inside a domain-partitioned
+    window: ONE hash exchange on domain, per-domain local sort bounded
+    by domain size. Skewed megadomains at 100 TB would pre-aggregate a
+    count and short-circuit (cap << count) before the window."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window as W
+
+    d = tables.load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            F.row_number().over(w).alias("rk"),
+            "source",
+        )
+        .filter(F.col("rk") <= C14_DOMAIN_CAP)
+        .select("doc_id", "domain")
+    )

@@ -648,3 +648,79 @@ def stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dropped_late_rows"),
     )
+
+
+@register(
+    "M13_stream_stream_left_outer",
+    oracle="""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), m AS (
+  SELECT MAX(ts) AS committed_max FROM events
+), matched AS (
+  SELECT v.view_id, v.user_id, p.purchase_id
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+), null_emitted AS (
+  SELECT v.view_id, v.user_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM v, m
+  WHERE NOT EXISTS (SELECT 1 FROM matched mt WHERE mt.view_id = v.view_id)
+    AND epoch_us(v.v_ts) + 3600000000
+        <= epoch_us(m.committed_max) - 3600000000
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM null_emitted
+""",
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: stream-stream LEFT OUTER interval join — M10's attribution
+    join with the production wrinkle: views with NO purchase inside the
+    hour must still emit, but only once the watermark PROVES no match
+    can arrive (view state evicted at watermark - 1h). With the 3-file
+    in-order feed, availableNow's terminal commit flushes evictable
+    state under the FINAL watermark (global max event time - 1h), so
+    the null-emitted set is deterministic: unmatched views whose 1-hour
+    join window closed under that watermark. Views inside the last ~2
+    hours of the stream stay in state and are (correctly) withheld at
+    shutdown — the oracle replays that rule semantically. Matched pairs emit exactly as in M10. Bounded state on
+    both sides is what makes the outer join runnable forever."""
+    apply_runtime_confs(spark)
+    views = (
+        read_events_stream_multifile(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream_multifile(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        "purchase_id",
+    )
+    return run_to_memory(joined, "m13_ssj_outer", "append")

@@ -274,3 +274,54 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.filter((F.col("n") >= 4) & (var > 0) & (F.abs(z) > 2.0))
         .select("user_id", "day", "day_value", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "TS4_ohlc_bars",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+       MIN(struct_pack(ts := ts, event_id := event_id, value := value)).value
+         AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(struct_pack(ts := ts, event_id := event_id, value := value)).value
+         AS close,
+       COUNT(*) AS n_ticks,
+       {sql_dsum("value")} AS volume
+FROM events
+GROUP BY 1
+""",
+    tags=("timeseries", "agg"),
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4: OHLC downsampling — tick stream to hourly bars, the
+    canonical financial/telemetry compaction. Open and close are argmin/
+    argmax over the (ts, event_id) total order expressed as MIN/MAX of a
+    struct — an ALGEBRAIC aggregate (struct min merges associatively),
+    so bars build map-side and merge; no window, no sort, one exchange
+    on the bar key. The event_id tiebreak makes simultaneous ticks
+    deterministic on every engine; at 100 TB this is the query that
+    turns a trillion ticks into millions of bars in a single pass."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            dsum("value").alias("volume"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+            "volume",
+        )
+    )
