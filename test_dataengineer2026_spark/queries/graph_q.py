@@ -212,3 +212,79 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles"),
         )
     )
+
+
+_GR3_ORACLE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+    AND a.l_orderkey % 2000 = 0
+),
+nodes AS (
+  SELECT DISTINCT u AS node FROM pairs
+  UNION SELECT DISTINCT v FROM pairs
+),
+sym AS (
+  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON r.node = s.v
+),
+comp AS (
+  SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(c.node) AS BIGINT) AS min_member,
+       CAST(MAX(c.node) AS BIGINT) AS max_member
+FROM comp c
+GROUP BY c.cluster_id
+"""
+
+
+@register(
+    "GR3_connected_components",
+    oracle=_GR3_ORACLE,
+    tags=("graph", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR3: connected components of a sparsified co-supply graph —
+    operator REUSE: the same pointer-doubling label propagation that
+    clusters near-duplicate documents (D6, operators/dedup.py:
+    connected_components) applied to a relational entity graph, proving
+    the operator is graph-agnostic. Sparsification (1-in-2000 orders)
+    keeps the graph disconnected enough to have non-trivial component
+    structure; the oracle recomputes the transitive closure with a
+    recursive CTE. Per-component rollups (size, id range) are one
+    aggregation over the label table. Pointer doubling converges in
+    O(log diameter) rounds of key-partitioned joins — the 100 TB story
+    is unchanged from D6."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.operators.dedup import connected_components
+
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = li.filter(F.col("l_orderkey") % 2000 == 0)
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("doc_a"), F.col("b.l_suppkey").alias("doc_b")
+        )
+        .distinct()
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    comp = connected_components(nodes, pairs)
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("doc").cast("long").alias("min_member"),
+        F.max("doc").cast("long").alias("max_member"),
+    ).select(F.col("cluster_id").cast("long"), "n_members", "min_member", "max_member")
