@@ -639,3 +639,35 @@ def test_c13_curriculum_no_global_sort(spark):
     p = plan_string(QS["C13_curriculum_order"](spark, SF_DIR_MID), "simple")
     assert "Exchange rangepartitioning" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_ts4_ohlc_is_single_exchange_algebraic_agg(spark):
+    """TS4: OHLC bars are ONE two-phase aggregation — no window, no
+    sort, one hash exchange on the bar key; the scan reads only the
+    three needed columns."""
+    a = _audit(spark, "TS4_ohlc_bars")
+    assert a["exchanges"] == 1, a
+    assert a["read_schemas"] == [
+        "struct<event_id:bigint,ts:timestamp,value:double>"
+    ], a
+
+
+def test_a13_histogram_prunes_to_one_column(spark):
+    """A13: the data-sized operation is one map-side-combined groupBy
+    over a single-column scan; the quantile window runs over O(bins)."""
+    a = _audit(spark, "A13_histogram_quantiles")
+    assert a["exchanges"] == 1, a
+    assert a["read_schemas"] == ["struct<l_extendedprice:double>"], a
+
+
+def test_e5_attribution_filters_push_and_no_cartesian(spark):
+    """E5: both event-type filters reach the scans and the lookback
+    join stays an equi-join on user_id with the window as residual."""
+    a = _audit(spark, "E5_first_touch_attribution")
+    pushed = " ".join(a["pushed_filters"])
+    assert "EqualTo(event_type,purchase)" in pushed, a
+    assert "EqualTo(event_type,view)" in pushed, a
+    assert all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for j in a["joins"]
+    ) and a["joins"], a
