@@ -296,3 +296,50 @@ def test_t11_surprisal_empty_corpus_parity(spark, empty_sf_dir):
     df = spec.fn(spark, empty_sf_dir)
     assert df.count() == 0
     assert_parity(df, _empty_duck(empty_sf_dir), spec.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Codec properties (MM4/MM5): any pixel/sample buffer round-trips through
+# the pure-stdlib PNG/WAV codecs bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_png_roundtrip_any_dims(w, h, seed):
+    from test_dataengineer2026_spark.multimodal.png import decode_png, encode_png
+
+    px = bytes((seed + 13 * i) % 256 for i in range(w * h))
+    assert decode_png(encode_png(w, h, px)) == (w, h, 8, 0, px)
+
+
+@given(data=st.binary(min_size=0, max_size=64))
+@settings(**SLOW)
+def test_png_decoder_never_misparses_garbage(data):
+    import zlib
+
+    import pytest as _pytest
+
+    from test_dataengineer2026_spark.multimodal.png import decode_png
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return  # astronomically unlikely; only non-PNG inputs tested
+    with _pytest.raises((ValueError, zlib.error)):
+        decode_png(data)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_wav_roundtrip_any_samples(n, rate, seed):
+    from test_dataengineer2026_spark.multimodal.wav import decode_wav, encode_wav
+
+    s = [((seed + 97 * i) % 65536) - 32768 for i in range(n)]
+    assert decode_wav(encode_wav(s, rate)) == (rate, 1, 16, s)
