@@ -503,3 +503,62 @@ def text_layer_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quarantine_reason"),
     )
     return flagged
+
+
+@register(
+    "X12_reserves_economics_join",
+    oracle=f"""
+WITH rsv AS ({_table_sql("mineral reserves? ?s? effective", _RSV_ALT)}),
+eco AS (
+SELECT doc_id,
+  TRY_CAST(replace(regexp_extract(text, '(?i)(?:capital costs?|capex)[^0-9]{{0,40}}([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS capex,
+  TRY_CAST(replace(regexp_extract(text, '\\bNPV\\b[^0-9%]{{0,30}}([0-9][0-9,]*(?:\\.[0-9]+)?)', 1), ',', '') AS DOUBLE) AS npv
+FROM {_corpus_values()}
+),
+tot AS (
+  SELECT doc_id,
+         SUM(tonnes) AS total_tonnes,
+         SUM(contained_metal) AS total_contained
+  FROM rsv WHERE category NOT LIKE '%+%'
+  GROUP BY doc_id
+)
+SELECT e.doc_id, t.total_tonnes, t.total_contained, e.npv, e.capex,
+       round(e.npv / nullif(t.total_contained, 0), 6) AS npv_per_contained
+FROM eco e LEFT JOIN tot t ON e.doc_id = t.doc_id
+""",
+    tags=("extraction", "join", "analytics"),
+)
+def reserves_economics_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: the reference's downstream deliverable — extracted categories
+    joined back into per-project analytics (value per contained ounce),
+    crossing the reserves table (rollup '+' rows excluded to avoid
+    double counting) with the economics table on doc_id. Nulls flow by
+    contract: projects with reserves but no economics (doc_crest) and
+    projects with economics but no reserves keep their rows with NULL
+    metrics — the report shows what is missing instead of dropping it.
+    At corpus scale both sides are per-doc aggregates joined on the doc
+    key — one co-partitioned join after two narrow extractions."""
+    apply_runtime_confs(spark)
+    corpus = _corpus_df(spark)
+    rsv = X.extract_reserves(corpus)
+    eco = X.extract_economics(corpus).select("doc_id", "capex", "npv")
+    tot = (
+        rsv.filter(~F.col("category").contains("+"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tonnes").alias("total_tonnes"),
+            F.sum("contained_metal").alias("total_contained"),
+        )
+    )
+    e = eco.alias("e")
+    t = tot.alias("t")
+    return e.join(t, F.col("e.doc_id") == F.col("t.doc_id"), "left").select(
+        F.col("e.doc_id").alias("doc_id"),
+        "total_tonnes",
+        "total_contained",
+        "npv",
+        "capex",
+        F.round(
+            F.col("npv") / F.nullif(F.col("total_contained"), F.lit(0.0)), 6
+        ).alias("npv_per_contained"),
+    )
