@@ -724,3 +724,38 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
     )
     return run_to_memory(joined, "m13_ssj_outer", "append")
+
+
+@register(
+    "M14_dedup_within_watermark",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+    tags=("streaming", "dedup", "watermark"),
+)
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: dropDuplicatesWithinWatermark — M5's dedup with the property
+    that makes it runnable forever: state for a key is EVICTED once the
+    watermark passes its event time + delay, so memory is bounded by the
+    dedup horizon instead of growing with the stream. The staged feed
+    re-delivers every 5th event in a second file (at-least-once
+    delivery); with a 60-day horizon covering the whole month, every
+    re-delivery hits live state and is suppressed, so the output is
+    exactly the original event set — while the same query over an
+    unbounded horizon (plain dropDuplicates, M5) would hold ALL keys
+    forever. At 100 TB/day the horizon IS the ops knob: state ~=
+    keys-per-horizon, replays inside it are absorbed, older replays
+    would re-emit and belong to the reconciliation tier instead."""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_staged_stream,
+        stage_events_dup_feed,
+    )
+
+    apply_runtime_confs(spark)
+    s = read_staged_stream(spark, stage_events_dup_feed(spark, sf_dir))
+    dedup = (
+        s.withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(dedup, "m14_dedup_wm", "append")

@@ -279,3 +279,37 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stage_events_dup_feed(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as TWO files: the full table, then a re-delivery of
+    every 5th event (exact duplicate rows, same event time) — the
+    at-least-once delivery shape (connector retries, replayed offsets)
+    that streaming dedup exists to absorb."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(_STAGE_ROOT, tag + "_dups")
+    done = os.path.join(d, "_STAGED")
+    if _stage_is_current(done, sf_dir):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ev = tables.load(spark, sf_dir, "events")
+    splits = [ev, ev.filter(F.col("event_id") % 5 == 0)]
+    base = 1_700_000_000
+    for i, part in enumerate(splits):
+        tmp = os.path.join(d, f"_tmp{i}")
+        part.withColumn(
+            "ts", (F.unix_micros("ts") * 1000).cast("long")
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(d, f"{i:02d}-events.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 100, base + i * 100))
+    with open(done, "w") as f:
+        f.write(_source_fingerprint(sf_dir))
+    return d
