@@ -25,3 +25,22 @@ def test_query_parity(spark, duck, name):
         _ = df.schema  # schema must be stable/derivable
         return
     assert_parity(df, duck, spec.oracle)
+
+
+def test_registry_lint():
+    """Registry hygiene: every query is named by family convention,
+    carries a non-empty DuckDB oracle (the driver's hard gate), has
+    tags, and the registry is duplicate-free at the expected size."""
+    import re
+
+    from test_dataengineer2026_spark import registry
+    from test_dataengineer2026_spark.queries import EXPECTED_MIN_QUERIES
+
+    specs = registry.all_specs()
+    assert len(specs) >= EXPECTED_MIN_QUERIES
+    name_re = re.compile(r"^[A-Z]+\d+[a-z]?_[a-z0-9_]+$")
+    for name, spec in specs.items():
+        assert name_re.match(name), name
+        assert spec.oracle and spec.oracle.strip(), name
+        assert spec.tags, name
+        assert callable(spec.fn), name
