@@ -671,3 +671,33 @@ def test_e5_attribution_filters_push_and_no_cartesian(spark):
         j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
         for j in a["joins"]
     ) and a["joins"], a
+
+
+#: Queries whose construction executes work (streaming runs, sink
+#: writes, staged feeds) — excluded from the lazy plan sweep.
+_EXECUTING_TAGS = {"streaming", "sink", "sources", "layout", "schema-evolution"}
+
+
+def test_no_cartesian_anywhere(spark):
+    """Global invariant: NO registered query plans a CartesianProduct —
+    the one join shape that is always fatal at 100 TB. Every deliberate
+    cross of a 1-row/bounded aggregate (funnel counts, corpus totals,
+    sketch parameters) broadcasts and plans as BroadcastNestedLoopJoin,
+    and even J11's explicit cross join rides a broadcast at this scale —
+    so the sweep needs zero exceptions. Covers every
+    lazily-constructible registered query."""
+    from test_dataengineer2026_spark import registry
+    from tests.conftest import SF_DIR
+
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        if _EXECUTING_TAGS & set(spec.tags):
+            continue
+        try:
+            df = spec.fn(spark, SF_DIR)
+        except Exception:  # executing-at-build query not covered by tags
+            continue
+        p = plan_string(df, "simple")
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, offenders
