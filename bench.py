@@ -124,14 +124,36 @@ def main() -> None:
     # anything >3x the suite median once and keep the min, disclosing
     # which queries were rescued.
     med = sorted(timings.values())[len(timings) // 2]
-    reran: list[str] = []
+    reran: dict[str, dict[str, float]] = {}
     for name, t in list(timings.items()):
         if t > 3 * med:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = min(t, round(time.perf_counter() - t0, 3))
-            reran.append(name)
+            rerun_t = round(time.perf_counter() - t0, 3)
+            timings[name] = min(t, rerun_t)
+            # disclose the full magnitude of every rescue, not just the name
+            reran[name] = {"original": t, "rerun": rerun_t, "kept": timings[name]}
+    # Variance pinning (round-4 verdict item 6): J1/M4 showed small
+    # nominal regressions vs r1 that were within canary noise but
+    # unproven — sample them n=5 and record the band. The HEADLINE
+    # timing stays the first (cold) run so the protocol matches every
+    # other query and every prior round; the band is disclosure, not a
+    # substitute measurement.
+    variance_band: dict[str, dict] = {}
+    for name in ("J1_inner_equi_join", "M4_session_window"):
+        samples = [timings[name]]
+        for _ in range(4):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 3))
+        variance_band[name] = {
+            "samples": samples,
+            "min": min(samples),
+            "median": sorted(samples)[len(samples) // 2],
+            "max": max(samples),
+        }
     total = round(sum(timings.values()), 3)
     sf_tag = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -154,6 +176,8 @@ def main() -> None:
     out["canary_sec"] = [canary_before, _canary_sec()]
     if reran:
         out["stall_reruns"] = reran
+    if variance_band:
+        out["variance_band"] = variance_band
     steal1, total1 = _cpu_ticks()
     if total1 > total0:
         out["cpu_steal_pct"] = round(

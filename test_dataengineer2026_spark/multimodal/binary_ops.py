@@ -57,7 +57,8 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, depth, color_type, pixels = png.decode_png(payload)
-        return w, h, depth, {0: 1, 2: 3}[color_type], pixels
+        # palette (type 3) is expanded to RGB by the decoder -> 3 channels
+        return w, h, depth, {0: 1, 2: 3, 3: 3}[color_type], pixels
     try:
         import io  # noqa: PLC0415
 
@@ -68,7 +69,9 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
             f"leading bytes {payload[:4]!r})"
         ) from None
     img = Image.open(io.BytesIO(payload))  # pragma: no cover - env has no PIL
-    return img.width, img.height, 8, len(img.getbands()), img.tobytes()
+    # bits per band from the mode, not a hardcoded 8 (I;16/I/F modes exist)
+    depth = {"1": 1, "I;16": 16, "I": 32, "F": 32}.get(img.mode, 8)
+    return img.width, img.height, depth, len(img.getbands()), img.tobytes()
 
 
 def _fake_dims(n: int) -> tuple[int, int]:
@@ -189,12 +192,18 @@ AHASH_SCHEMA = "doc_id long, width int, height int, ahash long"
 
 def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
     """MM6: average-hash (aHash) perceptual fingerprint over REALLY
-    decoded PNG pixels — bit i is set iff pixel i exceeds the image
-    mean. The tiny-image analogue of the pHash near-dup key: images
-    with similar luminance structure collide, so downstream dedup is an
-    equi-join on the hash (or banded Hamming buckets), never pairwise
-    pixel comparison. Integer bit math end-to-end (image mean is the
-    single double, computed identically cross-engine)."""
+    decoded PNG pixels. Classic aHash shape: downsample to a fixed 8x8
+    grid first (nearest-neighbour sample at (gx*w//8, gy*h//8) — exact
+    integer arithmetic a SQL oracle reproduces, unlike area-averaging),
+    then set bit gy*8+gx iff the sampled pixel exceeds the grid mean.
+    The hash is therefore always exactly 64 bits regardless of image
+    size — no int64 overflow for large images. The threshold uses the
+    integer form 64*v > sum(grid) (equivalent to v > mean) so no float
+    crosses an engine boundary; the unsigned 64-bit value is mapped to
+    signed two's-complement to fit the declared ``long`` column.
+    Images with similar luminance structure collide, so downstream
+    dedup is an equi-join on the hash (or banded Hamming buckets),
+    never pairwise pixel comparison."""
     from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,11 +211,18 @@ def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, _depth, _ctype, pixels = decode_png(bytes(payload))
-                mean = sum(pixels) / len(pixels)
+                grid = [
+                    pixels[(gy * h // 8) * w + (gx * w // 8)]
+                    for gy in range(8)
+                    for gx in range(8)
+                ]
+                total = sum(grid)
                 ahash = 0
-                for idx, v in enumerate(pixels):
-                    if v > mean:
+                for idx, v in enumerate(grid):
+                    if 64 * v > total:
                         ahash |= 1 << idx
+                if ahash >= 1 << 63:  # two's-complement into int64
+                    ahash -= 1 << 64
                 rows.append((doc_id, w, h, ahash))
             yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "ahash"])
 

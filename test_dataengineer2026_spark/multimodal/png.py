@@ -7,11 +7,12 @@ zlib stream of filtered scanlines (one leading filter byte per row,
 filter types 0-4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Decoding =
 parse IHDR, inflate the concatenated IDATs, reverse the per-row filter.
 
-The decoder handles 8-bit greyscale (colour type 0) and 8-bit RGB
-(colour type 2) — no palette, no interlace (Adam7 raises ValueError:
-unsupported is an explicit error, not a silent wrong answer). That is a
-*real* decode: the bytes that come out are the image's actual pixels,
-checksummable against an oracle.
+The decoder handles 8-bit greyscale (colour type 0), 8-bit RGB (colour
+type 2) and 8-bit palette (colour type 3, PLTE lookup expanded to RGB —
+palette PNGs are common in real corpora). No 16-bit, no interlace
+(Adam7 raises ValueError: unsupported is an explicit error, not a
+silent wrong answer). That is a *real* decode: the bytes that come out
+are the image's actual pixels, checksummable against an oracle.
 
 The encoder exists so queries/tests can synthesize deterministic PNGs
 without any external fixture, and deliberately rotates through all five
@@ -30,8 +31,9 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-#: bytes per pixel by PNG colour type (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3}
+#: bytes per pixel *in the filtered scanline* by PNG colour type
+#: (8-bit depth only; palette scanlines carry 1 index byte per pixel)
+_CHANNELS = {0: 1, 2: 3, 3: 1}
 
 
 # --------------------------------------------------------------------------
@@ -67,16 +69,31 @@ def _filter_row(ftype: int, row: bytes, prior: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> bytes:
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 0,
+    palette: list[tuple[int, int, int]] | None = None,
+) -> bytes:
     """Encode raw 8-bit pixels into a spec-conformant PNG.
 
-    ``pixels`` is row-major, ``width*height*channels`` bytes. Rows are
-    filtered with type ``row_index % 5`` so every decoder filter path is
-    exercised by any image of >=5 rows.
+    ``pixels`` is row-major, ``width*height*channels`` bytes (for
+    colour type 3 it is one palette *index* byte per pixel and
+    ``palette`` — a list of (r, g, b) triples — is required). Rows are
+    filtered with type ``row_index % 5`` so every decoder filter path
+    is exercised by any image of >=5 rows.
     """
     bpp = _CHANNELS[color_type]
     if len(pixels) != width * height * bpp:
         raise ValueError("pixel buffer does not match dimensions")
+    if color_type == 3:
+        if not palette or len(palette) > 256:
+            raise ValueError("palette PNG needs 1-256 PLTE entries")
+        if max(pixels) >= len(palette):
+            raise ValueError("pixel index outside palette")
+    elif palette is not None:
+        raise ValueError("palette only valid for colour type 3")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     raw = bytearray()
     stride = width * bpp
@@ -87,9 +104,11 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 0) -> b
         raw.append(ftype)
         raw += _filter_row(ftype, row, prior, bpp)
         prior = row
+    chunks = _SIGNATURE + _chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        chunks += _chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
     return (
-        _SIGNATURE
-        + _chunk(b"IHDR", ihdr)
+        chunks
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
@@ -114,8 +133,11 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
     raw row-major pixel bytes).
 
     Real decode: IHDR parse, zlib inflate of all IDAT chunks, per-row
-    filter reversal. Raises ValueError on anything that is not an 8-bit
-    non-interlaced grey/RGB PNG — unsupported inputs fail loudly.
+    filter reversal; palette (colour type 3) indices are expanded to
+    RGB via the PLTE lookup, so the returned bytes are always actual
+    pixel values. Raises ValueError on anything that is not an 8-bit
+    non-interlaced grey/RGB/palette PNG — unsupported inputs fail
+    loudly.
     """
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
@@ -123,6 +145,7 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
     width = height = bit_depth = color_type = None
     interlace = 0
     idat = bytearray()
+    plte: bytes | None = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -135,6 +158,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
             )
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported compression/filter method")
+        elif tag == b"PLTE":
+            if length % 3 or not 3 <= length <= 768:
+                raise ValueError("malformed PLTE chunk")
+            plte = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -177,4 +204,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
             raise ValueError(f"bad scanline filter {ftype}")
         out += row
         prior = bytes(row)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        n_entries = len(plte) // 3
+        if max(out, default=0) >= n_entries:
+            raise ValueError("palette index outside PLTE")
+        out = bytearray(
+            b for idx in out for b in plte[idx * 3 : idx * 3 + 3]
+        )
     return width, height, bit_depth, color_type, bytes(out)

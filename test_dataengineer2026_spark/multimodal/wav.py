@@ -67,6 +67,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError(f"unsupported WAV encoding {audio_format} (PCM only)")
     if bit_depth != 16:
         raise ValueError(f"unsupported bit depth {bit_depth} (16-bit only)")
+    if n_channels < 1:
+        raise ValueError("WAV fmt declares zero channels")
+    if len(data) % (2 * n_channels):
+        raise ValueError(
+            f"malformed PCM16 data chunk: {len(data)} bytes is not a "
+            f"whole number of {n_channels}-channel frames"
+        )
     n = len(data) // 2
-    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    samples = list(struct.unpack(f"<{n}h", data))
     return sample_rate, n_channels, bit_depth, samples

@@ -222,33 +222,44 @@ WITH dims AS (
          3 + doc_id % 6 AS width,
          2 + doc_id % 5 AS height
   FROM documents
-), px AS (
+), grid AS (
   SELECT d.doc_id, d.width, d.height,
-         y.y * d.width + x.x AS idx,
-         (d.doc_id + 31 * y.y + 7 * x.x) % 256 AS v
+         gy.gy * 8 + gx.gx AS idx,
+         (d.doc_id + 31 * ((gy.gy * d.height) // 8)
+                   + 7 * ((gx.gx * d.width) // 8)) % 256 AS v
   FROM dims d,
-       unnest(generate_series(0, d.width - 1)) AS x(x),
-       unnest(generate_series(0, d.height - 1)) AS y(y)
-), m AS (
-  SELECT doc_id, SUM(v) * 1.0 / COUNT(*) AS mean FROM px GROUP BY doc_id
+       unnest(generate_series(0, 7)) AS gx(gx),
+       unnest(generate_series(0, 7)) AS gy(gy)
+), tot AS (
+  SELECT doc_id, SUM(v) AS total FROM grid GROUP BY doc_id
+), bits AS (
+  SELECT g.doc_id, g.width, g.height,
+         SUM(CASE WHEN 64 * g.v > t.total
+                  THEN 1::HUGEINT << g.idx ELSE 0::HUGEINT END) AS s
+  FROM grid g JOIN tot t USING (doc_id)
+  GROUP BY 1, 2, 3
 )
-SELECT px.doc_id,
-       CAST(px.width AS INTEGER) AS width,
-       CAST(px.height AS INTEGER) AS height,
-       CAST(SUM(CASE WHEN px.v > m.mean THEN 1::BIGINT << px.idx ELSE 0 END)
-            AS BIGINT) AS ahash
-FROM px JOIN m USING (doc_id)
-GROUP BY px.doc_id, px.width, px.height
+SELECT doc_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                 THEN s - 18446744073709551616::HUGEINT
+                 ELSE s END AS BIGINT) AS ahash
+FROM bits
 """,
     tags=("multimodal", "mapInPandas", "decode", "neardup"),
 )
 def mm_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM6: perceptual average-hash over REAL decoded pixels (MM4's
-    decode feeding an image near-dup key). The oracle recomputes every
-    bit from the closed pixel form, so the decode + thresholding path is
-    verified bit-for-bit; the hash is the equi-join key that replaces
-    pairwise image comparison at 100 TB (same banding discipline as
-    D2/D5). Map-only plan: synthesize -> decode+hash, zero exchanges."""
+    decode feeding an image near-dup key). Classic aHash: downsample to
+    a fixed 8x8 grid (nearest-neighbour, exact integer sampling), then
+    threshold each cell against the grid mean — always exactly 64 bits
+    regardless of image size. The oracle recomputes every bit from the
+    closed pixel form, so the decode + downsample + thresholding path
+    is verified bit-for-bit; the hash is the equi-join key that
+    replaces pairwise image comparison at 100 TB (same banding
+    discipline as D2/D5). Map-only plan: synthesize -> decode+hash,
+    zero exchanges."""
     apply_runtime_confs(spark)
     from test_dataengineer2026_spark.multimodal.binary_ops import (
         decode_png_ahash,

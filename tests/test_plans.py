@@ -690,14 +690,19 @@ def test_no_cartesian_anywhere(spark):
     from tests.conftest import SF_DIR
 
     offenders = []
+    build_failures = []
     for name, spec in registry.all_specs().items():
         if _EXECUTING_TAGS & set(spec.tags):
             continue
         try:
             df = spec.fn(spark, SF_DIR)
-        except Exception:  # executing-at-build query not covered by tags
+        except Exception as exc:
+            # A non-executing query that cannot even BUILD is a bug —
+            # it must not silently drop out of the sweep.
+            build_failures.append(f"{name}: {type(exc).__name__}: {exc}")
             continue
         p = plan_string(df, "simple")
         if "CartesianProduct" in p:
             offenders.append(name)
+    assert not build_failures, build_failures
     assert not offenders, offenders

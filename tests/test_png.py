@@ -60,6 +60,50 @@ def test_idat_is_valid_zlib_with_per_row_filter_bytes():
     assert [raw[i * (w + 1)] for i in range(h)] == [0, 1, 2]
 
 
+def test_roundtrip_palette():
+    """Colour type 3: indices encode through PLTE and decode back as
+    the expanded RGB pixels, through all five scanline filters."""
+    w, h = 4, 6
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (17, 34, 51)]
+    idx = bytes((x + y) % len(palette) for y in range(h) for x in range(w))
+    out = decode_png(encode_png(w, h, idx, color_type=3, palette=palette))
+    expected = bytes(b for i in idx for b in palette[i])
+    assert out == (w, h, 8, 3, expected)
+
+
+def test_palette_missing_plte_raises():
+    p = bytearray(encode_png(2, 2, bytes([0, 1, 1, 0]), color_type=3,
+                             palette=[(1, 2, 3), (4, 5, 6)]))
+    plte_at = p.index(b"PLTE") - 4
+    del p[plte_at : plte_at + 12 + 6]  # strip the whole PLTE chunk
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(bytes(p))
+
+
+def test_palette_index_out_of_range_raises():
+    with pytest.raises(ValueError, match="outside palette"):
+        encode_png(2, 1, bytes([0, 9]), color_type=3, palette=[(0, 0, 0)])
+    # hand-build a decode-side violation: valid 2-entry PLTE, index 5
+    good = encode_png(1, 1, bytes([0]), color_type=3,
+                      palette=[(0, 0, 0), (1, 1, 1)])
+    bad_idat = zlib.compress(bytes([0, 5]))  # filter 0, index 5
+    rebuilt = bytearray()
+    pos = 8
+    rebuilt += good[:8]
+    while pos + 8 <= len(good):
+        (length,) = struct.unpack_from(">I", good, pos)
+        tag = good[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            crc = zlib.crc32(b"IDAT" + bad_idat) & 0xFFFFFFFF
+            rebuilt += struct.pack(">I", len(bad_idat)) + b"IDAT" + bad_idat
+            rebuilt += struct.pack(">I", crc)
+        else:
+            rebuilt += good[pos : pos + 12 + length]
+        pos += 12 + length
+    with pytest.raises(ValueError, match="outside PLTE"):
+        decode_png(bytes(rebuilt))
+
+
 def test_decode_rejects_non_png():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"GIF89a" + b"\x00" * 20)
@@ -108,6 +152,46 @@ def test_wav_roundtrip_and_errors():
         decode_wav(b"not audio at all")
     with pytest.raises(ValueError):
         decode_wav(encode_wav(s, 8000)[:-10])
+
+
+def test_wav_rejects_odd_data_chunk():
+    """A PCM16 data chunk whose byte length is not a whole number of
+    frames is malformed — the decoder must raise, not silently truncate."""
+    import struct
+
+    from test_dataengineer2026_spark.multimodal.wav import decode_wav, encode_wav
+
+    p = bytearray(encode_wav([0, 1, -1], 8000))
+    # grow the data chunk by one trailing byte and patch both size fields
+    data_size_pos = p.index(b"data") + 4
+    (data_size,) = struct.unpack_from("<I", p, data_size_pos)
+    struct.pack_into("<I", p, data_size_pos, data_size + 1)
+    struct.pack_into("<I", p, 4, struct.unpack_from("<I", p, 4)[0] + 1)
+    p += b"\x00"
+    with pytest.raises(ValueError, match="whole number of .*frames"):
+        decode_wav(bytes(p))
+
+
+def test_ahash_is_64_bit_bounded_and_correct(spark):
+    """aHash must downsample to 8x8 before thresholding: large images
+    (here 64x64 = 4096 px, which overflowed int64 pre-fix) still yield a
+    64-bit hash, and a half-bright 16x16 image hashes to exactly the
+    top-four-grid-rows bit pattern."""
+    from test_dataengineer2026_spark.multimodal.binary_ops import decode_png_ahash
+
+    big = encode_png(64, 64, _gray(64, 64, seed=3))
+    half = encode_png(16, 16, b"\xff" * (16 * 8) + b"\x00" * (16 * 8))
+    flat = encode_png(9, 9, b"\x40" * 81)
+    df = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(half)), (3, bytearray(flat))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_png_ahash(df).collect()}
+    int64_min, int64_max = -(1 << 63), (1 << 63) - 1
+    assert all(int64_min <= r["ahash"] <= int64_max for r in rows.values())
+    assert rows[2]["ahash"] == (1 << 32) - 1  # grid rows 0-3 set -> bits 0..31
+    assert rows[3]["ahash"] == 0  # constant image: nothing exceeds the mean
+    assert (rows[1]["width"], rows[1]["height"]) == (64, 64)
 
 
 def test_wav_layout_is_canonical_riff():

@@ -333,6 +333,27 @@ def test_png_decoder_never_misparses_garbage(data):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    n_colors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_png_palette_roundtrip_any_dims(w, h, n_colors, seed):
+    from test_dataengineer2026_spark.multimodal.png import decode_png, encode_png
+
+    palette = [
+        ((seed + 3 * i) % 256, (seed + 5 * i) % 256, (seed + 7 * i) % 256)
+        for i in range(n_colors)
+    ]
+    idx = bytes((seed + 13 * i) % n_colors for i in range(w * h))
+    expected = bytes(b for i in idx for b in palette[i])
+    assert decode_png(encode_png(w, h, idx, color_type=3, palette=palette)) == (
+        w, h, 8, 3, expected
+    )
+
+
+@given(
     n=st.integers(min_value=1, max_value=200),
     rate=st.sampled_from([8000, 16000, 44100]),
     seed=st.integers(min_value=0, max_value=2**31),
