@@ -7,9 +7,17 @@ front of the registry so every query earns a green CORRECTNESS row across
 rounds; names absent from the tuple keep plain registration order after the
 prioritized block. Round 1 verified the relational core (A/P/J/W/O/U/F-core,
 50 rows, all green); round 2 the S/X/M/V/J12/F9/F10/T/D families (50 rows,
-all green). Round 3 front-loads the remaining SQL/GR/ML/TS/DQ/W6-7/E/C/D8-9/
-J12b-d/J14/A11-12/S11-14/M10-11 block; the 19-name residue (J12e/f, X10/X11,
-W4b, F9b/c, X2b, V7/V8, MM2/MM3, T6-T12) plus round-3 additions go round 4.
+all green); round 3 the SQL1-10/GR/ML/TS/DQ/W6-7/E1-3/C/D8-9/J12b-d/J14/
+A11-12/S11-14/M10-11 block (50 rows, all green). Round 4 front-loads 50 of
+the 52 remaining unverified names — everything except the two deliberately
+deferred low-stakes exhibits.
+
+ROUND-5 WINDOW PLAN: after round 4 the unverified residue is exactly
+W4b_ntile_global + F9c_to_json (deferred below) plus whatever registers
+after round 4's rotation was pinned (SQL23_tpch_q20, SQL24_tpch_q11).
+All of those go in round 5's DRIVER_PRIORITY; net-new registration is
+frozen until the residue clears (cap: round-5 window must absorb all of
+it, so additions beyond the four named above stay <= 46).
 """
 
 from __future__ import annotations
@@ -42,73 +50,73 @@ _MODULES = (
     "quality_q",
 )
 
-# Exactly the 50 queries the round-3 driver window should verify, in order.
-# Every name here is absent from CORRECTNESS_r01.json and CORRECTNESS_r02.json.
+# Exactly the 50 queries the round-4 driver window should verify, in order.
+# Every name here is absent from CORRECTNESS_r01/r02/r03.json; the only two
+# unverified names NOT listed are the deliberate round-5 deferrals
+# W4b_ntile_global (the documented single-task global-ntile exhibit) and
+# F9c_to_json (trivial serialization).
 DRIVER_PRIORITY = (
-    # SQL surface (TPC-H shapes + subquery/CTE)
-    "SQL1_tpch_q3",
-    "SQL2_correlated_subquery",
-    "SQL3_cte_window",
-    "SQL4_tpch_q5",
-    "SQL5_tpch_q10",
-    "SQL6_tpch_q18",
-    "SQL7_tpch_q14",
-    "SQL8_tpch_q17",
-    "SQL9_tpch_q19",
-    "SQL10_tpch_q22",
-    # graph
-    "GR1_pagerank",
-    "GR2_triangle_count",
-    # ML
-    "ML1_ols_regression",
-    "ML2_grouped_ols",
-    "ML3_knn_classifier",
-    # time series
-    "TS1_gap_fill_locf",
-    "TS2_linear_interpolation",
-    "TS3_rolling_zscore_anomaly",
-    # data quality
-    "DQ1_expectation_checks",
-    "DQ2_referential_integrity",
-    # CDC / SCD2
-    "W6_cdc_merge",
-    "W7_scd2_dimension",
-    # event analytics
-    "E1_batch_sessionize",
-    "E2_funnel_conversion",
-    "E3_cohort_retention",
-    # curation (C6 went green in r2)
-    "C1_corpus_curation",
-    "C2_stratified_sample",
-    "C3_mixture_weights",
-    "C4_chunk_documents",
-    "C5_pack_sequences",
-    "C7_quota_sample",
-    "C8_length_percentiles",
-    "C9_shuffle_shards",
-    "C10_boilerplate_removal",
-    "C11_temperature_sample",
-    "C12_leakage_free_split",
-    # dedup extensions
-    "D8_paragraph_dedup",
-    "D9_canonical_selection",
-    # ANN ladder core rungs (e/f PQ variants -> round 4)
-    "J12b_srp_lsh_ann",
-    "J12c_ivf_ann",
-    "J12d_ivf_kmeans_ann",
-    # bloom-pruned join
-    "J14_bloom_pruned_join",
-    # sketches
-    "A11_countmin_sketch",
-    "A12_hll_sketch",
-    # storage layout
-    "S11_bucketed_join",
-    "S12_dynamic_partition_backfill",
-    "S13_zorder_layout",
-    "S14_compact_small_files",
+    # TPC-H shape suite, remaining 12 queries
+    "SQL11_tpch_q1",
+    "SQL12_tpch_q4",
+    "SQL13_tpch_q6",
+    "SQL14_tpch_q7",
+    "SQL15_tpch_q8",
+    "SQL16_tpch_q9",
+    "SQL17_tpch_q12",
+    "SQL18_tpch_q13",
+    "SQL19_tpch_q15",
+    "SQL20_tpch_q16",
+    "SQL21_tpch_q21",
+    "SQL22_tpch_q2",
+    # text-analysis extensions
+    "T6_winnowing_fingerprint",
+    "T7_repetition_signals",
+    "T8_pii_redaction",
+    "T9_text_normalization",
+    "T10_quality_classifier",
+    "T11_unigram_surprisal",
+    "T12_bpe_pair_stats",
+    "T13_bigram_surprisal",
+    # multimodal (real PNG/WAV decode + routing + perceptual hash)
+    "MM2_frame_sample",
+    "MM3_modality_router",
+    "MM4_png_decode",
+    "MM5_wav_decode",
+    "MM6_perceptual_hash",
+    # ANN PQ rungs
+    "J12e_pq_ann",
+    "J12f_pq_rerank_ann",
+    # interval join
+    "J15_interval_overlap_join",
+    # UDF surface extensions
+    "V7_map_in_arrow",
+    "V8_cogrouped_pandas",
+    # extraction extensions
+    "X2b_positional_cells",
+    "X9b_text_layer_check",
+    "X10_llm_extract",
+    "X11_entity_resolution",
+    "X12_reserves_economics_join",
+    # JSON events
+    "F9b_json_event_rollup",
+    "F13_url_funcs",
+    "E4_event_path_trigrams",
+    "E5_first_touch_attribution",
     # streaming extensions
-    "M10_stream_stream_join",
-    "M11_chained_window_agg",
+    "M12_stream_observability",
+    "M13_stream_stream_left_outer",
+    "M14_dedup_within_watermark",
+    # curation extensions
+    "C13_curriculum_order",
+    "C14_domain_quota_sample",
+    # sketches / rollups / layout / timeseries / quality / graph
+    "A13_histogram_quantiles",
+    "H2_incremental_rollup_refresh",
+    "S15_schema_evolution",
+    "TS4_ohlc_bars",
+    "DQ3_financial_reconciliation",
+    "GR3_connected_components",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
