@@ -765,3 +765,80 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL22)
+
+
+_SQL23 = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,4))) AS availqty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  AND s.s_suppkey IN (
+    SELECT ps.suppkey FROM ps
+    WHERE ps.partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps.availqty > (
+        SELECT 2 * SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+        FROM lineitem l
+        WHERE l.l_partkey = ps.partkey AND l.l_suppkey = ps.suppkey
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      )
+  )
+ORDER BY s.s_name, s.s_suppkey
+"""
+
+
+@register("SQL23_tpch_q20", oracle=_SQL23, tags=("sql", "subquery"))
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q20 potential-part-promotion — the nested
+    semi-join chain (supplier IN (... part IN (...) AND correlated
+    scalar agg)). partsupp availability is derived from all-time
+    shipped quantity per (part, supplier) pair and compared against
+    twice the 1997 shipped quantity, preserving the original's
+    availqty-vs-half-year-demand shape with exact-decimal sums.
+    Catalyst decorrelates the inner scalar subquery into a per-pair
+    aggregate joined back, and both IN clauses plan as left-semi
+    joins — no per-row re-execution anywhere."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL23)
+
+
+_SQL24 = """
+WITH ps AS (
+  SELECT l.l_partkey AS partkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,4)) *
+                  CAST(l.l_quantity AS DECIMAL(8,2))) AS DECIMAL(18,6))
+           AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_2', 'NATION_5')
+  GROUP BY 1
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM ps
+WHERE val * 1000 > (SELECT CAST(SUM(val) AS DECIMAL(24,6)) FROM ps)
+ORDER BY value DESC, partkey
+"""
+
+
+@register("SQL24_tpch_q11", oracle=_SQL24, tags=("sql", "subquery", "agg"))
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: TPC-H Q11 important-stock identification — per-part
+    inventory value for suppliers in a nation group, kept only where
+    the part exceeds a fixed fraction (0.1%) of the total. partsupp
+    value is derived from shipped price*quantity. The HAVING-style
+    threshold is the classic uncorrelated scalar subquery: Catalyst
+    computes the global total once and broadcasts it as a literal-like
+    single-row join — two aggregations over one shuffled base, never a
+    rescan per part. The comparison stays in exact DECIMAL on both
+    engines (val*1000 vs total narrowed to DECIMAL(24,6)) so no float
+    threshold can flip a borderline row."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL24)

@@ -673,6 +673,38 @@ def test_e5_attribution_filters_push_and_no_cartesian(spark):
     ) and a["joins"], a
 
 
+def test_h2_incremental_refresh_merges_without_extra_exchange(spark):
+    """H2: the algebraic rollup refresh shuffles each side ONCE for its
+    partial aggregation and the full-outer merge join REUSES that hour
+    partitioning — a third exchange would mean the merge re-shuffles
+    the standing aggregate on every refresh. Both scans read only the
+    three needed columns, and aggregation is two-phase (map-side
+    partials before the exchange)."""
+    a = _audit(spark, "H2_incremental_rollup_refresh")
+    assert a["joins"] == ["SortMergeJoin"], a
+    assert a["exchanges"] == 2, a
+    p = plan_string(QS["H2_incremental_rollup_refresh"](spark, SF_DIR_MID), "simple")
+    assert "partial_count" in p and "partial_sum" in p, p
+    assert all(
+        rs == "struct<event_id:bigint,ts:timestamp,value:double>"
+        for rs in a["read_schemas"]
+    ), a
+
+
+def test_sql23_q20_nested_semi_join_no_cartesian(spark):
+    """SQL23 (TPC-H Q20): the nested IN chain plans as left-semi hash
+    joins — never a cartesian, never a per-row subquery — and the
+    correlated availability aggregate decorrelates into an equi-join."""
+    a = _audit(spark, "SQL23_tpch_q20")
+    p = plan_string(QS["SQL23_tpch_q20"](spark, SF_DIR_MID), "simple")
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    assert a["joins"] and all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for j in a["joins"]
+    ), a
+
+
 #: Queries whose construction executes work (streaming runs, sink
 #: writes, staged feeds) — excluded from the lazy plan sweep.
 _EXECUTING_TAGS = {"streaming", "sink", "sources", "layout", "schema-evolution"}

@@ -251,6 +251,51 @@ def test_m10_stream_stream_join_multibatch(spark):
     assert got == want and len(want) > 0
 
 
+def test_m13_left_outer_join_state_is_watermark_bounded(spark):
+    """M13 state contract: the left-outer stream-stream join must run as
+    a symmetric hash join whose state store EVICTS rows as the watermark
+    advances — final retained state strictly smaller than the rows ever
+    added, with nonzero removals. Without eviction the join's memory
+    grows with the stream and the operator is not runnable forever."""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_events_stream_multifile,
+    )
+    from tests.conftest import SF_DIR
+
+    def side(typ, prefix):
+        return (
+            read_events_stream_multifile(spark, SF_DIR)
+            .filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr("v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"),
+        "left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_m13_state")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ops = [op for p in q.recentProgress for op in p["stateOperators"]]
+    assert any("symmetricHashJoin" in op.get("operatorName", "") for op in ops), ops
+    rows_added = sum(op.get("numRowsUpdated", 0) for op in ops)
+    rows_removed = sum(op.get("numRowsRemoved", 0) for op in ops)
+    final_total = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    assert rows_removed > 0, ops
+    assert final_total < rows_added, (final_total, rows_added)
+
+
 def test_m12_listener_captures_progress_and_observed_metrics(spark):
     """M12 surface: the StreamingQueryListener must capture >=1 progress
     event with per-batch input rows and df.observe metrics, and signal
