@@ -7,12 +7,14 @@ zlib stream of filtered scanlines (one leading filter byte per row,
 filter types 0-4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Decoding =
 parse IHDR, inflate the concatenated IDATs, reverse the per-row filter.
 
-The decoder handles 8-bit greyscale (colour type 0), 8-bit RGB (colour
-type 2) and 8-bit palette (colour type 3, PLTE lookup expanded to RGB —
-palette PNGs are common in real corpora). No 16-bit, no interlace
-(Adam7 raises ValueError: unsupported is an explicit error, not a
-silent wrong answer). That is a *real* decode: the bytes that come out
-are the image's actual pixels, checksummable against an oracle.
+The decoder handles greyscale (colour type 0) and RGB (colour type 2)
+at 8- and 16-bit depth, and 8-bit palette (colour type 3, PLTE lookup
+expanded to RGB — palette PNGs are common in real corpora). 16-bit
+pixels come back as raw big-endian 2-byte samples with bit_depth=16 so
+no precision is invented or dropped. No interlace (Adam7 raises
+ValueError: unsupported is an explicit error, not a silent wrong
+answer). That is a *real* decode: the bytes that come out are the
+image's actual pixels, checksummable against an oracle.
 
 The encoder exists so queries/tests can synthesize deterministic PNGs
 without any external fixture, and deliberately rotates through all five
@@ -75,16 +77,20 @@ def encode_png(
     pixels: bytes,
     color_type: int = 0,
     palette: list[tuple[int, int, int]] | None = None,
+    bit_depth: int = 8,
 ) -> bytes:
-    """Encode raw 8-bit pixels into a spec-conformant PNG.
+    """Encode raw pixels into a spec-conformant PNG.
 
-    ``pixels`` is row-major, ``width*height*channels`` bytes (for
-    colour type 3 it is one palette *index* byte per pixel and
-    ``palette`` — a list of (r, g, b) triples — is required). Rows are
-    filtered with type ``row_index % 5`` so every decoder filter path
-    is exercised by any image of >=5 rows.
+    ``pixels`` is row-major, ``width*height*channels*(bit_depth//8)``
+    bytes (16-bit samples big-endian; for colour type 3 it is one
+    palette *index* byte per pixel and ``palette`` — a list of
+    (r, g, b) triples — is required, 8-bit only). Rows are filtered
+    with type ``row_index % 5`` so every decoder filter path is
+    exercised by any image of >=5 rows.
     """
-    bpp = _CHANNELS[color_type]
+    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+        raise ValueError(f"unsupported bit_depth {bit_depth} for type {color_type}")
+    bpp = _CHANNELS[color_type] * (bit_depth // 8)
     if len(pixels) != width * height * bpp:
         raise ValueError("pixel buffer does not match dimensions")
     if color_type == 3:
@@ -94,7 +100,7 @@ def encode_png(
             raise ValueError("pixel index outside palette")
     elif palette is not None:
         raise ValueError("palette only valid for colour type 3")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
     raw = bytearray()
     stride = width * bpp
     prior = b""
@@ -135,9 +141,9 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
     Real decode: IHDR parse, zlib inflate of all IDAT chunks, per-row
     filter reversal; palette (colour type 3) indices are expanded to
     RGB via the PLTE lookup, so the returned bytes are always actual
-    pixel values. Raises ValueError on anything that is not an 8-bit
-    non-interlaced grey/RGB/palette PNG — unsupported inputs fail
-    loudly.
+    pixel values (16-bit samples stay big-endian 2-byte pairs). Raises
+    ValueError on anything that is not an 8/16-bit non-interlaced
+    grey/RGB or 8-bit palette PNG — unsupported inputs fail loudly.
     """
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
@@ -169,13 +175,17 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
         pos += 12 + length  # length + tag + payload + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _CHANNELS:
+    if (
+        color_type not in _CHANNELS
+        or bit_depth not in (8, 16)
+        or (bit_depth == 16 and color_type == 3)
+    ):
         raise ValueError(
             f"unsupported PNG: bit_depth={bit_depth} color_type={color_type}"
         )
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
-    bpp = _CHANNELS[color_type]
+    bpp = _CHANNELS[color_type] * (bit_depth // 8)
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * height:

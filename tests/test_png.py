@@ -71,6 +71,27 @@ def test_roundtrip_palette():
     assert out == (w, h, 8, 3, expected)
 
 
+def test_roundtrip_16bit_gray_and_rgb():
+    """16-bit samples (big-endian) round-trip bit-exactly through the
+    byte-level filters; bpp doubles so the left-neighbor distance in
+    Sub/Average/Paeth is 2 bytes per channel."""
+    w, h = 5, 7
+    gray16 = bytes(((31 * y + 7 * x + c) * 97) % 256
+                   for y in range(h) for x in range(w) for c in range(2))
+    assert decode_png(encode_png(w, h, gray16, bit_depth=16)) == (w, h, 16, 0, gray16)
+    rgb16 = bytes(((13 * y + 5 * x + c) * 53) % 256
+                  for y in range(h) for x in range(w) for c in range(6))
+    assert decode_png(
+        encode_png(w, h, rgb16, color_type=2, bit_depth=16)
+    ) == (w, h, 16, 2, rgb16)
+
+
+def test_16bit_palette_rejected():
+    with pytest.raises(ValueError, match="unsupported bit_depth"):
+        encode_png(1, 1, b"\x00", color_type=3,
+                   palette=[(0, 0, 0)], bit_depth=16)
+
+
 def test_palette_missing_plte_raises():
     p = bytearray(encode_png(2, 2, bytes([0, 1, 1, 0]), color_type=3,
                              palette=[(1, 2, 3), (4, 5, 6)]))
@@ -110,8 +131,8 @@ def test_decode_rejects_non_png():
 
 
 def test_decode_rejects_unsupported_depth():
-    # hand-build a 16-bit IHDR
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    # hand-build a 4-bit IHDR (sub-byte depths are not supported)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
     chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr)
     )

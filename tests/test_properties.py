@@ -333,6 +333,23 @@ def test_png_decoder_never_misparses_garbage(data):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=10),
+    h=st.integers(min_value=1, max_value=10),
+    color_type=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_png_16bit_roundtrip_any_dims(w, h, color_type, seed):
+    from test_dataengineer2026_spark.multimodal.png import decode_png, encode_png
+
+    n = w * h * (1 if color_type == 0 else 3) * 2
+    px = bytes((seed + 29 * i) % 256 for i in range(n))
+    assert decode_png(encode_png(w, h, px, color_type=color_type, bit_depth=16)) == (
+        w, h, 16, color_type, px
+    )
+
+
+@given(
     w=st.integers(min_value=1, max_value=12),
     h=st.integers(min_value=1, max_value=12),
     n_colors=st.integers(min_value=1, max_value=256),
