@@ -8,13 +8,15 @@ filter types 0-4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Decoding =
 parse IHDR, inflate the concatenated IDATs, reverse the per-row filter.
 
 The decoder handles greyscale (colour type 0) and RGB (colour type 2)
-at 8- and 16-bit depth, and 8-bit palette (colour type 3, PLTE lookup
-expanded to RGB — palette PNGs are common in real corpora). 16-bit
-pixels come back as raw big-endian 2-byte samples with bit_depth=16 so
-no precision is invented or dropped. No interlace (Adam7 raises
-ValueError: unsupported is an explicit error, not a silent wrong
-answer). That is a *real* decode: the bytes that come out are the
-image's actual pixels, checksummable against an oracle.
+at 8- and 16-bit depth, 8-bit palette (colour type 3, PLTE lookup
+expanded to RGB — palette PNGs are common in real corpora), and Adam7
+interlacing (seven sub-image passes, each filtered independently, RFC
+2083 §2.6) for all of those. 16-bit pixels come back as raw big-endian
+2-byte samples with bit_depth=16 so no precision is invented or
+dropped. Sub-byte depths (1/2/4) raise ValueError — unsupported is an
+explicit error, not a silent wrong answer. That is a *real* decode:
+the bytes that come out are the image's actual pixels, checksummable
+against an oracle.
 
 The encoder exists so queries/tests can synthesize deterministic PNGs
 without any external fixture, and deliberately rotates through all five
@@ -36,6 +38,23 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 #: bytes per pixel *in the filtered scanline* by PNG colour type
 #: (8-bit depth only; palette scanlines carry 1 index byte per pixel)
 _CHANNELS = {0: 1, 2: 3, 3: 1}
+
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step), RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _pass_dims(width: int, height: int, p: tuple[int, int, int, int]) -> tuple[int, int]:
+    """(sub_width, sub_height) of one Adam7 pass — 0 if the pass is empty."""
+    x0, y0, dx, dy = p
+    return max(0, (width - x0 + dx - 1) // dx), max(0, (height - y0 + dy - 1) // dy)
 
 
 # --------------------------------------------------------------------------
@@ -71,6 +90,20 @@ def _filter_row(ftype: int, row: bytes, prior: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
+def _filter_image(pixels: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Filter a whole (sub-)image: one filter byte + filtered row per
+    scanline, filter type rotating ``y % 5``."""
+    raw = bytearray()
+    prior = b""
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _filter_row(ftype, row, prior, bpp)
+        prior = row
+    return raw
+
+
 def encode_png(
     width: int,
     height: int,
@@ -78,6 +111,7 @@ def encode_png(
     color_type: int = 0,
     palette: list[tuple[int, int, int]] | None = None,
     bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Encode raw pixels into a spec-conformant PNG.
 
@@ -86,7 +120,9 @@ def encode_png(
     palette *index* byte per pixel and ``palette`` — a list of
     (r, g, b) triples — is required, 8-bit only). Rows are filtered
     with type ``row_index % 5`` so every decoder filter path is
-    exercised by any image of >=5 rows.
+    exercised by any image of >=5 rows. With ``interlace`` the pixels
+    are split into the seven Adam7 passes, each filtered as its own
+    sub-image.
     """
     if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
         raise ValueError(f"unsupported bit_depth {bit_depth} for type {color_type}")
@@ -100,16 +136,26 @@ def encode_png(
             raise ValueError("pixel index outside palette")
     elif palette is not None:
         raise ValueError("palette only valid for colour type 3")
-    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
-    raw = bytearray()
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, int(interlace)
+    )
     stride = width * bpp
-    prior = b""
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
-        ftype = y % 5
-        raw.append(ftype)
-        raw += _filter_row(ftype, row, prior, bpp)
-        prior = row
+    if interlace:
+        raw = bytearray()
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            wp, hp = _pass_dims(width, height, p)
+            if wp == 0 or hp == 0:
+                continue  # empty pass contributes no scanlines at all
+            sub = bytearray()
+            for j in range(hp):
+                y = y0 + j * dy
+                for i in range(wp):
+                    x = x0 + i * dx
+                    sub += pixels[(y * width + x) * bpp : (y * width + x) * bpp + bpp]
+            raw += _filter_image(bytes(sub), hp, wp * bpp, bpp)
+    else:
+        raw = _filter_image(pixels, height, stride, bpp)
     chunks = _SIGNATURE + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         chunks += _chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
@@ -134,16 +180,51 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse per-row filters over one (sub-)image's scanlines.
+
+    ``raw`` is exactly ``height * (stride + 1)`` bytes: a filter byte
+    then ``stride`` filtered bytes per row.
+    """
+    out = bytearray()
+    prior = b"\x00" * stride
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:
+            for i in range(stride):
+                row[i] = (row[i] + (row[i - bpp] if i >= bpp else 0)) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prior[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + _paeth(a, prior[i], c)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad scanline filter {ftype}")
+        out += row
+        prior = bytes(row)
+    return out
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """Decode a PNG payload -> (width, height, bit_depth, color_type,
     raw row-major pixel bytes).
 
     Real decode: IHDR parse, zlib inflate of all IDAT chunks, per-row
-    filter reversal; palette (colour type 3) indices are expanded to
-    RGB via the PLTE lookup, so the returned bytes are always actual
-    pixel values (16-bit samples stay big-endian 2-byte pairs). Raises
-    ValueError on anything that is not an 8/16-bit non-interlaced
-    grey/RGB or 8-bit palette PNG — unsupported inputs fail loudly.
+    filter reversal (per Adam7 pass when interlaced, with pixels
+    scattered back to their image positions); palette (colour type 3)
+    indices are expanded to RGB via the PLTE lookup, so the returned
+    bytes are always actual pixel values (16-bit samples stay
+    big-endian 2-byte pairs). Raises ValueError on anything that is
+    not an 8/16-bit grey/RGB or 8-bit palette PNG — unsupported inputs
+    fail loudly.
     """
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
@@ -183,37 +264,37 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
         raise ValueError(
             f"unsupported PNG: bit_depth={bit_depth} color_type={color_type}"
         )
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     bpp = _CHANNELS[color_type] * (bit_depth // 8)
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("IDAT payload does not match dimensions")
-    out = bytearray()
-    prior = b"\x00" * stride
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 1:
-            for i in range(stride):
-                row[i] = (row[i] + (row[i - bpp] if i >= bpp else 0)) & 0xFF
-        elif ftype == 2:
-            for i in range(stride):
-                row[i] = (row[i] + prior[i]) & 0xFF
-        elif ftype == 3:
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + (a + prior[i]) // 2) & 0xFF
-        elif ftype == 4:
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                c = prior[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + _paeth(a, prior[i], c)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad scanline filter {ftype}")
-        out += row
-        prior = bytes(row)
+    if interlace == 1:
+        out = bytearray(stride * height)
+        pos_r = 0
+        for p in _ADAM7:
+            x0, y0, dx, dy = p
+            wp, hp = _pass_dims(width, height, p)
+            if wp == 0 or hp == 0:
+                continue
+            size = (wp * bpp + 1) * hp
+            if pos_r + size > len(raw):
+                raise ValueError("IDAT payload truncated mid-Adam7-pass")
+            sub = _unfilter(raw[pos_r : pos_r + size], hp, wp * bpp, bpp)
+            pos_r += size
+            for j in range(hp):
+                y = y0 + j * dy
+                for i in range(wp):
+                    x = x0 + i * dx
+                    out[(y * width + x) * bpp : (y * width + x) * bpp + bpp] = sub[
+                        (j * wp + i) * bpp : (j * wp + i) * bpp + bpp
+                    ]
+        if pos_r != len(raw):
+            raise ValueError("IDAT payload does not match Adam7 pass dimensions")
+    else:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("IDAT payload does not match dimensions")
+        out = _unfilter(raw, height, stride, bpp)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

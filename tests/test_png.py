@@ -86,6 +86,39 @@ def test_roundtrip_16bit_gray_and_rgb():
     ) == (w, h, 16, 2, rgb16)
 
 
+def test_roundtrip_adam7_interlaced():
+    """Adam7: seven sub-image passes, each independently filtered, must
+    scatter back to the exact original pixels — across grey, RGB,
+    palette and 16-bit, and at dims both below and above the 8x8 tile
+    (small dims leave some passes empty)."""
+    for w, h in ((1, 1), (3, 2), (8, 8), (13, 11)):
+        px = _gray(w, h, seed=w * 17 + h)
+        assert decode_png(encode_png(w, h, px, interlace=True)) == (w, h, 8, 0, px)
+    w, h = 10, 9
+    rgb = bytes((x * 3 + y * 5 + c) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    assert decode_png(
+        encode_png(w, h, rgb, color_type=2, interlace=True)
+    ) == (w, h, 8, 2, rgb)
+    palette = [(9, 8, 7), (1, 2, 3), (200, 100, 50)]
+    idx = bytes((x + 2 * y) % 3 for y in range(h) for x in range(w))
+    expected = bytes(b for i in idx for b in palette[i])
+    assert decode_png(
+        encode_png(w, h, idx, color_type=3, palette=palette, interlace=True)
+    ) == (w, h, 8, 3, expected)
+    g16 = bytes(((31 * y + 7 * x + c) * 89) % 256
+                for y in range(h) for x in range(w) for c in range(2))
+    assert decode_png(
+        encode_png(w, h, g16, bit_depth=16, interlace=True)
+    ) == (w, h, 16, 0, g16)
+
+
+def test_adam7_truncated_pass_raises():
+    p = bytearray(encode_png(13, 11, _gray(13, 11), interlace=True))
+    with pytest.raises((ValueError, zlib.error)):
+        decode_png(bytes(p[:-25]))
+
+
 def test_16bit_palette_rejected():
     with pytest.raises(ValueError, match="unsupported bit_depth"):
         encode_png(1, 1, b"\x00", color_type=3,

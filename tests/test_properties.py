@@ -333,6 +333,26 @@ def test_png_decoder_never_misparses_garbage(data):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color_type=st.sampled_from([0, 2]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_png_adam7_roundtrip_any_dims(w, h, color_type, seed):
+    """Interlaced and non-interlaced encodings of the same pixels must
+    decode identically — dims up to 20 exercise empty, partial and full
+    Adam7 passes."""
+    from test_dataengineer2026_spark.multimodal.png import decode_png, encode_png
+
+    n = w * h * (1 if color_type == 0 else 3)
+    px = bytes((seed + 41 * i) % 256 for i in range(n))
+    plain = decode_png(encode_png(w, h, px, color_type=color_type))
+    laced = decode_png(encode_png(w, h, px, color_type=color_type, interlace=True))
+    assert plain == laced == (w, h, 8, color_type, px)
+
+
+@given(
     w=st.integers(min_value=1, max_value=10),
     h=st.integers(min_value=1, max_value=10),
     color_type=st.sampled_from([0, 2]),
