@@ -123,17 +123,25 @@ def main() -> None:
     # CPU canary). A stalled sample says nothing about the plan — rerun
     # anything >3x the suite median once and keep the min, disclosing
     # which queries were rescued.
-    med = sorted(timings.values())[len(timings) // 2]
+    # Fixpoint loop: two simultaneous stalls inflate the suite median
+    # enough to hide each other from a single 3x-median scan, so rescan
+    # after every rescue pass until no new query crosses the threshold.
     reran: dict[str, dict[str, float]] = {}
-    for name, t in list(timings.items()):
-        if t > 3 * med:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            rerun_t = round(time.perf_counter() - t0, 3)
-            timings[name] = min(t, rerun_t)
-            # disclose the full magnitude of every rescue, not just the name
-            reran[name] = {"original": t, "rerun": rerun_t, "kept": timings[name]}
+    for _ in range(3):
+        med = sorted(timings.values())[len(timings) // 2]
+        hit = False
+        for name, t in list(timings.items()):
+            if t > 3 * med and name not in reran:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                rerun_t = round(time.perf_counter() - t0, 3)
+                timings[name] = min(t, rerun_t)
+                # disclose the full magnitude of every rescue, not just names
+                reran[name] = {"original": t, "rerun": rerun_t, "kept": timings[name]}
+                hit = True
+        if not hit:
+            break
     # Variance pinning (round-4 verdict item 6): J1/M4 showed small
     # nominal regressions vs r1 that were within canary noise but
     # unproven — sample them n=5 and record the band. The HEADLINE
