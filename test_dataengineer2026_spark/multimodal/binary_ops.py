@@ -197,10 +197,15 @@ def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
     integer arithmetic a SQL oracle reproduces, unlike area-averaging),
     then set bit gy*8+gx iff the sampled pixel exceeds the grid mean.
     The hash is therefore always exactly 64 bits regardless of image
-    size — no int64 overflow for large images. The threshold uses the
-    integer form 64*v > sum(grid) (equivalent to v > mean) so no float
-    crosses an engine boundary; the unsigned 64-bit value is mapped to
-    signed two's-complement to fit the declared ``long`` column.
+    size — no int64 overflow for large images. Multi-channel images
+    (RGB, PLTE-expanded palette) use the per-pixel channel SUM as the
+    luminance proxy — integer-exact, and scale-free under the
+    threshold, so a grey image and its r=g=b RGB expansion hash
+    identically; 16-bit samples are taken at full precision. The
+    threshold uses the integer form 64*v > sum(grid) (equivalent to
+    v > mean) so no float crosses an engine boundary; the unsigned
+    64-bit value is mapped to signed two's-complement to fit the
+    declared ``long`` column.
     Images with similar luminance structure collide, so downstream
     dedup is an equi-join on the hash (or banded Hamming buckets),
     never pairwise pixel comparison."""
@@ -210,12 +215,24 @@ def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _depth, _ctype, pixels = decode_png(bytes(payload))
-                grid = [
-                    pixels[(gy * h // 8) * w + (gx * w // 8)]
-                    for gy in range(8)
-                    for gx in range(8)
-                ]
+                w, h, depth, ctype, pixels = decode_png(bytes(payload))
+                # bytes per pixel in the decoded buffer: palette (type 3)
+                # comes back PLTE-expanded to RGB, so it is 3-channel here
+                n_ch = {0: 1, 2: 3, 3: 3}[ctype]
+                bpp = n_ch * (depth // 8)
+                grid = []
+                for gy in range(8):
+                    for gx in range(8):
+                        off = ((gy * h // 8) * w + (gx * w // 8)) * bpp
+                        px = pixels[off : off + bpp]
+                        if depth == 16:  # big-endian sample pairs
+                            v = sum(
+                                (px[c] << 8) | px[c + 1]
+                                for c in range(0, bpp, 2)
+                            )
+                        else:  # channel SUM, not mean: integer-exact and
+                            v = sum(px)  # scale-free under the 64*v > total test
+                        grid.append(v)
                 total = sum(grid)
                 ahash = 0
                 for idx, v in enumerate(grid):

@@ -248,6 +248,29 @@ def test_ahash_is_64_bit_bounded_and_correct(spark):
     assert (rows[1]["width"], rows[1]["height"]) == (64, 64)
 
 
+def test_ahash_rgb_matches_grey_expansion(spark):
+    """Channel-aware sampling: an RGB image with r=g=b must hash
+    identically to its greyscale original (channel sum is scale-free
+    under the 64*v > total threshold), and a 16-bit deepening of the
+    same image (v*257 per sample) must too."""
+    from test_dataengineer2026_spark.multimodal.binary_ops import decode_png_ahash
+
+    w, h = 12, 10
+    g = _gray(w, h, seed=7)
+    rgb = bytes(b for v in g for b in (v, v, v))
+    g16 = bytes(b for v in g for b in (v, v))  # v*257 big-endian == (v, v)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(w, h, g))),
+            (2, bytearray(encode_png(w, h, rgb, color_type=2))),
+            (3, bytearray(encode_png(w, h, g16, bit_depth=16))),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["ahash"] for r in decode_png_ahash(df).collect()}
+    assert got[1] == got[2] == got[3]
+
+
 def test_wav_layout_is_canonical_riff():
     import struct
 
