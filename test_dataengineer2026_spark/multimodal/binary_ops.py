@@ -144,9 +144,13 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
     """REAL image decode over binary PNG payloads via mapInPandas:
     IHDR parse + zlib IDAT inflate + scanline filter reversal, then
-    SQL-checkable pixel statistics. Arrow batches cross to Python once
-    per batch; at 100 TB this runs decoder-parallel on executors with
-    nothing on the driver."""
+    SQL-checkable pixel statistics. Per-pixel value = integer channel
+    sum (16-bit samples at full big-endian precision) — identical to
+    the raw byte for 8-bit greyscale, well-defined for RGB/palette/
+    16-bit instead of mislabeled byte stats; n_pixels is the true
+    pixel count, not the buffer length. Arrow batches cross to Python
+    once per batch; at 100 TB this runs decoder-parallel on executors
+    with nothing on the driver."""
     from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -154,6 +158,23 @@ def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, depth, ctype, pixels = decode_png(bytes(payload))
+                n_ch = {0: 1, 2: 3, 3: 3}[ctype]
+                bpp = n_ch * (depth // 8)
+                if depth == 16:
+                    vals = [
+                        sum(
+                            (pixels[o + c] << 8) | pixels[o + c + 1]
+                            for c in range(0, bpp, 2)
+                        )
+                        for o in range(0, len(pixels), bpp)
+                    ]
+                elif bpp == 1:
+                    vals = pixels  # grey-8: bytes ARE the pixel values
+                else:
+                    vals = [
+                        sum(pixels[o : o + bpp])
+                        for o in range(0, len(pixels), bpp)
+                    ]
                 rows.append(
                     (
                         doc_id,
@@ -161,10 +182,10 @@ def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
                         h,
                         depth,
                         ctype,
-                        len(pixels),
-                        sum(pixels),
-                        min(pixels),
-                        max(pixels),
+                        w * h,
+                        sum(vals),
+                        min(vals),
+                        max(vals),
                     )
                 )
             yield pd.DataFrame(
