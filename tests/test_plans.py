@@ -705,6 +705,21 @@ def test_sql23_q20_nested_semi_join_no_cartesian(spark):
     ), a
 
 
+def test_sql24_q11_threshold_is_uncorrelated_scalar(spark):
+    """SQL24 (TPC-H Q11): the fraction threshold plans as an
+    uncorrelated scalar Subquery — computed once, broadcast into the
+    filter — with every join a hash join; a correlated rewrite would
+    re-aggregate the corpus per part."""
+    a = _audit(spark, "SQL24_tpch_q11")
+    p = plan_string(QS["SQL24_tpch_q11"](spark, SF_DIR_MID), "simple")
+    assert "Subquery" in p, p
+    assert "CartesianProduct" not in p, p
+    assert a["joins"] and all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for j in a["joins"]
+    ), a
+
+
 #: Queries whose construction executes work (streaming runs, sink
 #: writes, staged feeds) — excluded from the lazy plan sweep.
 _EXECUTING_TAGS = {"streaming", "sink", "sources", "layout", "schema-evolution"}
