@@ -516,3 +516,36 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q(0.95).alias("p95_bin_floor"),
         q(0.99).alias("p99_bin_floor"),
     )
+
+
+@register(
+    "A14_cube",
+    oracle=f"""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: CUBE — all four grouping sets (both keys, each key alone,
+    grand total) in ONE pass. Completes the grouping-analytics family
+    next to A6's ROLLUP: Spark expands the cube map-side and still
+    plans a single two-phase hash aggregation, so the 100 TB cost is
+    one shuffle of O(groups x 4) partial states, never four scans.
+    GROUPING() bits disambiguate subtotal rows from genuine NULL keys
+    on both engines."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority"))
+        .cast("long")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )

@@ -175,3 +175,31 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return a.subtract(b)
+
+
+@register(
+    "U5_unpivot_melt",
+    oracle="""
+SELECT event_id, 'value' AS metric, CAST(value AS DOUBLE) AS metric_value
+FROM events WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, 'user_id' AS metric, CAST(user_id AS DOUBLE) AS metric_value
+FROM events WHERE event_id % 7 = 0
+""",
+    tags=("setop", "reshape"),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: unpivot/melt — the wide-to-long reshape (A7's pivot run in
+    reverse) via the first-class DataFrame.unpivot API. Semantically a
+    UNION ALL of per-column projections (the oracle's spelling), but
+    Spark plans it as a single Expand node over one scan: at 100 TB
+    the table is read ONCE and each row fans out to k metric rows
+    map-side, no shuffle, no k scans. Ids cast exactly into the shared
+    double value column (< 2^53, lossless)."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return e.select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.col("user_id").cast("double").alias("user_id"),
+    ).unpivot("event_id", ["value", "user_id"], "metric", "metric_value")

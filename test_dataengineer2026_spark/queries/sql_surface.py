@@ -842,3 +842,32 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL24)
+
+
+_SQL25_ORACLE = """
+SELECT d.doc_id, t.token, COUNT(*) AS n
+FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+WHERE d.doc_id % 11 = 0 AND t.token <> ''
+GROUP BY 1, 2
+"""
+
+
+@register("SQL25_lateral_view_explode", oracle=_SQL25_ORACLE, tags=("sql", "lateral"))
+def lateral_view_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: LATERAL VIEW explode — the SQL spelling of the
+    token fan-out the T-family does via the DataFrame API. The lateral
+    correlation plans as a Generate node fused into the scan stage
+    (map-side fan-out, no join, no shuffle before the aggregation);
+    empty tokens from consecutive delimiters are filtered identically
+    on both engines."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT d.doc_id, t.token, COUNT(*) AS n
+FROM documents d
+LATERAL VIEW explode(split(d.text, ' ')) t AS token
+WHERE d.doc_id % 11 = 0 AND t.token != ''
+GROUP BY 1, 2
+"""
+    )

@@ -720,6 +720,36 @@ def test_sql24_q11_threshold_is_uncorrelated_scalar(spark):
     ), a
 
 
+def test_cube_single_pass(spark):
+    """A14: CUBE plans one scan + Expand + two-phase aggregation with a
+    single exchange — never four scans for the four grouping sets."""
+    a = _audit(spark, "A14_cube")
+    p = plan_string(QS["A14_cube"](spark, SF_DIR_MID), "simple")
+    assert "Expand" in p and "partial_count" in p, p
+    assert a["exchanges"] == 1 and p.count("FileScan") == 1, a
+
+
+def test_unpivot_is_map_only(spark):
+    """U5: unpivot reads the table ONCE and fans rows out map-side
+    (Expand) — zero joins, zero exchanges, one scan."""
+    a = _audit(spark, "U5_unpivot_melt")
+    p = plan_string(QS["U5_unpivot_melt"](spark, SF_DIR_MID), "simple")
+    assert "Expand" in p, p
+    assert a["joins"] == [] and a["exchanges"] == 0, a
+    assert p.count("FileScan") == 1, p
+
+
+def test_lateral_view_fuses_into_scan_stage(spark):
+    """SQL25: LATERAL VIEW explode plans as a Generate fused before the
+    aggregation — no join against the generated rows, one scan, one
+    exchange (the group-by)."""
+    a = _audit(spark, "SQL25_lateral_view_explode")
+    p = plan_string(QS["SQL25_lateral_view_explode"](spark, SF_DIR_MID), "simple")
+    assert "Generate" in p, p
+    assert a["joins"] == [] and a["exchanges"] == 1, a
+    assert p.count("FileScan") == 1, p
+
+
 #: Queries whose construction executes work (streaming runs, sink
 #: writes, staged feeds) — excluded from the lazy plan sweep.
 _EXECUTING_TAGS = {"streaming", "sink", "sources", "layout", "schema-evolution"}
