@@ -15,10 +15,11 @@ deferred low-stakes exhibits.
 ROUND-5 WINDOW PLAN: after round 4 the unverified residue is exactly
 W4b_ntile_global + F9c_to_json (deferred below) plus what registered
 after round 4's rotation was pinned: SQL23_tpch_q20, SQL24_tpch_q11,
-A14_cube, U5_unpivot_melt, SQL25_lateral_view_explode — 7 names total.
-All of those go in round 5's DRIVER_PRIORITY; net-new registration is
-frozen until the residue clears (cap: round-5 window must absorb all of
-it, so further additions stay <= 43).
+A14_cube, U5_unpivot_melt, SQL25_lateral_view_explode, U6_except_all,
+J16_null_safe_join — 9 names total (scripts/next_window.py recomputes
+this mechanically). All of those go in round 5's DRIVER_PRIORITY;
+net-new registration is frozen until the residue clears (cap: round-5
+window must absorb all of it, so further additions stay <= 41).
 """
 
 from __future__ import annotations
@@ -122,7 +123,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 207
+EXPECTED_MIN_QUERIES = 209
 
 _loaded = False
 

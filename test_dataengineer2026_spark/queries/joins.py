@@ -394,3 +394,42 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice").alias("urgent_revenue"),
     )
+
+
+@register(
+    "J16_null_safe_join",
+    oracle="""
+WITH s AS (
+  SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS grp FROM supplier
+), n AS (
+  SELECT n_nationkey, NULLIF(n_nationkey % 5, 0) AS grp FROM nation
+)
+SELECT s.s_suppkey, n.n_nationkey, s.grp
+FROM s JOIN n ON s.grp IS NOT DISTINCT FROM n.grp
+""",
+    tags=("join", "nullsafe"),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: null-safe equi-join (<=> / IS NOT DISTINCT FROM) — NULL
+    keys MATCH each other instead of vanishing, the semantics entity
+    resolution needs when the blocking key is missing (X11 routes
+    null-keyed records separately for exactly this reason). The NULL
+    group is synthesized deterministically via NULLIF since the corpus
+    has no natural NULL keys. Catalyst treats <=> as a true equi-join
+    key (Coalesce+isnull tuple), so this still plans as a hash join —
+    never a nested-loop over the NULL partition; the NULL group rides
+    ONE hash bucket, which is the thing to watch for skew at 100 TB
+    (a mostly-null key column wants X11's route-around instead)."""
+    apply_runtime_confs(spark)
+    s = tables.load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("grp"),
+    )
+    n = tables.load(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("n_grp"),
+    )
+    return (
+        s.join(n, s["grp"].eqNullSafe(n["n_grp"]), "inner")
+        .select("s_suppkey", "n_nationkey", "grp")
+    )

@@ -203,3 +203,28 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.col("user_id").cast("double").alias("user_id"),
     ).unpivot("event_id", ["value", "user_id"], "metric", "metric_value")
+
+
+@register(
+    "U6_except_all",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    tags=("setop",),
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: EXCEPT ALL — multiset difference (U4's EXCEPT keeps one copy
+    per key; this keeps max(n_left - n_right, 0) copies, the semantics
+    batch reconciliation actually needs). Spark plans it as a single
+    hash aggregation counting per-side multiplicities then regenerating
+    rows — one shuffle on the key, never a sort or a per-row anti-join
+    loop, so 100 TB costs the same as a group-by."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    a = o.select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)

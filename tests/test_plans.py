@@ -750,6 +750,25 @@ def test_lateral_view_fuses_into_scan_stage(spark):
     assert p.count("FileScan") == 1, p
 
 
+def test_null_safe_join_is_hash_join(spark):
+    """J16: <=> must plan as a HASH join (Catalyst canonicalizes the
+    null-safe equality into a join key) — a BroadcastNestedLoopJoin
+    here would mean the null-matching semantics fell out of the
+    equi-join path."""
+    a = _audit(spark, "J16_null_safe_join")
+    assert a["joins"] == ["BroadcastHashJoin"], a
+    assert a["exchanges"] == 0, a
+
+
+def test_except_all_is_single_shuffle_aggregate(spark):
+    """U6: EXCEPT ALL plans as multiplicity-counting aggregation — one
+    exchange on the key, no join, no sort."""
+    a = _audit(spark, "U6_except_all")
+    p = plan_string(QS["U6_except_all"](spark, SF_DIR_MID), "simple")
+    assert a["joins"] == [] and a["exchanges"] == 1, a
+    assert "HashAggregate" in p, p
+
+
 #: Queries whose construction executes work (streaming runs, sink
 #: writes, staged feeds) — excluded from the lazy plan sweep.
 _EXECUTING_TAGS = {"streaming", "sink", "sources", "layout", "schema-evolution"}
