@@ -159,7 +159,7 @@ def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, depth, ctype, pixels = decode_png(bytes(payload))
                 n_ch = {0: 1, 2: 3, 3: 3}[ctype]
-                bpp = n_ch * (depth // 8)
+                bpp = n_ch * max(1, depth // 8)
                 if depth == 16:
                     vals = [
                         sum(
@@ -238,9 +238,10 @@ def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, depth, ctype, pixels = decode_png(bytes(payload))
                 # bytes per pixel in the decoded buffer: palette (type 3)
-                # comes back PLTE-expanded to RGB, so it is 3-channel here
+                # comes back PLTE-expanded to RGB, so it is 3-channel
+                # here; sub-byte grey unpacks to one byte per sample
                 n_ch = {0: 1, 2: 3, 3: 3}[ctype]
-                bpp = n_ch * (depth // 8)
+                bpp = n_ch * max(1, depth // 8)
                 grid = []
                 for gy in range(8):
                     for gx in range(8):

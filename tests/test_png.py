@@ -119,6 +119,32 @@ def test_adam7_truncated_pass_raises():
         decode_png(bytes(p[:-25]))
 
 
+def test_roundtrip_sub_byte_depths():
+    """1/2/4-bit grey and palette: samples travel one-per-byte unscaled,
+    pack MSB-first into scanlines (with pad bits at row ends), and
+    round-trip bit-exactly — plain and Adam7-interlaced."""
+    for depth in (1, 2, 4):
+        w, h = 11, 7  # 11 samples/row => every depth leaves pad bits
+        mx = 1 << depth
+        px = bytes((x + 3 * y) % mx for y in range(h) for x in range(w))
+        assert decode_png(encode_png(w, h, px, bit_depth=depth)) == (
+            w, h, depth, 0, px
+        )
+        assert decode_png(
+            encode_png(w, h, px, bit_depth=depth, interlace=True)
+        ) == (w, h, depth, 0, px)
+        palette = [(i * 5, i * 7 % 256, i * 11 % 256) for i in range(mx)]
+        expected = bytes(b for i in px for b in palette[i])
+        assert decode_png(
+            encode_png(w, h, px, color_type=3, palette=palette, bit_depth=depth)
+        ) == (w, h, depth, 3, expected)
+
+
+def test_sub_byte_sample_range_enforced():
+    with pytest.raises(ValueError, match="exceeds 2-bit range"):
+        encode_png(2, 1, bytes([1, 4]), bit_depth=2)
+
+
 def test_16bit_palette_rejected():
     with pytest.raises(ValueError, match="unsupported bit_depth"):
         encode_png(1, 1, b"\x00", color_type=3,
@@ -164,8 +190,8 @@ def test_decode_rejects_non_png():
 
 
 def test_decode_rejects_unsupported_depth():
-    # hand-build a 4-bit IHDR (sub-byte depths are not supported)
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    # hand-build a 4-bit RGB IHDR — a combination the PNG spec forbids
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0)
     chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr)
     )

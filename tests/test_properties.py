@@ -353,6 +353,23 @@ def test_png_adam7_roundtrip_any_dims(w, h, color_type, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=14),
+    h=st.integers(min_value=1, max_value=14),
+    depth=st.sampled_from([1, 2, 4]),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_png_sub_byte_roundtrip_any_dims(w, h, depth, interlace, seed):
+    from test_dataengineer2026_spark.multimodal.png import decode_png, encode_png
+
+    px = bytes((seed + 17 * i) % (1 << depth) for i in range(w * h))
+    assert decode_png(
+        encode_png(w, h, px, bit_depth=depth, interlace=interlace)
+    ) == (w, h, depth, 0, px)
+
+
+@given(
     w=st.integers(min_value=1, max_value=10),
     h=st.integers(min_value=1, max_value=10),
     color_type=st.sampled_from([0, 2]),
