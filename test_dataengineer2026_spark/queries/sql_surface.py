@@ -598,10 +598,10 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL17 = """
 SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
             THEN 'SLOW' ELSE 'FAST' END AS ship_bucket,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
