@@ -52,13 +52,19 @@ def decode_image(payload: bytes) -> tuple[int, int, int, int, bytes]:
     PNG decodes natively (pure-stdlib ``multimodal.png``); other formats
     go through PIL when present, else raise ValueError — unsupported
     input is an explicit error, never a silent fake.
+
+    The returned (depth, channels) always describe the RETURNED buffer:
+    palette PNGs come back PLTE-expanded to 8-bit RGB, so they report
+    depth 8 / 3 channels regardless of the file's declared index depth
+    — stride and sample range derived from the tuple are always right.
     """
     from test_dataengineer2026_spark.multimodal import png  # noqa: PLC0415
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, depth, color_type, pixels = png.decode_png(payload)
-        # palette (type 3) is expanded to RGB by the decoder -> 3 channels
-        return w, h, depth, {0: 1, 2: 3, 3: 3}[color_type], pixels
+        if color_type == 3:  # PLTE-expanded: buffer is 8-bit RGB
+            return w, h, 8, 3, pixels
+        return w, h, depth, {0: 1, 2: 3, 4: 2, 6: 4}[color_type], pixels
     try:
         import io  # noqa: PLC0415
 
@@ -158,7 +164,10 @@ def decode_png_features(df_with_payload: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, depth, ctype, pixels = decode_png(bytes(payload))
-                n_ch = {0: 1, 2: 3, 3: 3}[ctype]
+                # decoded-buffer channels: palette is PLTE-expanded RGB;
+                # alpha types (4/6) include their alpha sample in the
+                # per-pixel channel sum
+                n_ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[ctype]
                 bpp = n_ch * max(1, depth // 8)
                 if depth == 16:
                     vals = [
@@ -239,8 +248,10 @@ def decode_png_ahash(df_with_payload: DataFrame) -> DataFrame:
                 w, h, depth, ctype, pixels = decode_png(bytes(payload))
                 # bytes per pixel in the decoded buffer: palette (type 3)
                 # comes back PLTE-expanded to RGB, so it is 3-channel
-                # here; sub-byte grey unpacks to one byte per sample
-                n_ch = {0: 1, 2: 3, 3: 3}[ctype]
+                # here; alpha types (4/6) contribute their alpha sample
+                # to the luminance-proxy sum; sub-byte grey unpacks to
+                # one byte per sample
+                n_ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}[ctype]
                 bpp = n_ch * max(1, depth // 8)
                 grid = []
                 for gy in range(8):

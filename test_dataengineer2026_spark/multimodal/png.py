@@ -7,18 +7,18 @@ zlib stream of filtered scanlines (one leading filter byte per row,
 filter types 0-4: None/Sub/Up/Average/Paeth, RFC 2083 §6). Decoding =
 parse IHDR, inflate the concatenated IDATs, reverse the per-row filter.
 
-The decoder handles every spec-legal depth/type combination except
-16-bit palette (which the spec itself forbids): greyscale (colour type
-0) at 1/2/4/8/16 bits, RGB (colour type 2) at 8/16, palette (colour
-type 3, PLTE lookup expanded to RGB — palette PNGs are common in real
-corpora) at 1/2/4/8, and Adam7 interlacing (seven sub-image passes,
-each filtered independently, RFC 2083 §2.6) for all of those. 16-bit
-pixels come back as raw big-endian 2-byte samples with bit_depth=16,
-and sub-byte greyscale samples come back one-per-byte UNSCALED
-(0..2^depth-1) with the true bit_depth reported — no precision is
-invented or dropped in either direction. That is a *real* decode: the
-bytes that come out are the image's actual pixels, checksummable
-against an oracle.
+The decoder handles every spec-legal depth/type combination (RFC 2083
+§4.1.1): greyscale (colour type 0) at 1/2/4/8/16 bits, RGB (colour
+type 2) at 8/16, palette (colour type 3, PLTE lookup expanded to RGB —
+palette PNGs are common in real corpora) at 1/2/4/8, grey+alpha
+(colour type 4) at 8/16, RGBA (colour type 6) at 8/16, and Adam7
+interlacing (seven sub-image passes, each filtered independently,
+RFC 2083 §2.6) for all of those. 16-bit pixels come back as raw
+big-endian 2-byte samples with bit_depth=16, and sub-byte greyscale
+samples come back one-per-byte UNSCALED (0..2^depth-1) with the true
+bit_depth reported — no precision is invented or dropped in either
+direction. That is a *real* decode: the bytes that come out are the
+image's actual pixels, checksummable against an oracle.
 
 The encoder exists so queries/tests can synthesize deterministic PNGs
 without any external fixture, and deliberately rotates through all five
@@ -37,13 +37,20 @@ import zlib
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-#: bytes per pixel *in the filtered scanline* by PNG colour type
-#: (8-bit depth only; palette scanlines carry 1 index byte per pixel)
-_CHANNELS = {0: 1, 2: 3, 3: 1}
+#: samples per pixel by PNG colour type (palette scanlines carry one
+#: index sample per pixel; alpha types carry their alpha sample)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: spec-legal bit depths per colour type (RFC 2083 §4.1.1); we support
-#: all of them (16-bit palette does not exist in the spec)
-_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8)}
+#: all of them (16-bit palette and sub-byte alpha do not exist in the
+#: spec — alpha-bearing types are 8/16-bit only)
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
 
 
 def _pack_bits(samples: bytes, width: int, depth: int) -> bytes:

@@ -44,3 +44,12 @@ def test_registry_lint():
         assert spec.oracle and spec.oracle.strip(), name
         assert spec.tags, name
         assert callable(spec.fn), name
+    # README drift guard (round-4 advice): the README table quotes the
+    # query count; it must track the registry, not rot.
+    import os
+
+    readme = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    with open(readme) as f:
+        assert f"{len(specs)} named queries" in f.read(), (
+            f"README.md query count is stale — registry holds {len(specs)}"
+        )

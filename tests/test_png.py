@@ -113,6 +113,56 @@ def test_roundtrip_adam7_interlaced():
     ) == (w, h, 16, 0, g16)
 
 
+def test_roundtrip_alpha_types():
+    """Colour types 4 (grey+alpha) and 6 (RGBA) at 8 and 16 bits: the
+    alpha sample rides in the scanline like any other channel, so the
+    filter left-neighbor distance (bpp) grows to 2/4 (8-bit) and 4/8
+    (16-bit) bytes — round-trip bit-exactly, plain and interlaced."""
+    w, h = 7, 6
+    for ctype, n_ch in ((4, 2), (6, 4)):
+        for depth in (8, 16):
+            n = n_ch * (depth // 8)
+            px = bytes(((11 * y + 5 * x + 3 * c) * 59) % 256
+                       for y in range(h) for x in range(w) for c in range(n))
+            assert decode_png(
+                encode_png(w, h, px, color_type=ctype, bit_depth=depth)
+            ) == (w, h, depth, ctype, px)
+            assert decode_png(
+                encode_png(w, h, px, color_type=ctype, bit_depth=depth,
+                           interlace=True)
+            ) == (w, h, depth, ctype, px)
+
+
+def test_alpha_sub_byte_depth_rejected():
+    with pytest.raises(ValueError, match="unsupported bit_depth"):
+        encode_png(1, 1, b"\x00\x00", color_type=4, bit_depth=4)
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 4, 6, 0, 0, 0)
+    chunk = struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr)
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_decode_image_tuple_describes_returned_buffer():
+    """decode_image's (depth, channels) must describe the buffer it
+    returns: palette comes back PLTE-expanded 8-bit RGB (depth 8, 3
+    channels, whatever the file's index depth), RGBA reports 4
+    channels — stride = w*channels*(depth//8) always holds."""
+    palette = [(10, 20, 30), (40, 50, 60)]
+    idx = bytes([0, 1, 1, 0])
+    w, h, depth, channels, px = decode_image(
+        encode_png(2, 2, idx, color_type=3, palette=palette, bit_depth=2)
+    )
+    assert (depth, channels) == (8, 3)
+    assert len(px) == w * h * channels * (depth // 8)
+    rgba = bytes(range(2 * 1 * 4))
+    w, h, depth, channels, px = decode_image(
+        encode_png(2, 1, rgba, color_type=6)
+    )
+    assert (depth, channels, px) == (8, 4, rgba)
+
+
 def test_adam7_truncated_pass_raises():
     p = bytearray(encode_png(13, 11, _gray(13, 11), interlace=True))
     with pytest.raises((ValueError, zlib.error)):
