@@ -549,3 +549,44 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "A15_grouped_percentiles",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       quantile_cont(n_chars, 0.25) AS p25_chars,
+       quantile_cont(n_chars, 0.50) AS p50_chars,
+       quantile_cont(n_chars, 0.75) AS p75_chars,
+       quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25) AS iqr_chars
+FROM documents
+GROUP BY lang
+""",
+    tags=("agg", "quantile"),
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: EXACT per-group quartiles + IQR — the verifiable sibling of
+    A13's mergeable histogram and A4's approx sketch. ``percentile`` is
+    Spark's exact interpolated quantile (identical linear-interpolation
+    definition to DuckDB's ``quantile_cont``; over integer inputs every
+    interpolation step is exact in binary64, verified bit-equal).
+
+    Scale posture: exact per-group percentiles require the group's
+    values collected per aggregation state — right when groups are
+    bounded (5 langs x ~1e5 docs/partition state here), wrong for
+    unbounded groups, which is exactly what A13 (bin histogram, O(bins)
+    state) and A4 (fixed-size sketch) are for. The three operators
+    document the accuracy/state trade-off ladder."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25D)").alias("p25_chars"),
+        F.expr("percentile(n_chars, 0.50D)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.75D)").alias("p75_chars"),
+        (
+            F.expr("percentile(n_chars, 0.75D)")
+            - F.expr("percentile(n_chars, 0.25D)")
+        ).alias("iqr_chars"),
+    )

@@ -195,3 +195,76 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@register(
+    "J17_asof_tolerance_join",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'view'
+), cand AS (
+  SELECT p.event_id, v.event_id AS prior_view_id, v.value AS prior_view_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY v.ts DESC, v.event_id DESC) AS rk
+  FROM purchases p
+  JOIN views v
+    ON v.user_id = p.user_id
+   AND v.ts <= p.ts
+   AND v.ts >= p.ts - INTERVAL 24 HOUR
+)
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       c.prior_view_id, c.prior_view_value,
+       c.prior_view_id IS NOT NULL AS matched_within_tolerance
+FROM purchases p
+LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c ON c.event_id = p.event_id
+""",
+    tags=("join", "asof"),
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: as-of join with a TOLERANCE — the latest at-or-before view,
+    but only if it happened within 24 hours of the purchase; staler
+    matches return NULL (pandas ``merge_asof(tolerance=...)`` /
+    kdb ``wj`` semantics, the usual guard against attributing a
+    purchase to a view from weeks ago).
+
+    Key identity that keeps the scale plan: the latest view overall IS
+    the latest view within tolerance whenever it qualifies, and if it
+    is too old then no older view can qualify either — so tolerance is
+    a post-filter on J10's union-tag + running-last plan (one shuffle
+    + one sort, linear per user), never a second join. The oracle
+    spells the same semantics as a windowed join for the cross-engine
+    check; that formulation is quadratic per user and stays in the
+    oracle."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("prior_view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("prior_view_value"),
+    )
+    out = asof_join_latest(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        payload=["prior_view_id", "prior_view_value", "view_ts"],
+        left_tiebreak="event_id",
+        right_tiebreak="prior_view_id",
+    )
+    within = F.col("view_ts") >= F.col("ts") - F.expr("INTERVAL 24 HOUR")
+    keep = F.col("view_ts").isNotNull() & within
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.when(keep, F.col("prior_view_id")).alias("prior_view_id"),
+        F.when(keep, F.col("prior_view_value")).alias("prior_view_value"),
+        keep.alias("matched_within_tolerance"),
+    )

@@ -433,3 +433,66 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("view_id")
         .alias("first_view_id")
     )
+
+
+@register(
+    "E6_markov_transitions",
+    oracle="""
+WITH steps AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM steps WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+         AS p_transition
+FROM pairs
+""",
+    tags=("events", "window", "agg"),
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: first-order Markov transition matrix of user event paths —
+    for every (prev_type, next_type) pair, the transition count and the
+    conditional probability P(next | prev). The aggregate view of E4's
+    per-user path trigrams: sessionized behavior models, anomaly
+    detection (improbable transitions), and synthetic-session generators
+    all start from this matrix.
+
+    Determinism: counts are exact; the probability is one BIGINT/BIGINT
+    division in binary64, written identically on both engines. Ties in
+    the event order break on event_id, so the LAG pairing is unique.
+
+    Scale posture: one shuffle on user_id + per-user sort for LAG, then
+    a map-side-combinable count into O(types^2) rows; the row-normalize
+    window runs over those ~25 rows, not the data. At 100 TB the whole
+    matrix still fits in a broadcast."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Window
+
+    e = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = steps.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(row_total).cast("double")
+        ).alias("p_transition"),
+    )

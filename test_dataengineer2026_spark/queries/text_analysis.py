@@ -841,3 +841,83 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("s_micro").cast("double") / F.count(F.lit(1)) / 1_000_000.0, 6
         ).alias("avg_surprisal_nats"),
     )
+
+
+@register(
+    "T14_zipf_rank",
+    oracle="""
+WITH tf AS (
+  SELECT term, COUNT(*) AS n_occurrences
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+), ranked AS (
+  SELECT term, n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) AS rank,
+         SUM(n_occurrences) OVER () AS total_occ
+  FROM tf
+), cum AS (
+  SELECT term, n_occurrences, rank, total_occ,
+         SUM(n_occurrences) OVER (
+           ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occ
+  FROM ranked
+)
+SELECT CAST(rank AS BIGINT) AS rank, term,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(rank * n_occurrences AS BIGINT) AS zipf_product,
+       CAST(cum_occ AS DOUBLE) / CAST(total_occ AS DOUBLE) AS cum_share
+FROM cum
+WHERE rank <= 100
+""",
+    tags=("text", "window", "agg"),
+)
+def zipf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: corpus term-frequency distribution — the top-100 terms with
+    frequency rank, Zipf product (rank x count, ~constant when the
+    corpus follows Zipf's law) and cumulative mass share. The standard
+    first diagnostic on a training corpus: a head that covers too much
+    mass means boilerplate (C10's target); a distorted tail means
+    tokenizer or scraping artifacts.
+
+    Determinism: rank breaks count ties alphabetically; counts and the
+    rank-ordered cumsum are exact BIGINT; the share is one final
+    BIGINT/BIGINT binary64 division written identically on both
+    engines.
+
+    Scale posture: explode + count is one map-side-combined shuffle on
+    term; the rank/cumsum windows are global BUT run on the vocabulary
+    (post-aggregation), not the corpus — vocab is millions of rows at
+    100 TB, and only the top-100 survive, so a TakeOrdered pre-cut
+    could bound even that; the unpartitioned window never sees a
+    data-sized input."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w_rank = W.orderBy(F.col("n_occurrences").desc(), F.col("term"))
+    ranked = tf.select(
+        "term",
+        "n_occurrences",
+        F.row_number().over(w_rank).alias("rank"),
+        F.sum("n_occurrences").over(W.partitionBy()).alias("total_occ"),
+    )
+    w_cum = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = ranked.select(
+        "term",
+        "n_occurrences",
+        "rank",
+        "total_occ",
+        F.sum("n_occurrences").over(w_cum).alias("cum_occ"),
+    ).filter(F.col("rank") <= 100)
+    return cum.select(
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "n_occurrences",
+        (F.col("rank") * F.col("n_occurrences")).cast("long").alias("zipf_product"),
+        (F.col("cum_occ").cast("double") / F.col("total_occ").cast("double")).alias(
+            "cum_share"
+        ),
+    )

@@ -325,3 +325,79 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume",
         )
     )
+
+
+@register(
+    "TS5_time_weighted_avg",
+    oracle="""
+WITH seg AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS value_micro,
+         epoch_us(ts) // 1000000 AS sec,
+         LEAD(epoch_us(ts) // 1000000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_sec
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(next_sec - sec) AS BIGINT) AS span_sec,
+       CAST(SUM(value_micro * (next_sec - sec)) AS BIGINT) AS wsum_micro_sec,
+       CAST(SUM(value_micro * (next_sec - sec)) AS DOUBLE)
+         / CAST(SUM(next_sec - sec) AS DOUBLE) / 1000000.0 AS twa_value
+FROM seg
+WHERE next_sec IS NOT NULL
+GROUP BY user_id
+HAVING SUM(next_sec - sec) > 0
+""",
+    tags=("timeseries", "window"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5: time-weighted average — each observation's value holds until
+    the next observation (piecewise-constant LOCF weighting), so
+    TWA = sum(value_i * gap_i) / sum(gap_i) over a user's segments.
+    The irregular-sampling complement of TS1/TS2: a plain AVG
+    over-weights bursts of closely-spaced events; TWA weights by how
+    long each value was actually in force (the standard definition for
+    sensor/price series).
+
+    Determinism: values floor-quantize to integer micro-units and gaps
+    to whole seconds, so both sums are exact BIGINT (bounded by
+    max_value_micro x total_span_sec ~ 1.3e15 regardless of event
+    count) and the only float ops are the two final divisions, written
+    identically on both engines. Zero-length segments (same-second
+    ties, broken by event_id) contribute zero weight on both sides.
+
+    Scale posture: one shuffle on user_id, one per-user sort for the
+    LEAD, then a map-side-combinable integer aggregation — the same
+    cost profile as any sessionization pass; nothing is proportional
+    to wall-clock span."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.select(
+        "user_id",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("value_micro"),
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.lead(F.expr("unix_micros(ts) div 1000000")).over(w).alias("next_sec"),
+    ).filter(F.col("next_sec").isNotNull())
+    gap = F.col("next_sec") - F.col("sec")
+    agg = (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(gap).alias("span_sec"),
+            F.sum(F.col("value_micro") * gap).alias("wsum_micro_sec"),
+        )
+        .filter(F.col("span_sec") > 0)
+    )
+    return agg.select(
+        "user_id",
+        "n_segments",
+        "span_sec",
+        "wsum_micro_sec",
+        (
+            F.col("wsum_micro_sec").cast("double")
+            / F.col("span_sec").cast("double")
+            / F.lit(1000000.0)
+        ).alias("twa_value"),
+    )

@@ -408,6 +408,30 @@ def test_png_palette_roundtrip_any_dims(w, h, n_colors, seed):
 
 
 @given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    color_type=st.sampled_from([4, 6]),
+    depth=st.sampled_from([8, 16]),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**SLOW)
+def test_png_alpha_roundtrip_any_dims(w, h, color_type, depth, interlace, seed):
+    """Grey+alpha (4) and RGBA (6) at 8/16-bit: the alpha sample is a
+    channel like any other, so arbitrary buffers round-trip bit-exactly
+    plain and Adam7-interlaced."""
+    from test_dataengineer2026_spark.multimodal.png import decode_png, encode_png
+
+    n_ch = {4: 2, 6: 4}[color_type]
+    n = w * h * n_ch * (depth // 8)
+    px = bytes((seed + 23 * i) % 256 for i in range(n))
+    assert decode_png(
+        encode_png(w, h, px, color_type=color_type, bit_depth=depth,
+                   interlace=interlace)
+    ) == (w, h, depth, color_type, px)
+
+
+@given(
     n=st.integers(min_value=1, max_value=200),
     rate=st.sampled_from([8000, 16000, 44100]),
     seed=st.integers(min_value=0, max_value=2**31),
