@@ -18,6 +18,7 @@ from test_dataengineer2026_spark import registry
 from test_dataengineer2026_spark.plans.audit import (
     audit,
     exchange_count,
+    join_kinds,
     plan_string,
 )
 from tests.conftest import SF_DIR_MID
@@ -802,3 +803,63 @@ def test_no_cartesian_anywhere(spark):
             offenders.append(name)
     assert not build_failures, build_failures
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (A15 / TS5 / E6 / J17 / T14)
+# ---------------------------------------------------------------------------
+
+
+def test_a15_percentiles_two_phase_single_exchange(spark):
+    """A15: exact percentile aggregates map-side partially
+    (partial_percentile) and the group-by costs exactly one exchange —
+    the shuffle carries per-group percentile states, not raw rows."""
+    p = plan_string(QS["A15_grouped_percentiles"](spark, SF_DIR_MID), "simple")
+    assert "partial_percentile" in p, p
+    assert exchange_count(p) == 1, p
+    assert not join_kinds(p), p
+
+
+def test_ts5_twa_single_exchange_reuses_partitioning(spark):
+    """TS5: the LEAD window and the per-user aggregation share ONE
+    user_id exchange — the aggregate consumes the window's partitioning
+    instead of re-shuffling; the whole query is join-free."""
+    p = plan_string(QS["TS5_time_weighted_avg"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
+    assert "Exchange hashpartitioning(user_id" in p, p
+    assert not join_kinds(p), p
+
+
+def test_e6_markov_windows_run_post_aggregation(spark):
+    """E6: the LAG pairing shuffles the data once on user_id; every
+    later exchange moves only post-aggregation rows (O(types^2)), and
+    the row-normalize window sits above the final count aggregate."""
+    p = plan_string(QS["E6_markov_transitions"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) <= 3, p
+    assert "Exchange hashpartitioning(user_id" in p, p
+    assert not join_kinds(p), p
+    # normalize window consumes aggregated counts, not raw events
+    assert p.index("Window [sum") < p.index("HashAggregate"), p
+
+
+def test_j17_tolerance_stays_join_free(spark):
+    """J17: tolerance is a post-filter on the union-tag running-last
+    as-of plan — one user_id exchange, one Window, and NO physical join
+    operator anywhere (a second join would re-shuffle the events)."""
+    p = plan_string(QS["J17_asof_tolerance_join"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
+    assert not join_kinds(p), p
+    assert "Union" in p and "last(__p" in p, p
+
+
+def test_t14_zipf_global_windows_post_aggregation(spark):
+    """T14: the only data-sized exchange is the term-count shuffle; the
+    single-partition exchange feeding the global rank/cumsum windows
+    sits ABOVE the vocabulary aggregate, never above the token
+    explode."""
+    p = plan_string(QS["T14_zipf_rank"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
+    assert "Exchange hashpartitioning(term" in p, p
+    single = p.index("Exchange SinglePartition")
+    assert single < p.index("Generate explode"), p
+    assert "HashAggregate" in p[single:], p
