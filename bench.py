@@ -142,6 +142,20 @@ def _run_suite(spark, qs) -> tuple[dict[str, float], dict[str, float], dict]:
     return timings, cold_timings, reran
 
 
+def should_rerun_suite(
+    gate_timed_out: bool, total: float, prev: dict | None
+) -> bool:
+    """Contended-round guard decision (round-4 postmortem): re-run the
+    whole suite once iff the load gate gave up AND the total deviates
+    more than SUITE_RERUN_DEVIATION from the best prior round. Pure so
+    the policy is unit-testable without Spark."""
+    return bool(
+        gate_timed_out
+        and prev
+        and abs(total - prev["value"]) / prev["value"] > SUITE_RERUN_DEVIATION
+    )
+
+
 def main() -> None:
     load_waited_sec = _wait_for_idle()
     gate_timed_out = os.getloadavg()[0] > MAX_LOAD
@@ -163,18 +177,12 @@ def main() -> None:
     canary_before = _canary_sec()
     timings, cold_timings, reran = _run_suite(spark, qs)
     total = round(sum(timings.values()), 3)
-    # Contended-round guard (round-4 postmortem): r4's gate gave up at
-    # 135 s with load 2.8 and the suite read +41% with zero plan changes
-    # — an uninterpretable headline. If the gate timed out AND the total
-    # deviates >25% from the best prior round, re-run the whole suite
-    # once and keep the cleaner (lower-total) sample, disclosing both.
+    # r4's gate gave up at 135 s with load 2.8 and the suite read +41%
+    # with zero plan changes — an uninterpretable headline. Keep the
+    # cleaner of two runs when the guard trips, disclosing both.
     suite_reruns: dict | None = None
     prev = _latest_prior_bench()
-    if (
-        gate_timed_out
-        and prev
-        and abs(total - prev["value"]) / prev["value"] > SUITE_RERUN_DEVIATION
-    ):
+    if should_rerun_suite(gate_timed_out, total, prev):
         _wait_for_idle()
         timings2, cold2, reran2 = _run_suite(spark, qs)
         total2 = round(sum(timings2.values()), 3)

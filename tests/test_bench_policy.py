@@ -1,0 +1,53 @@
+"""Unit tests for bench.py's measurement policies (no Spark needed).
+
+The bench number is a judged artifact, so its guards get the same test
+discipline as query plans: the contended-round re-run must trip exactly
+when the load gate failed AND the total is implausible vs the best
+prior round, and never otherwise (a clean-gate regression must surface
+as a real delta, not get silently re-run away).
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_rerun_requires_gate_timeout():
+    prev = {"round": 3, "value": 16.0}
+    # 2x deviation but the gate PASSED -> a genuine regression signal,
+    # never re-run
+    assert not bench.should_rerun_suite(False, 32.0, prev)
+
+
+def test_rerun_requires_deviation_beyond_band():
+    prev = {"round": 3, "value": 16.0}
+    assert not bench.should_rerun_suite(True, 16.0, prev)  # spot-on
+    assert not bench.should_rerun_suite(True, 19.9, prev)  # +24% < band
+    assert bench.should_rerun_suite(True, 20.1, prev)      # +25.6% > band
+    # deviation is symmetric: an implausibly FAST contended run is just
+    # as uninterpretable
+    assert bench.should_rerun_suite(True, 11.9, prev)
+
+
+def test_rerun_without_prior_round_never_fires():
+    assert not bench.should_rerun_suite(True, 99.0, None)
+
+
+def test_latest_prior_bench_picks_best_total():
+    """Deltas anchor to the BEST prior round, so a loaded-box round
+    can't poison later comparisons with a flattering baseline."""
+    prev = bench._latest_prior_bench()
+    assert prev is not None and "value" in prev and "queries" in prev
+    import glob
+    import json
+    import os
+
+    totals = []
+    for path in glob.glob(os.path.join(os.path.dirname(bench.__file__), "BENCH_r*.json")):
+        with open(path) as f:
+            data = json.load(f)
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        if "value" in data:
+            totals.append(data["value"])
+    assert prev["value"] == min(totals)
