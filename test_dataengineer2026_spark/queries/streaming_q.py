@@ -759,3 +759,74 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory(dedup, "m14_dedup_wm", "append")
+
+
+@register(
+    "M15_checkpoint_resume",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       {sql_dsum('value')} AS total_value
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "sink", "checkpoint"),
+)
+def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: checkpoint restart/resume — the exactly-once property that
+    makes a streaming pipeline operable. Run 1 consumes the first two
+    feed files into a parquet file sink with a checkpoint; a third file
+    then lands; run 2 starts the SAME query against the SAME checkpoint
+    and must process ONLY the new file (offset log resume), with the
+    sink's transaction log (`_spark_metadata`) exposing exactly the
+    committed files to the re-read.
+
+    The guarantee is encoded in the RESULT, not just asserted: the sink
+    re-read aggregates per event_type with ``n`` vs ``n_distinct``
+    event ids — a resume that re-processed the old files would double
+    rows and break both against the batch oracle; a resume that lost
+    the offset log would drop the third file's rows. The delta-only
+    property of run 2 is additionally pinned from query progress in
+    tests/test_streaming.py.
+
+    Scale posture: checkpoint contents are O(source offsets + operator
+    state), never O(data); the restart cost is reading the offset log —
+    this is precisely the mechanism that lets a 100 TB backfill be
+    stopped and resumed without re-reading committed input."""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        land_pending_file,
+        mark_resume_done,
+        read_staged_stream,
+        stage_events_resume,
+    )
+
+    apply_runtime_confs(spark)
+    layout = stage_events_resume(spark, sf_dir)
+
+    def run_once() -> None:
+        s = read_staged_stream(spark, layout["feed"]).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", layout["sink"])
+            .option("checkpointLocation", layout["ckpt"])
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import os
+
+    if not os.path.exists(layout["done"]):
+        run_once()  # files 00+01
+        land_pending_file(layout)  # file 02 arrives
+        run_once()  # resume: must pick up ONLY 02
+        mark_resume_done(layout, sf_dir)
+    back = spark.read.parquet(layout["sink"])
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        dsum("value").alias("total_value"),
+    )

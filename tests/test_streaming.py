@@ -325,3 +325,57 @@ def test_m12_listener_captures_progress_and_observed_metrics(spark):
     total = sum(p["num_input_rows"] for p in data)
     observed = sum(p["observed"]["t_obs"]["obs_rows"] for p in data)
     assert total == observed > 0
+
+
+def test_m15_resume_processes_only_the_new_file(spark, tmp_path):
+    """M15's core claim, pinned from query progress: restarting a
+    checkpointed stream after a new file lands processes EXACTLY the
+    new file's rows — no reprocessing of committed input, no loss —
+    and the sink re-read (via _spark_metadata) holds every event
+    exactly once."""
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_staged_stream,
+        stage_events_multifile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    multi = stage_events_multifile(spark, sf)
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for name in ("00-events.parquet", "01-events.parquet"):
+        shutil.copy2(os.path.join(multi, name), os.path.join(feed, name))
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+
+    def run_once():
+        s = read_staged_stream(spark, feed).select("event_id", "event_type")
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in (q.recentProgress or []))
+
+    n_run1 = run_once()
+    # third file lands with a newer mtime
+    dst = os.path.join(feed, "02-events.parquet")
+    shutil.copy2(os.path.join(multi, "02-events.parquet"), dst)
+    newest = max(
+        os.stat(os.path.join(feed, f)).st_mtime
+        for f in os.listdir(feed)
+        if f != "02-events.parquet"
+    )
+    os.utime(dst, (newest + 100, newest + 100))
+    n_run2 = run_once()
+
+    total = tables.load(spark, sf, "events").count()
+    n_third = spark.read.parquet(os.path.join(multi, "02-events.parquet")).count()
+    assert n_run1 == total - n_third
+    assert n_run2 == n_third  # delta only — the offset log resumed
+    back = spark.read.parquet(sink)
+    assert back.count() == total
+    assert back.select("event_id").distinct().count() == total
