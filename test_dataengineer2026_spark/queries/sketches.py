@@ -232,3 +232,87 @@ def hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_pct"),
         )
     )
+
+
+#: A16 heavy-hitter threshold: report terms with count > n_total / K.
+#: K=50 (share > 2%) sits in the corpus's stable gap — the ~30 common
+#: terms carry ~3.3% each, the rare tail ~0.1%, at every SF — so the
+#: selection is non-trivial (the tail is excluded) and SF-independent.
+HH_K = 50
+
+
+@register(
+    "A16_heavy_hitters",
+    oracle=f"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM tf
+)
+SELECT term,
+       CAST(c AS BIGINT) AS n_occurrences,
+       CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM tf, tot
+WHERE c * {HH_K} > n_total
+""",
+    tags=("agg", "sketch", "text"),
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: exact frequent items via the two-pass heavy-hitters pattern
+    — find every term with frequency > n/K without ever materializing
+    the full term histogram in one place.
+
+    Pass 1 generates CANDIDATES with bounded memory: each Arrow batch
+    emits only its LOCALLY heavy terms (batch count * K > batch size,
+    vectorized ``value_counts``, <= K survivors per batch). Pigeonhole
+    guarantees a superset: a term with global count > n/K must exceed
+    n_b/K in at least one batch, else its total could not reach n/K.
+    Pass 2 is purely relational — exact counts of the candidate set
+    (broadcast semi-join, map-side-combined count) against the 1-row
+    corpus total, with the threshold as integer math (c*K > n, no
+    float boundary).
+
+    Scale posture: the full vocabulary histogram never shuffles — only
+    O(batches * K) candidate rows and the candidate-filtered counts do.
+    At 100 TB this is the standard alternative to a vocabulary-sized
+    groupBy when only the head matters (A11's Count-Min estimates
+    counts for KNOWN keys; A16 discovers the keys, exactly). The
+    DuckDB oracle computes the same answer with the full histogram —
+    affordable at oracle scale, the thing this query avoids at 100 TB."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from test_dataengineer2026_spark.functions.text import tokens
+
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    terms = d.select(F.explode(tokens("text")).alias("term"))
+
+    def local_heavy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vc = pdf["term"].value_counts()
+            cand = vc[vc * HH_K > len(pdf)]
+            yield pd.DataFrame({"term": cand.index.astype(str)})
+
+    cands = terms.mapInPandas(local_heavy, schema="term string").distinct()
+    tf = (
+        terms.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = terms.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tf.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * HH_K > F.col("n_total"))
+        .select(
+            "term",
+            "n_occurrences",
+            (
+                F.col("n_occurrences").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+    )
