@@ -863,3 +863,22 @@ def test_t14_zipf_global_windows_post_aggregation(spark):
     single = p.index("Exchange SinglePartition")
     assert single < p.index("Generate explode"), p
     assert "HashAggregate" in p[single:], p
+
+
+def test_a16_heavy_hitters_candidates_broadcast(spark):
+    """A16: the vocabulary histogram never shuffles un-filtered — the
+    exact-count aggregation sits ABOVE a broadcast LeftSemi join on the
+    candidate set, the MapInPandas candidate stage feeds only the tiny
+    distinct (two hash exchanges total: candidate dedup + filtered
+    count), and the corpus total rides a broadcast, not a shuffle."""
+    p = plan_string(QS["A16_heavy_hitters"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 2, p
+    kinds = join_kinds(p)
+    assert "BroadcastHashJoin" in kinds and "CartesianProduct" not in kinds, p
+    assert "LeftSemi" in p, p
+    assert p.count("MapInPandas") == 1, p
+    # the semi filter is below the counting aggregate: the first
+    # HashAggregate over term (the count) must have the semi join inside
+    # its subtree
+    count_at = p.index("partial_count")
+    assert "BroadcastHashJoin" in p[count_at:], p
