@@ -288,3 +288,85 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc").cast("long").alias("min_member"),
         F.max("doc").cast("long").alias("max_member"),
     ).select(F.col("cluster_id").cast("long"), "n_members", "min_member", "max_member")
+
+
+#: GR4 BFS geometry: source node and hop bound. The trade graph is a
+#: dense bipartite core, so every reachable node sits within a few hops;
+#: the bound makes both engines explore exactly the same walk space.
+BFS_SOURCE = 1
+BFS_MAX_HOPS = 6
+
+_GR4_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + {PR_SUPP_OFFSET} AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s, c FROM pairs
+),
+walk AS (
+  SELECT {BFS_SOURCE} AS node, 0 AS lvl
+  UNION
+  SELECT e.dst, w.lvl + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.lvl < {BFS_MAX_HOPS}
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(lvl) AS BIGINT) AS level
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "GR4_bfs_levels",
+    oracle=_GR4_ORACLE,
+    tags=("graph", "iterative"),
+)
+def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GR4: single-source BFS levels (shortest hop count) over the
+    customer<->supplier trade graph — the reachability/distance
+    primitive next to GR1's centrality and GR3's components. Expressed
+    as {BFS_MAX_HOPS} relational rounds of frontier-expand + min-level
+    collapse: round k discovers every node whose true distance is k, so
+    after the bound every level is final. The oracle walks the same
+    bounded space with a recursive CTE (UNION-distinct on (node, lvl)
+    guarantees termination); levels are pure integers, so the
+    cross-engine hash needs no float reasoning.
+
+    Scale: each round is one equi-join of the current level table
+    against the cached edge list (both hash-partitioned on the join
+    key) plus a min-aggregation — shuffle O(edges) per round, rounds
+    fixed; level state is O(nodes). Unreachable nodes never enter the
+    result, exactly like the oracle."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = tables.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + PR_SUPP_OFFSET).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .cache()
+    )
+    dist = spark.range(1).select(
+        F.lit(BFS_SOURCE).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("lvl"),
+    )
+    for _ in range(BFS_MAX_HOPS):
+        expanded = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("lvl").alias("lvl"))
+        )
+    return dist.select("node", F.col("lvl").cast("long").alias("level"))

@@ -397,3 +397,54 @@ def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return expired.unionByName(carried).unionByName(opened)
+
+
+@register(
+    "W8_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""",
+    tags=("window", "events"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: gaps-and-islands — per user, the longest run of CONSECUTIVE
+    active days, streak count, and total active days. The canonical
+    SQL-idiom the window family was missing: ``day - row_number()`` is
+    constant within a consecutive run (each step advances both by one),
+    so island membership becomes a plain group key — no self-join, no
+    recursion, no per-user iteration.
+
+    Everything is integer/date arithmetic — engine-identical by
+    construction. Scale: one shuffle on user_id for the distinct +
+    window (same partitioning reused), then two map-side-combinable
+    aggregations; nothing is proportional to the calendar span."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("day"))
+    isl = days.withColumn("rn", rn).withColumn(
+        "grp", F.expr("date_sub(day, rn)")
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
