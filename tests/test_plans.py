@@ -882,3 +882,31 @@ def test_a16_heavy_hitters_candidates_broadcast(spark):
     # its subtree
     count_at = p.index("partial_count")
     assert "BroadcastHashJoin" in p[count_at:], p
+
+
+def test_w8_streaks_two_exchanges_window_feeds_both_aggs(spark):
+    """W8: exactly two exchanges — the (user, day) distinct and the
+    user_id window sort; BOTH downstream aggregations ((user, island)
+    then user) reuse the window's user_id partitioning, so no exchange
+    appears above the Window operator."""
+    p = plan_string(QS["W8_activity_streaks"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 2, p
+    assert not join_kinds(p), p
+    window_at = p.index("Window [row_number")
+    assert "Exchange hashpartitioning" not in p[:window_at], p
+
+
+def test_gr4_bfs_all_rounds_equi_join(spark):
+    """GR4: the frontier expansions plan as equi joins (hash /
+    sort-merge), never a CartesianProduct. The seed round is special:
+    its literal source node constant-folds the join key into a pushed
+    `src = 1` filter, so Catalyst degenerates THAT join to a 1-row
+    BroadcastNestedLoopJoin — correct and cheaper than a hash build;
+    every data-sized round must still be a hash/merge join."""
+    from test_dataengineer2026_spark.queries.graph_q import BFS_MAX_HOPS
+
+    p = plan_string(QS["GR4_bfs_levels"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert "CartesianProduct" not in kinds, kinds
+    equi = [k for k in kinds if k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")]
+    assert len(equi) >= BFS_MAX_HOPS - 1, kinds
