@@ -380,3 +380,57 @@ def sample_frames(
     return df_with_binary.select("doc_id", "content").mapInPandas(
         op, schema=FRAME_SCHEMA
     )
+
+
+WAV_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_samples int, energy long, "
+    "n_zero_crossings int"
+)
+
+#: MM7 frame width in samples.
+WAV_FRAME = 16
+
+
+def decode_wav_frame_features(df_with_payload: DataFrame) -> DataFrame:
+    """MM7: windowed audio features over REALLY decoded PCM16 samples —
+    per fixed-width frame, the signal energy (sum of squared samples,
+    exact int64: |s| < 2^15 so a frame sum stays < 2^36) and the
+    zero-crossing count (adjacent within-frame pairs with strictly
+    negative product — the classic cheap voicing/noisiness signal).
+    Vectorized numpy inside the same Arrow batch pass as the decode;
+    the last frame is partial and reports its true sample count."""
+    import numpy as np
+
+    from test_dataengineer2026_spark.multimodal.wav import decode_wav  # noqa: PLC0415
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _nch, _depth, samples = decode_wav(bytes(payload))
+                a = np.asarray(samples, dtype=np.int64)
+                for f0 in range(0, len(a), WAV_FRAME):
+                    seg = a[f0 : f0 + WAV_FRAME]
+                    rows.append(
+                        (
+                            doc_id,
+                            f0 // WAV_FRAME,
+                            len(seg),
+                            int((seg * seg).sum()),
+                            int(((seg[:-1] * seg[1:]) < 0).sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_samples",
+                    "energy",
+                    "n_zero_crossings",
+                ],
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        op, schema=WAV_FRAME_SCHEMA
+    )

@@ -267,3 +267,48 @@ def mm_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return decode_png_ahash(synthesize_png(d))
+
+
+@register(
+    "MM7_audio_frame_features",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id, 20 + doc_id % 30 AS n_samples FROM documents
+), smp AS (
+  SELECT d.doc_id, i.i AS i,
+         (d.doc_id * 31 + i.i * 17) % 65536 - 32768 AS v
+  FROM dims d, unnest(generate_series(0, d.n_samples - 1)) AS i(i)
+), paired AS (
+  SELECT doc_id, i, v,
+         LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS v_next,
+         CAST(i // 16 AS INTEGER) AS frame_idx,
+         (i + 1) // 16 AS next_frame
+  FROM smp
+)
+SELECT doc_id, frame_idx,
+       CAST(COUNT(*) AS INTEGER) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN next_frame = frame_idx AND v * v_next < 0
+                     THEN 1 ELSE 0 END) AS INTEGER) AS n_zero_crossings
+FROM paired
+GROUP BY 1, 2
+""",
+    tags=("multimodal", "mapInPandas", "decode", "audio"),
+)
+def mm_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM7: windowed audio features over MM5's real PCM16 decode — per
+    16-sample frame, exact-integer signal energy (sum of squares) and
+    zero-crossing count (adjacent within-frame sign flips), the
+    standard cheap voicing/noisiness front-end of an audio curation
+    pipeline. Feature math is vectorized numpy inside the same Arrow
+    batch pass as the RIFF decode; the oracle recomputes every sample
+    from the closed form and re-derives both features relationally, so
+    decoder AND featurizer verify bit-for-bit. Map-only plan: zero
+    exchanges; at 100 TB this runs decoder-parallel on executors."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.multimodal.binary_ops import (
+        decode_wav_frame_features,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    return decode_wav_frame_features(synthesize_wav(d))
