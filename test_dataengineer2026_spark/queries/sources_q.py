@@ -460,3 +460,69 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+#: S16 dim selectivity: a signup with value above this marks its day hot.
+#: 250 sits in the value distribution's upper tail (signup p99 ~233), so
+#: the dim stays selective at every SF (1 of 30 days at sf0.001, ~13 at
+#: sf0.01, ~29 at sf0.1) and never empty.
+S16_HOT_VALUE = 250.0
+
+
+@register(
+    "S16_dynamic_partition_pruning",
+    oracle=f"""
+WITH hot_days AS (
+  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events
+  WHERE event_type = 'signup' AND value > {S16_HOT_VALUE}
+)
+SELECT e.day,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value')} AS total_value
+FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+      FROM events) e
+JOIN hot_days h ON h.day = e.day
+GROUP BY e.day
+""",
+    tags=("sources", "layout", "join"),
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: DYNAMIC partition pruning — the Catalyst feature that makes
+    partitioned-fact x filtered-dim stars cheap at 100 TB. The events
+    table is staged partitioned by day; the dim (days that saw a
+    high-value signup) is only knowable at runtime, so a static planner
+    must scan every fact partition. Spark instead injects a
+    `dynamicpruning` subquery into the fact scan's PartitionFilters:
+    the dim's broadcast result prunes fact partitions BEFORE they are
+    read (plan-asserted in tests/test_plans.py). At 100 TB with
+    day-partitioned storage this is the difference between scanning 30
+    days and scanning the 10 the dim selects. The oracle recomputes
+    the identical join relationally — pruning is an access-path
+    optimization, never a semantics change."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    out = _stage("s16_events_by_day", sf_dir)
+    with_day = e.withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    with_day.select("event_id", "event_type", "value", "day").write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        tables.load(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "signup") & (F.col("value") > S16_HOT_VALUE)
+        )
+        .select(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .distinct()
+    )
+    return fact.join(dim, "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

@@ -910,3 +910,15 @@ def test_gr4_bfs_all_rounds_equi_join(spark):
     assert "CartesianProduct" not in kinds, kinds
     equi = [k for k in kinds if k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")]
     assert len(equi) >= BFS_MAX_HOPS - 1, kinds
+
+
+def test_s16_dynamic_partition_pruning_fires(spark):
+    """S16: the day-partitioned fact scan must carry a `dynamicpruning`
+    PartitionFilter fed by the dim's broadcast subquery — runtime
+    partition pruning, not a full fact scan followed by a join filter.
+    The dim side keeps its static pushed filters (event_type, value)."""
+    p = plan_string(QS["S16_dynamic_partition_pruning"](spark, SF_DIR_MID), "simple")
+    assert "dynamicpruning" in p, p
+    scan_at = p.index("s16_events_by_day")
+    line = p[p.rfind("\n", 0, scan_at) : p.index("\n", scan_at)]
+    assert "PartitionFilters: [i" in line or "dynamicpruning" in p[scan_at : scan_at + 400], p
