@@ -448,3 +448,58 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum("len").cast("long").alias("active_days"),
     )
+
+
+@register(
+    "W9_trailing_time_window",
+    oracle="""
+WITH s AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) // 1000000 AS sec,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS vmic
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_24h,
+       CAST(SUM(vmic) OVER w AS BIGINT) AS trailing_value_micro
+FROM s
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "events"),
+)
+def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: RANGE-frame window — for every event, the same user's event
+    count and value sum over the TRAILING 24 HOURS (value-based frame
+    bounds), the capability ROWS frames cannot express: the frame width
+    follows the data's timestamps, not a row count. Completes the
+    window family's frame coverage (W3 rows-unbounded running, W9
+    value-range trailing).
+
+    Determinism: RANGE frames include ALL peers of the current ordering
+    value, so ties need no tiebreaker — every row's frame is a pure
+    function of (user, second). Values ride as floor-quantized integer
+    micro-units, so the in-frame sums are exact BIGINT on both engines.
+
+    Scale: one shuffle on user_id + one per-user sort; the running
+    frame is maintained incrementally per partition (add arriving rows,
+    evict aged ones) — never a per-row rescan."""
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("sec"),
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("long").alias("vmic"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-86400, W.currentRow)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_24h"),
+        F.sum("vmic").over(w).alias("trailing_value_micro"),
+    )
