@@ -17,12 +17,12 @@ Round 5 front-loads the 10-name unverified residue (clearing it makes
 the cumulative count 209/209 driver-green) and spends the 40 spare
 slots re-verifying the most load-bearing §2-core greens on round-5
 testdata, since the driver regenerates parquet per round and never
-re-checks old rows. Twelve round-5 additions (A15 exact grouped
+re-checks old rows. Thirteen round-5 additions (A15 exact grouped
 percentiles, A16 heavy hitters, TS5 time-weighted average, E6 Markov
 transitions, J17 as-of tolerance join, T14 Zipf rank, M15 checkpoint
 resume, W8 gaps-and-islands streaks, GR4 BFS levels, MM7 audio
 frame features, S16 dynamic partition pruning, W9 trailing
-time-range window) register AFTER
+time-range window, SQL26 native recursive CTE) register AFTER
 the pinned window — they displace nothing and form round 6's residue.
 """
 
@@ -131,7 +131,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 221
+EXPECTED_MIN_QUERIES = 222
 
 _loaded = False
 

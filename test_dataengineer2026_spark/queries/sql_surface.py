@@ -871,3 +871,37 @@ WHERE d.doc_id % 11 = 0 AND t.token != ''
 GROUP BY 1, 2
 """
     )
+
+
+_SQL26 = """
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE '2024-01-01'
+  UNION ALL
+  SELECT day + 1 FROM spine WHERE day < DATE '2024-01-30'
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+       d.n IS NULL AS is_gap
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+"""
+
+
+@register("SQL26_recursive_cte", oracle=_SQL26, tags=("sql", "recursive"))
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: native WITH RECURSIVE (Spark 4's recursive CTE
+    support) — a linear date-spine recursion densifying the events
+    calendar with explicit gap rows, the same identical SQL text
+    running on both engines. Linear recursion (one row per step,
+    UNION ALL — Spark does not yet accept UNION-distinct recursion) is
+    the scale-safe shape: depth = calendar span, state = one row.
+    Contrast: TS1 builds the same spine with sequence()+explode, which
+    stays the right answer for per-entity spans; this is the
+    engine-feature exhibit for fixed global spines, and the iterative
+    set-recursion alternative (where UNION ALL would blow up) lives in
+    GR4's manual rounds."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL26)
