@@ -13,17 +13,19 @@ block of TPC-H remainder + T6-13 + MM + J12e/f + V7/8 + X10-12 + M12-14
 + C13/14 extensions (49 green; SQL17 red on an oracle-typing artifact,
 fixed in round 5 and guarded by tests/test_oracle_types.py).
 
-Round 5 front-loads the 10-name unverified residue (clearing it makes
-the cumulative count 209/209 driver-green) and spends the 40 spare
-slots re-verifying the most load-bearing §2-core greens on round-5
-testdata, since the driver regenerates parquet per round and never
-re-checks old rows. Thirteen round-5 additions (A15 exact grouped
-percentiles, A16 heavy hitters, TS5 time-weighted average, E6 Markov
-transitions, J17 as-of tolerance join, T14 Zipf rank, M15 checkpoint
-resume, W8 gaps-and-islands streaks, GR4 BFS levels, MM7 audio
-frame features, S16 dynamic partition pruning, W9 trailing
-time-range window, SQL26 native recursive CTE) register AFTER
-the pinned window — they displace nothing and form round 6's residue.
+Round 5 front-loads every unverified name: the 10-name round-1..4
+residue (clearing it makes the pre-r5 registry 209/209 driver-green)
+plus the thirteen round-5 additions (A15 exact grouped percentiles,
+A16 heavy hitters, TS5 time-weighted average, E6 Markov transitions,
+J17 as-of tolerance join, T14 Zipf rank, M15 checkpoint resume, W8
+gaps-and-islands streaks, GR4 BFS levels, MM7 audio frame features,
+S16 dynamic partition pruning, W9 trailing time-range window, SQL26
+native recursive CTE) — all 23 green means 222/222 cumulative with
+zero residue for the first time. The 27 remaining slots re-verify
+the most load-bearing §2-core greens (one-plus per family) on
+round-5 testdata, since the driver regenerates parquet per round and
+never re-checks old rows (the r2 incident showed physical parquet
+types can shift between regenerations).
 """
 
 from __future__ import annotations
@@ -56,15 +58,16 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-5 WINDOW: the 10 unverified residue names first (computed by
-# scripts/next_window.py from CORRECTNESS_r01-r04 — clearing these makes
-# the cumulative driver-green count 209/209 for the first time), then 40
-# re-verification slots: the driver regenerates testdata every round and
-# never re-checks old rows, so the spare slots re-prove the most
-# load-bearing §2-core greens on round-5 parquet (the r2 incident showed
-# physical parquet types can shift between regenerations).
+# ROUND-5 WINDOW: all 23 unverified names first (computed by
+# scripts/next_window.py from CORRECTNESS_r01-r04 — the 10-name legacy
+# residue plus the 13 round-5 additions; all green → 222/222 cumulative,
+# zero residue), then 27 re-verification slots: the driver regenerates
+# testdata every round and never re-checks old rows, so the spare slots
+# re-prove the most load-bearing §2-core greens on round-5 parquet (the
+# r2 incident showed physical parquet types can shift between
+# regenerations).
 DRIVER_PRIORITY = (
-    # --- residue: the only names with no green CORRECTNESS row yet ---
+    # --- legacy residue: no green CORRECTNESS row from rounds 1-4 ---
     "SQL17_tpch_q12",  # r4 red: oracle HUGEINT typing, fixed + linted this round
     "A14_cube",
     "J16_null_safe_join",
@@ -75,39 +78,39 @@ DRIVER_PRIORITY = (
     "SQL23_tpch_q20",
     "SQL24_tpch_q11",
     "SQL25_lateral_view_explode",
-    # --- re-verification: §2-core load-bearing queries, one per family ---
+    # --- round-5 additions: registered this round, first driver check ---
+    "A15_grouped_percentiles",
+    "A16_heavy_hitters",
+    "GR4_bfs_levels",
+    "W8_activity_streaks",
+    "W9_trailing_time_window",
+    "J17_asof_tolerance_join",
+    "T14_zipf_rank",
+    "E6_markov_transitions",
+    "M15_checkpoint_resume",
+    "MM7_audio_frame_features",
+    "SQL26_recursive_cte",
+    "S16_dynamic_partition_pruning",
+    "TS5_time_weighted_avg",
+    # --- re-verification: §2-core load-bearing queries, one+ per family ---
     # aggregations
     "A1_group_agg",
-    "A3_count_distinct",
     "A6_grouping_sets_rollup",
-    "A7_pivot",
-    # joins (incl. skew + broadcast + temporal)
+    # joins (incl. broadcast + temporal)
     "J1_inner_equi_join",
-    "J2_left_outer_join",
     "J7_broadcast_join",
-    "J8_theta_join",
-    "J9_range_join",
     "J10_asof_join",
-    "J1b_salted_skew_join",
     # windows + merge semantics
     "W1_rank_topn",
-    "W3_running_agg",
     "W5_dedup_keep_latest",
     "W6_cdc_merge",
-    # sorts / sets
-    "O1_sort",
-    "U1_union_all",
     # scalar function families
-    "F1_string_funcs",
     "F3_datetime_funcs",
-    "F7_array_funcs",
     "F9_json_funcs",
     "F10_vector_math",
-    "F11_hash_funcs",
     # dedup ladder
     "D1_exact_dedup",
     "D2_minhash_lsh",
-    "D4_simhash",
     "D5_embedding_neardup",
     # similarity / ANN
     "J12_similarity_join",
