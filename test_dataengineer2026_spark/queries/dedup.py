@@ -515,3 +515,87 @@ def canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical_id"),
         (F.col("doc_id") == canonical).alias("is_kept"),
     )
+
+
+# D10 exact-substring span dedup: fixed-width token windows, hashed.
+_SPAN_W = 8  # tokens per span (shared span => >= 8-token exact overlap)
+_SPAN_DF_CAP = 50  # spans in more docs than this are boilerplate, dropped
+_SPAN_MIN_SHARED = 3  # pair survives with >= this many distinct shared spans
+
+
+@register(
+    "D10_substring_span_dedup",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN len(tok) >= {_SPAN_W}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(tok) - {_SPAN_W - 1}),
+                     i -> md5(array_to_string(tok[i:i+{_SPAN_W - 1}], ' '))))
+              ELSE [] END AS spans
+  FROM toks
+),
+posting AS (SELECT doc_id, unnest(spans) AS span_hash FROM sp),
+keep AS (
+  SELECT span_hash FROM posting
+  GROUP BY span_hash HAVING COUNT(*) <= {_SPAN_DF_CAP}
+),
+capped AS (SELECT p.doc_id, p.span_hash FROM posting p JOIN keep USING (span_hash)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+  FROM capped a JOIN capped b
+    ON a.span_hash = b.span_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared_spans
+FROM pairs WHERE n_shared_spans >= {_SPAN_MIN_SHARED}
+""",
+    tags=("dedup", "substring", "spans"),
+)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: exact substring-span dedup — the token-window analogue of
+    suffix-array training-data dedup (find document pairs sharing long
+    verbatim runs, even when whole-doc similarity is low).
+
+    Every {_SPAN_W}-token window is hashed (md5 of the joined slice, a
+    pure codegen higher-order expression — no Python); distinct span
+    hashes per doc form a posting list; a document-frequency cap drops
+    boilerplate spans (df > {_SPAN_DF_CAP}) BEFORE the pair join so the
+    fan-out per span key is bounded; pairs sharing >= {_SPAN_MIN_SHARED}
+    distinct spans survive. At 100 TB this is the same bounded
+    equi-join discipline as D3/T6: shuffle keys are span hashes, the
+    df-cap is computed with one map-side-combined count, and no
+    document text ever reaches the pair join (hashes only).
+    """
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    w = _SPAN_W
+    spans = d.select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN size(split(text, ' ')) >= {w}
+                THEN array_distinct(transform(
+                       sequence(1, size(split(text, ' ')) - {w - 1}),
+                       i -> md5(array_join(slice(split(text, ' '), i, {w}), ' '))))
+                ELSE array() END"""
+        ).alias("spans"),
+    )
+    posting = spans.select("doc_id", F.explode("spans").alias("span_hash"))
+    keep = (
+        posting.groupBy("span_hash")
+        .count()
+        .filter(F.col("count") <= _SPAN_DF_CAP)
+        .select("span_hash")
+    )
+    capped = posting.join(keep, "span_hash")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "span_hash")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "span_hash")
+    return (
+        a.join(b, "span_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_spans"))
+        .filter(F.col("n_shared_spans") >= _SPAN_MIN_SHARED)
+    )

@@ -239,3 +239,157 @@ def knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("true_label")).alias("is_correct"),
         )
     )
+
+
+_ML4_K = 8  # centroids; init = embeddings of vec_id 0..7 (deterministic)
+_ML4_DIM = 64
+
+
+def _sql_sqdist(v: str, c: str, dim: int = _ML4_DIM) -> str:
+    """Squared L2 distance as a sequential fold — same op order as the
+    Spark side's zip_with+aggregate, so the double result is
+    bit-identical across engines."""
+    t = f"(CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    return (
+        f"round(list_sum(list_transform(generate_series(1,{dim}), "
+        f"i -> {t} * {t})), 9)"
+    )
+
+
+@register(
+    "ML4_kmeans_lloyd",
+    oracle=f"""
+WITH cent0 AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_ML4_K}
+), d1 AS (
+  SELECT e.vec_id, c.cid, {_sql_sqdist('e.embedding', 'c.ce')} AS dist
+  FROM embeddings e CROSS JOIN cent0 c
+), a1 AS (
+  SELECT vec_id, cid AS c_init FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d1
+  ) WHERE rk = 1
+), mem AS (
+  SELECT a.c_init AS cid, i.i AS dim_idx, e.vec_id,
+         CAST(e.embedding[i.i] AS DOUBLE) AS v
+  FROM embeddings e JOIN a1 a USING (vec_id),
+       unnest(generate_series(1, {_ML4_DIM})) AS i(i)
+), upd AS (
+  SELECT cid, dim_idx,
+         round(list_sum(list(v ORDER BY vec_id)) / COUNT(*), 9) AS cval
+  FROM mem GROUP BY cid, dim_idx
+), cent1 AS (
+  SELECT cid, list(cval ORDER BY dim_idx) AS ce FROM upd GROUP BY cid
+), d2 AS (
+  SELECT e.vec_id, c.cid, {_sql_sqdist('e.embedding', 'c.ce')} AS dist
+  FROM embeddings e CROSS JOIN cent1 c
+), a2 AS (
+  SELECT vec_id, cid AS c_final FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM d2
+  ) WHERE rk = 1
+)
+SELECT e.vec_id, e.label,
+       CAST(a1.c_init AS INTEGER) AS c_init,
+       CAST(a2.c_final AS INTEGER) AS c_final,
+       a1.c_init <> a2.c_final AS moved
+FROM embeddings e
+JOIN a1 ON e.vec_id = a1.vec_id
+JOIN a2 ON e.vec_id = a2.vec_id
+""",
+    tags=("ml", "vector", "clustering", "iterative"),
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4: Lloyd's k-means as a fixed-point of relational operators —
+    one full assign -> update -> assign cycle (k={_ML4_K}, deterministic
+    init from the first k vectors), the iterative-algorithm pattern that
+    PageRank (GR1) and connected components (GR3) also follow: each
+    iteration is a bounded broadcast join plus one aggregation, never a
+    driver-side loop over collected data.
+
+    Cross-engine bit-determinism, the hard part of verifying float
+    iteration: every distance is a SEQUENTIAL fold over dimension index
+    (zip_with + aggregate in Spark, list_sum(list_transform(...)) in
+    DuckDB — identical IEEE op order), centroid updates sum members in
+    explicit vec_id order (sorted collect_list fold vs list(v ORDER BY
+    vec_id)), and argmin ties break on centroid id, so both engines
+    walk literally the same arithmetic. At 100 TB: centroids are a
+    k x dim broadcast (a few KB), the corpus never shuffles for
+    assignment (map-only scoring), and the update is one partial-agg
+    shuffle keyed on (cluster, dim) — at that scale the ordered fold
+    swaps for the determinism.py exact-decimal sum, same contract.
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "embeddings")
+
+    def sqdist(v, c):
+        diff2 = F.zip_with(
+            v, c, lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double"))
+        )
+        return F.round(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 9
+        )
+
+    def assign(cent, out_name):
+        from pyspark.sql import Window as W  # noqa: PLC0415
+
+        d = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", sqdist(F.col("embedding"), F.col("ce")).alias("dist")
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", F.col("cid").alias(out_name))
+        )
+
+    cent0 = e.filter(F.col("vec_id") < _ML4_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # The iteration-1 assignment feeds both the centroid update and the
+    # final output — cache it (2 longs per vector) so the broadcast-score
+    # pass runs once, the same discipline as GR1/GR3's per-round cache.
+    a1 = assign(cent0, "c_init").cache()
+    mem = (
+        e.join(a1, "vec_id")
+        .select(
+            "vec_id",
+            F.col("c_init").alias("cid"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .select(
+            "vec_id", "cid",
+            (F.col("pos") + 1).alias("dim_idx"),
+            F.col("val").cast("double").alias("v"),
+        )
+    )
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["v"],
+    )
+    upd = mem.groupBy("cid", "dim_idx").agg(
+        F.round(ordered_sum / F.count(F.lit(1)), 9).alias("cval")
+    )
+    cent1 = upd.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "cval"))),
+            lambda x: x["cval"],
+        ).alias("ce")
+    )
+    a2 = assign(cent1, "c_final")
+    return (
+        e.select("vec_id", "label")
+        .join(a1, "vec_id")
+        .join(a2, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_init").cast("int").alias("c_init"),
+            F.col("c_final").cast("int").alias("c_final"),
+            (F.col("c_init") != F.col("c_final")).alias("moved"),
+        )
+    )

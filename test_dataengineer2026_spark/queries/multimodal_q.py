@@ -312,3 +312,122 @@ def mm_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables.load(spark, sf_dir, "documents")
     return decode_wav_frame_features(synthesize_wav(d))
+
+
+# MM8 Hamming-LSH over the MM6 perceptual hash.
+_MM8_BANDS = 4  # 4 x 16-bit bands over the 64-bit aHash
+_MM8_BAND_DF_CAP = 16  # band buckets larger than this are degenerate, dropped
+_MM8_MAX_HAMMING = 2  # verified pair threshold (bits differing out of 64)
+
+
+@register(
+    "MM8_image_neardup_bands",
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 6 AS width, 2 + doc_id % 5 AS height
+  FROM documents
+), grid AS (
+  SELECT d.doc_id, gy.gy * 8 + gx.gx AS idx,
+         (d.doc_id + 31 * ((gy.gy * d.height) // 8)
+                   + 7 * ((gx.gx * d.width) // 8)) % 256 AS v
+  FROM dims d,
+       unnest(generate_series(0, 7)) AS gx(gx),
+       unnest(generate_series(0, 7)) AS gy(gy)
+), tot AS (
+  SELECT doc_id, SUM(v) AS total FROM grid GROUP BY doc_id
+), bits AS (
+  SELECT g.doc_id,
+         SUM(CASE WHEN 64 * g.v > t.total
+                  THEN 1::HUGEINT << g.idx ELSE 0::HUGEINT END) AS s
+  FROM grid g JOIN tot t USING (doc_id)
+  GROUP BY 1
+), ah AS (
+  SELECT doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                   THEN s - 18446744073709551616::HUGEINT
+                   ELSE s END AS BIGINT) AS ahash
+  FROM bits
+), bands AS (
+  SELECT doc_id, ahash, b.b AS band_idx,
+         (ahash >> (b.b * 16)) & 65535 AS band_val
+  FROM ah, unnest(generate_series(0, {_MM8_BANDS - 1})) AS b(b)
+), keepb AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) <= {_MM8_BAND_DF_CAP}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.ahash AS ha,
+                  b.doc_id AS doc_b, b.ahash AS hb
+  FROM bands a
+  JOIN keepb USING (band_idx, band_val)
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {_MM8_MAX_HAMMING}
+""",
+    tags=("multimodal", "neardup", "lsh", "mapInPandas"),
+)
+def mm_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM8: perceptual image near-dup pairs via Hamming-distance LSH
+    over MM6's 64-bit aHash — the multimodal completion of the D2
+    banding discipline: two hashes within Hamming distance r agree on
+    at least one of the {_MM8_BANDS} 16-bit bands whenever r <
+    {_MM8_BANDS}, so banding finds every pair at the verification
+    threshold ({_MM8_MAX_HAMMING} bits) with zero recall loss EXCEPT
+    inside dropped degenerate buckets.
+
+    The band df-cap (> {_MM8_BAND_DF_CAP} docs sharing a band value)
+    is the image analogue of D10's boilerplate-span cap: synthetic and
+    real corpora alike concentrate mass in a few low-entropy band
+    values (all-sky, all-black frames); capping them bounds the
+    candidate fan-out per join key, which is what makes the plan
+    survive 100 TB — candidate generation stays an equi-join on
+    (band_idx, band_val), the verify step touches only candidates,
+    and full images never reach the join (64-bit hashes only).
+    Decode+hash runs once, map-only, in Arrow-batched mapInPandas.
+    """
+    apply_runtime_confs(spark)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from test_dataengineer2026_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        decode_png_ahash,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    # Decode+hash once; the cached table is 2 longs per image and feeds
+    # both sides of the band self-join (at 100 TB this is a materialized
+    # fingerprint table, not a cache).
+    ah = decode_png_ahash(synthesize_png(d)).select("doc_id", "ahash").cache()
+    b = spark.range(_MM8_BANDS).select(F.col("id").cast("int").alias("band_idx"))
+    bands = ah.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "ahash",
+        "band_idx",
+        F.expr("shiftright(ahash, band_idx * 16) & 65535").alias("band_val"),
+    )
+    keepb = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= _MM8_BAND_DF_CAP)
+        .select("band_idx", "band_val")
+    )
+    left = bands.join(keepb, ["band_idx", "band_val"]).select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"),
+    )
+    right = bands.select(
+        "band_idx", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"),
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "ha", "doc_b", "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int")
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= _MM8_MAX_HAMMING)

@@ -922,3 +922,51 @@ def test_s16_dynamic_partition_pruning_fires(spark):
     scan_at = p.index("s16_events_by_day")
     line = p[p.rfind("\n", 0, scan_at) : p.index("\n", scan_at)]
     assert "PartitionFilters: [i" in line or "dynamicpruning" in p[scan_at : scan_at + 400], p
+
+
+# ---------------------------------------------------------------------------
+# Round-5 late additions (D10 / MM8 / ML4)
+# ---------------------------------------------------------------------------
+
+
+def test_d10_span_dedup_equi_joins_only(spark):
+    """D10: substring-span dedup never crosses — the df-cap filter and
+    the pair join are all equi-joins on span_hash, the whole pipeline is
+    pure JVM (no Python), and the exchanges are exactly: posting count
+    for the cap, the capped-posting join, the pair aggregation."""
+    p = plan_string(QS["D10_substring_span_dedup"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert kinds and all(
+        k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for k in kinds
+    ), kinds
+    assert "MapInPandas" not in p, p
+    assert "HashAggregate" in p, p
+    assert exchange_count(p) == 3, p
+
+
+def test_mm8_bands_decode_once_candidates_equi(spark):
+    """MM8: the perceptual-hash table is decoded ONCE and cached — every
+    further reference is an InMemoryTableScan — and the only
+    nested-loop shapes are the broadcast of the 4-row band table;
+    candidate generation itself is equi (BroadcastHashJoin on
+    (band_idx, band_val))."""
+    p = plan_string(QS["MM8_image_neardup_bands"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert "CartesianProduct" not in p, p
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert kinds.count("BroadcastHashJoin") >= 2, kinds
+
+
+def test_ml4_kmeans_broadcast_scoring_cached_assignment(spark):
+    """ML4: both Lloyd passes score against a BROADCAST centroid table
+    (BroadcastNestedLoopJoin of a k-row side — the corpus side never
+    shuffles to meet the centroids), the iteration-1 assignment is
+    cached (InMemoryTableScan on both its consumers), and the whole
+    iteration is JVM-side — no Python in the loop."""
+    p = plan_string(QS["ML4_kmeans_lloyd"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert "CartesianProduct" not in p, p
+    assert kinds.count("BroadcastNestedLoopJoin") >= 2, kinds
+    assert p.count("InMemoryTableScan") == 2, p
+    assert "MapInPandas" not in p, p
