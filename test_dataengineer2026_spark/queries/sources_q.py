@@ -526,3 +526,43 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "S17_orc_roundtrip",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dsum('l_extendedprice')} AS total_price,
+       CAST(SUM(l_quantity) AS BIGINT) AS total_qty,
+       MIN(l_shipdate) AS min_ship,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("sources", "sink", "orc"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: ORC sink + scan roundtrip — Spark's second native columnar
+    format, exercised on the widest value mix in the corpus (dates,
+    doubles, integers, low-cardinality strings). lineitem is written as
+    ORC, re-read, and aggregated; the oracle computes the identical
+    aggregate from the parquet source, so any value drift through the
+    ORC writer/reader (timestamp/date encoding, double bit-patterns,
+    dictionary-encoded strings) fails the hash. Like S2, the re-read
+    scan keeps pushdown and pruning — ORC carries min/max stripe stats,
+    so at 100 TB the format choice changes encoding, not plan shape."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice",
+        "l_quantity", "l_shipdate",
+    )
+    out = _stage("lineitem_orc", sf_dir)
+    sio.sink_orc(li, out)
+    back = sio.scan_orc(spark, out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.sum("l_quantity").cast("long").alias("total_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )

@@ -116,3 +116,14 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S17: ORC columnar scan — Spark-native second columnar format
+    (predicate pushdown + column pruning, like parquet)."""
+    return spark.read.orc(path)
+
+
+def sink_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S17: ORC output sink."""
+    df.write.mode(mode).orc(path)
