@@ -434,3 +434,38 @@ def decode_wav_frame_features(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         op, schema=WAV_FRAME_SCHEMA
     )
+
+
+def decode_png_status(df_with_payload: DataFrame) -> DataFrame:
+    """MM9: total (never-throwing) decode — classify every payload
+    instead of failing the task. Real pipelines meet corrupt bytes at
+    a steady rate; one bad file must quarantine ONE ROW, not kill a
+    100 TB job. Classification: 'bad_signature' (not PNG magic),
+    'corrupt' (signature ok but the decoder raised — truncation, CRC,
+    inflate, malformed chunks), 'ok' (+ true dimensions). The catch is
+    Exception-wide on purpose: any decoder failure is a data fact to
+    route, never a job failure."""
+    from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
+
+    _MAGIC = b"\x89PNG\r\n\x1a\n"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:8] != _MAGIC:
+                    rows.append((doc_id, "bad_signature", None, None))
+                    continue
+                try:
+                    w, h, _depth, _ctype, _px = decode_png(raw)
+                    rows.append((doc_id, "ok", w, h))
+                except Exception:  # noqa: BLE001 — total by design
+                    rows.append((doc_id, "corrupt", None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "width", "height"]
+            )
+
+    return df_with_payload.mapInPandas(
+        op, schema="doc_id long, status string, width int, height int"
+    )

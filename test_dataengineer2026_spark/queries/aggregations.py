@@ -590,3 +590,53 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("percentile(n_chars, 0.25D)")
         ).alias("iqr_chars"),
     )
+
+
+@register(
+    "A17_sliding_distinct",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+ue AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT d.day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM days d JOIN ue e ON e.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+    tags=("agg", "distinct", "sliding-window"),
+)
+def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: trailing-7-day distinct users (and event volume) per day —
+    the rolling-DAU/WAU aggregate that is easy to write as a range
+    self-join and impossible to run that way at 100 TB (O(days x
+    events) probe). The scalable form used here is explode-to-window:
+    pre-aggregate to (user, day) / (day, count) — the only pass over
+    raw events — then each pre-aggregated row fans out to the <= 7
+    target days it contributes to (a map-side sequence/explode of
+    bounded width), and exact distinct/sum aggregation runs per target
+    day. Shuffle volume is O(active-pairs x 7), independent of raw
+    event count; the oracle states the same window as the naive range
+    join, proving the rewrite is semantics-preserving."""
+    apply_runtime_confs(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    spine = ev.select(day).distinct()
+    week = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+    ).alias("target_day")
+    active = (
+        ev.select(day, "user_id")
+        .distinct()
+        .select("user_id", week)
+        .distinct()
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+    volume = (
+        ev.groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("n", week)
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.sum("n").cast("long").alias("n_events"))
+    )
+    return spine.join(active, "day").join(volume, "day")

@@ -431,3 +431,52 @@ def mm_image_neardup_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= _MM8_MAX_HAMMING)
+
+
+@register(
+    "MM9_corrupt_quarantine",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN 'corrupt'
+            WHEN doc_id % 7 = 1 THEN 'bad_signature'
+            ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+            ELSE CAST(3 + doc_id % 6 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 7 IN (0, 1) THEN NULL
+            ELSE CAST(2 + doc_id % 5 AS INTEGER) END AS height
+FROM documents
+""",
+    tags=("multimodal", "mapInPandas", "decode", "quarantine"),
+)
+def mm_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM9: corrupt-payload quarantine — the failure path MM4's decode
+    deliberately does NOT have (it raises loudly). Deterministic fault
+    injection over the real synthesized PNGs: every 7th payload is
+    truncated to 20 bytes (valid signature, unreadable body), every
+    7th+1 gets its first magic byte zeroed; the total decoder
+    classifies each row (bad_signature / corrupt / ok + true dims)
+    instead of throwing. The oracle states the closed form of the
+    injection, so the test proves BOTH that the decoder really fails
+    on the damaged bytes AND that it still returns exact dimensions
+    for every intact payload. At 100 TB this is the badRecordsPath
+    discipline as a first-class relational output: quarantined rows
+    stay in-band, filterable, countable, and re-processable — a
+    corrupt shard costs its rows, never the job."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from test_dataengineer2026_spark.multimodal.binary_ops import (  # noqa: PLC0415
+        decode_png_status,
+    )
+
+    d = tables.load(spark, sf_dir, "documents")
+    damaged = synthesize_png(d).select(
+        "doc_id",
+        F.expr(
+            """CASE WHEN doc_id % 7 = 0 THEN substring(payload, 1, 20)
+                    WHEN doc_id % 7 = 1
+                      THEN concat(X'00', substring(payload, 2, length(payload) - 1))
+                    ELSE payload END"""
+        ).alias("payload"),
+    )
+    return decode_png_status(damaged)

@@ -970,3 +970,28 @@ def test_ml4_kmeans_broadcast_scoring_cached_assignment(spark):
     assert kinds.count("BroadcastNestedLoopJoin") >= 2, kinds
     assert p.count("InMemoryTableScan") == 2, p
     assert "MapInPandas" not in p, p
+
+
+def test_a17_sliding_distinct_no_range_join(spark):
+    """A17: the rolling-DAU rewrite must NOT plan the naive range
+    self-join (O(days x events) at scale) — every join is an equi-join
+    on the day key, and the week fan-out is a map-side explode
+    (Generate) over pre-aggregated rows."""
+    p = plan_string(QS["A17_sliding_distinct"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert kinds and all(
+        k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for k in kinds
+    ), kinds
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    assert "Generate explode" in p, p
+
+
+def test_mm9_quarantine_is_map_only(spark):
+    """MM9: fault injection + total decode is a single map-only pipeline
+    — zero exchanges, zero joins; a corrupt payload can never cost more
+    than its own row."""
+    p = plan_string(QS["MM9_corrupt_quarantine"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 0, p
+    assert not join_kinds(p), p
+    assert "MapInPandas" in p, p
