@@ -393,3 +393,95 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_init") != F.col("c_final")).alias("moved"),
         )
     )
+
+
+@register(
+    "ML5_perceptron",
+    oracle="""
+WITH x AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(l_linenumber AS BIGINT) AS x2
+  FROM lineitem
+), e1 AS (
+  -- epoch 1 from w = (0,0,0): every margin is 0 <= 0, all rows update
+  SELECT CAST(SUM(y * x0) AS BIGINT) AS w0,
+         CAST(SUM(y * x1) AS BIGINT) AS w1,
+         CAST(SUM(y * x2) AS BIGINT) AS w2,
+         CAST(COUNT(*) AS BIGINT) AS n_mis1
+  FROM x
+), e2 AS (
+  SELECT e1.w0, e1.w1, e1.w2, e1.n_mis1,
+         CAST(SUM(CASE WHEN y * (e1.w0 * x0 + e1.w1 * x1 + e1.w2 * x2) <= 0
+                       THEN y * x0 ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN y * (e1.w0 * x0 + e1.w1 * x1 + e1.w2 * x2) <= 0
+                       THEN y * x1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN y * (e1.w0 * x0 + e1.w1 * x1 + e1.w2 * x2) <= 0
+                       THEN y * x2 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN y * (e1.w0 * x0 + e1.w1 * x1 + e1.w2 * x2) <= 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mis2
+  FROM x CROSS JOIN e1
+  GROUP BY 1, 2, 3, 4
+)
+SELECT w0 + d0 AS w_bias, w1 + d1 AS w_qty, w2 + d2 AS w_line,
+       n_mis1, n_mis2
+FROM e2
+""",
+    tags=("ml", "iterative", "classifier"),
+)
+def perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5: two batch perceptron epochs (predict returnflag='R' from
+    integer features) — the INTEGER-determinism twin of ML4's
+    float-fold k-means: labels are +/-1, features are exact integers
+    (bias, quantity, line number), so weight updates
+    w += sum(y*x over misclassified) are associative integer sums —
+    bit-identical on any engine, any partitioning, any order, with
+    nothing to round. Each epoch is one full-corpus aggregate plus a
+    1-row broadcast of the weights back across the data (the same
+    broadcast-the-model shape as ML4's centroids and J12c's
+    centroids): epoch 1 collapses to a plain SUM (zero weights
+    misclassify everything), epoch 2 scores against the broadcast w
+    and sums updates over the misclassified set. At 100 TB an epoch
+    costs exactly one map-side-combined aggregation — the textbook
+    in-database learner."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.col("l_linenumber").cast("long").alias("x2"),
+    )
+    e1 = x.agg(
+        F.sum(F.col("y") * F.col("x0")).cast("long").alias("w0"),
+        F.sum(F.col("y") * F.col("x1")).cast("long").alias("w1"),
+        F.sum(F.col("y") * F.col("x2")).cast("long").alias("w2"),
+        F.count(F.lit(1)).cast("long").alias("n_mis1"),
+    )
+    margin = F.col("y") * (
+        F.col("w0") * F.col("x0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+    )
+    mis = margin <= 0
+    upd = lambda c: F.sum(  # noqa: E731
+        F.when(mis, F.col("y") * F.col(c)).otherwise(F.lit(0))
+    ).cast("long")
+    e2 = (
+        x.crossJoin(F.broadcast(e1))
+        .groupBy("w0", "w1", "w2", "n_mis1")
+        .agg(
+            upd("x0").alias("d0"),
+            upd("x1").alias("d1"),
+            upd("x2").alias("d2"),
+            F.sum(F.when(mis, 1).otherwise(0)).cast("long").alias("n_mis2"),
+        )
+    )
+    return e2.select(
+        (F.col("w0") + F.col("d0")).alias("w_bias"),
+        (F.col("w1") + F.col("d1")).alias("w_qty"),
+        (F.col("w2") + F.col("d2")).alias("w_line"),
+        "n_mis1",
+        "n_mis2",
+    )

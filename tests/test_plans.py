@@ -995,3 +995,14 @@ def test_mm9_quarantine_is_map_only(spark):
     assert exchange_count(p) == 0, p
     assert not join_kinds(p), p
     assert "MapInPandas" in p, p
+
+
+def test_ml5_perceptron_epochs_are_aggregates(spark):
+    """ML5: each epoch is one aggregation; the model travels as a 1-row
+    broadcast (BroadcastNestedLoopJoin of the weight row), never a
+    shuffle of the corpus against the model; no Python anywhere."""
+    p = plan_string(QS["ML5_perceptron"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert kinds == ["BroadcastNestedLoopJoin"], kinds
+    assert "MapInPandas" not in p, p
+    assert "HashAggregate" in p, p
