@@ -28,8 +28,8 @@ never re-checks old rows (the r2 incident showed physical parquet
 types can shift between regenerations). Seven late round-5 additions
 (D10 substring-span dedup, MM8 image near-dup banding, ML4 k-means,
 S17 ORC roundtrip, A17 sliding distinct, MM9 corrupt-payload
-quarantine, ML5 perceptron) register after the pinned window and form
-round 6's residue.
+quarantine, ML5 perceptron, F14 nested-struct HOFs) register after
+the pinned window and form round 6's residue.
 """
 
 from __future__ import annotations
@@ -138,7 +138,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 229
+EXPECTED_MIN_QUERIES = 230
 
 _loaded = False
 

@@ -397,3 +397,72 @@ def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(host, "\\."), -2, 2), "."
         ).alias("registered_domain"),
     )
+
+
+@register(
+    "F14_nested_struct_ops",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         list(struct_pack(ln := l_linenumber,
+                          qty := CAST(l_quantity AS BIGINT),
+                          flag := l_returnflag)
+              ORDER BY l_linenumber, CAST(l_quantity AS BIGINT),
+                       l_returnflag) AS items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(items) AS INTEGER) AS n_items,
+       CAST(len(list_filter(items, x -> x.flag = 'R')) AS INTEGER)
+         AS n_returned,
+       CAST(list_sum(list_transform(items, x -> x.qty)) AS BIGINT)
+         AS total_qty,
+       len(list_filter(items, x -> x.qty >= 45)) > 0 AS has_big,
+       items[1].ln AS first_ln,
+       array_to_string(list_transform(items,
+         x -> x.flag || ':' || CAST(x.ln AS VARCHAR)), ',') AS line_summary
+FROM per_order
+""",
+    tags=("functions", "nested", "hof"),
+)
+def nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: higher-order functions over ARRAY<STRUCT> — the nested-data
+    workload F7's flat arrays don't reach: reshape a child table into a
+    per-parent ordered array of records (collect_list(struct) +
+    sort_array — the struct's full field order (ln, qty, flag) is the
+    sort key, mirrored verbatim in the oracle's ORDER BY since line
+    numbers alone can tie), then run the whole HOF family against struct
+    elements — filter on a field, transform to a projection, fold a
+    field to a sum, exists on a predicate, element_at + field access,
+    and a string rollup. Everything is JVM codegen; at 100 TB this is
+    the denormalize-once pattern (one shuffle builds the nested column,
+    every downstream per-parent question becomes a map-side HOF instead
+    of a repeated child-table join)."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(item)).alias("items")
+    )
+    items = F.col("items")
+    return per_order.select(
+        "l_orderkey",
+        F.size(items).alias("n_items"),
+        F.size(F.filter(items, lambda x: x.flag == "R")).alias("n_returned"),
+        F.aggregate(
+            items, F.lit(0).cast("long"), lambda acc, x: acc + x.qty
+        ).alias("total_qty"),
+        F.exists(items, lambda x: x.qty >= 45).alias("has_big"),
+        F.element_at(items, 1).ln.alias("first_ln"),
+        F.array_join(
+            F.transform(
+                items,
+                lambda x: F.concat(x.flag, F.lit(":"), x.ln.cast("string")),
+            ),
+            ",",
+        ).alias("line_summary"),
+    )

@@ -1006,3 +1006,13 @@ def test_ml5_perceptron_epochs_are_aggregates(spark):
     assert kinds == ["BroadcastNestedLoopJoin"], kinds
     assert "MapInPandas" not in p, p
     assert "HashAggregate" in p, p
+
+
+def test_f14_nested_hofs_single_shuffle(spark):
+    """F14: ONE exchange builds the nested column; every HOF over the
+    struct array is map-side codegen — no joins, no second shuffle, no
+    Python."""
+    p = plan_string(QS["F14_nested_struct_ops"](spark, SF_DIR_MID), "simple")
+    assert exchange_count(p) == 1, p
+    assert not join_kinds(p), p
+    assert "MapInPandas" not in p, p
