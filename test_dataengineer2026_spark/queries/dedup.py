@@ -572,13 +572,18 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     w = _SPAN_W
+    # Tokenize ONCE in a prior projection: split() inside the transform
+    # lambda would re-split the text for every window position
+    # (O(tokens^2) splits per doc — measured 8x slower at sf0.1).
     spans = d.select(
+        "doc_id", F.split("text", " ").alias("tok")
+    ).select(
         "doc_id",
         F.expr(
-            f"""CASE WHEN size(split(text, ' ')) >= {w}
+            f"""CASE WHEN size(tok) >= {w}
                 THEN array_distinct(transform(
-                       sequence(1, size(split(text, ' ')) - {w - 1}),
-                       i -> md5(array_join(slice(split(text, ' '), i, {w}), ' '))))
+                       sequence(1, size(tok) - {w - 1}),
+                       i -> md5(array_join(slice(tok, i, {w}), ' '))))
                 ELSE array() END"""
         ).alias("spans"),
     )
