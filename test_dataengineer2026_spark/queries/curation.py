@@ -279,7 +279,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables.parallelize(tables.load(spark, sf_dir, "documents"), "doc_id")
 
     def posting(df: DataFrame) -> DataFrame:
-        g = F.explode(shingles(tokens("text"), DECON_N)).alias("g")
+        # tokenize in its own projection — split() inside the shingle
+        # lambda would re-split per window position (see shingle_sets)
+        g = F.explode(shingles(F.col("tok"), DECON_N)).alias("g")
+        df = df.select("doc_id", tokens("text").alias("tok"))
         return df.select("doc_id", g).select(
             "doc_id",
             F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("gh"),
