@@ -25,11 +25,12 @@ zero residue for the first time. The 27 remaining slots re-verify
 the most load-bearing §2-core greens (one-plus per family) on
 round-5 testdata, since the driver regenerates parquet per round and
 never re-checks old rows (the r2 incident showed physical parquet
-types can shift between regenerations). Eight late round-5 additions
+types can shift between regenerations). Nine late round-5 additions
 (D10 substring-span dedup, MM8 image near-dup banding, ML4 k-means,
 S17 ORC roundtrip, A17 sliding distinct, MM9 corrupt-payload
-quarantine, ML5 perceptron, F14 nested-struct HOFs) register after
-the pinned window and form round 6's residue.
+quarantine, ML5 perceptron, F14 nested-struct HOFs, TS6 day-of-week
+seasonal decomposition) register after the pinned window and form
+round 6's residue.
 """
 
 from __future__ import annotations
@@ -138,7 +139,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 230
+EXPECTED_MIN_QUERIES = 231
 
 _loaded = False
 

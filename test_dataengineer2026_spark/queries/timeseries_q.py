@@ -401,3 +401,78 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("twa_value"),
     )
+
+
+@register(
+    "TS6_dow_seasonal",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INTEGER) AS dow,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS daily_micro
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT dow,
+         CAST(SUM(daily_micro) AS BIGINT) AS dow_total,
+         CAST(COUNT(*) AS BIGINT) AS dow_days
+  FROM daily GROUP BY dow
+)
+SELECT d.day, d.dow, d.daily_micro,
+       round(CAST(b.dow_total AS DOUBLE) / CAST(b.dow_days AS DOUBLE), 6)
+         AS dow_baseline_micro,
+       round(CAST(d.daily_micro AS DOUBLE)
+             - CAST(b.dow_total AS DOUBLE) / CAST(b.dow_days AS DOUBLE), 6)
+         AS residual_micro
+FROM daily d JOIN base b USING (dow)
+""",
+    tags=("timeseries", "seasonal"),
+)
+def dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6: day-of-week seasonal decomposition — split each day's total
+    into its weekday baseline (mean of that weekday's totals) and the
+    residual, the additive-seasonality primitive behind traffic anomaly
+    detection (TS3's rolling z-score catches local spikes; this catches
+    'low for a Saturday'). Determinism: daily totals quantize to exact
+    integer micro-units (the TS5/W9 convention), the baseline is one
+    int64/int64 double division, and the residual one subtraction —
+    identical IEEE ops on both engines. Plan: two aggregations (day,
+    then weekday — the second runs over at most 7 groups) and a
+    broadcast join of the 7-row baseline back onto the daily series;
+    at 100 TB the day rollup partial-aggregates map-side and nothing
+    downstream ever sees raw events. (Weekday numbering pinned to
+    Spark's dayofweek, Sunday=1; the oracle shifts DuckDB's Sunday=0.)
+    """
+    apply_runtime_confs(spark)
+    ev = tables.load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * F.lit(1000000.0))
+            .cast("long")
+            .alias("vmic"),
+        )
+        .groupBy("day")
+        .agg(F.sum("vmic").cast("long").alias("daily_micro"))
+        .select(
+            "day",
+            F.dayofweek("day").cast("int").alias("dow"),
+            "daily_micro",
+        )
+    )
+    base = daily.groupBy("dow").agg(
+        F.sum("daily_micro").cast("long").alias("dow_total"),
+        F.count(F.lit(1)).cast("long").alias("dow_days"),
+    )
+    baseline = F.col("dow_total").cast("double") / F.col("dow_days").cast(
+        "double"
+    )
+    return daily.join(F.broadcast(base), "dow").select(
+        "day",
+        "dow",
+        "daily_micro",
+        F.round(baseline, 6).alias("dow_baseline_micro"),
+        F.round(
+            F.col("daily_micro").cast("double") - baseline, 6
+        ).alias("residual_micro"),
+    )

@@ -1016,3 +1016,13 @@ def test_f14_nested_hofs_single_shuffle(spark):
     assert exchange_count(p) == 1, p
     assert not join_kinds(p), p
     assert "MapInPandas" not in p, p
+
+
+def test_ts6_seasonal_broadcast_baseline(spark):
+    """TS6: the weekday baseline (<= 7 rows) broadcasts back onto the
+    daily series — no shuffle of the series against the baseline, no
+    Python, and the day rollup partial-aggregates map-side."""
+    p = plan_string(QS["TS6_dow_seasonal"](spark, SF_DIR_MID), "simple")
+    kinds = join_kinds(p)
+    assert kinds == ["BroadcastHashJoin"], kinds
+    assert "MapInPandas" not in p, p
