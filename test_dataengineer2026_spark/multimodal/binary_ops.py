@@ -442,12 +442,19 @@ def decode_png_status(df_with_payload: DataFrame) -> DataFrame:
     a steady rate; one bad file must quarantine ONE ROW, not kill a
     100 TB job. Classification: 'bad_signature' (not PNG magic),
     'corrupt' (signature ok but the decoder raised — truncation, CRC,
-    inflate, malformed chunks), 'ok' (+ true dimensions). The catch is
-    Exception-wide on purpose: any decoder failure is a data fact to
-    route, never a job failure."""
+    inflate, malformed chunks), 'ok' (+ true dimensions). The catch
+    enumerates the decoder's actual data-failure surface (ValueError,
+    struct.error, zlib.error, IndexError, KeyError) rather than
+    Exception-wide: a MemoryError from a hostile deflate bomb or a
+    KeyboardInterrupt is an executor resource problem, not a data
+    fact, and must propagate instead of being mislabelled 'corrupt'."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
     from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
 
     _MAGIC = b"\x89PNG\r\n\x1a\n"
+    _DATA_ERRORS = (ValueError, struct.error, zlib.error, IndexError, KeyError)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -460,7 +467,7 @@ def decode_png_status(df_with_payload: DataFrame) -> DataFrame:
                 try:
                     w, h, _depth, _ctype, _px = decode_png(raw)
                     rows.append((doc_id, "ok", w, h))
-                except Exception:  # noqa: BLE001 — total by design
+                except _DATA_ERRORS:
                     rows.append((doc_id, "corrupt", None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "status", "width", "height"]

@@ -13,24 +13,26 @@ block of TPC-H remainder + T6-13 + MM + J12e/f + V7/8 + X10-12 + M12-14
 + C13/14 extensions (49 green; SQL17 red on an oracle-typing artifact,
 fixed in round 5 and guarded by tests/test_oracle_types.py).
 
-Round 5 front-loads every unverified name: the 10-name round-1..4
-residue (clearing it makes the pre-r5 registry 209/209 driver-green)
-plus the thirteen round-5 additions (A15 exact grouped percentiles,
-A16 heavy hitters, TS5 time-weighted average, E6 Markov transitions,
-J17 as-of tolerance join, T14 Zipf rank, M15 checkpoint resume, W8
-gaps-and-islands streaks, GR4 BFS levels, MM7 audio frame features,
-S16 dynamic partition pruning, W9 trailing time-range window, SQL26
-native recursive CTE) — all 23 green means 222/222 cumulative with
-zero residue for the first time. The 27 remaining slots re-verify
-the most load-bearing §2-core greens (one-plus per family) on
-round-5 testdata, since the driver regenerates parquet per round and
-never re-checks old rows (the r2 incident showed physical parquet
-types can shift between regenerations). Nine late round-5 additions
-(D10 substring-span dedup, MM8 image near-dup banding, ML4 k-means,
-S17 ORC roundtrip, A17 sliding distinct, MM9 corrupt-payload
-quarantine, ML5 perceptron, F14 nested-struct HOFs, TS6 day-of-week
-seasonal decomposition) register after the pinned window and form
-round 6's residue.
+Round 5 front-loaded the 23-name backlog (10 legacy + 13 round-5
+additions) plus 27 core re-verifications — all 50 green, bringing
+the cumulative tally to 222/231 with the nine late round-5
+additions as the only residue.
+
+Round 6 front-loads that 9-name residue (A17 sliding distinct,
+ML4 k-means, ML5 perceptron, F14 nested-struct HOFs, D10
+substring-span dedup, MM8 image near-dup bands, MM9 corrupt
+quarantine, S17 ORC roundtrip, TS6 day-of-week seasonal) — all
+green means 231/231 cumulative driver-green with zero residue.
+The 41 spare slots re-verify a DIFFERENT core slice than round
+5's 27 (which covered A1/A6, J1/J7/J10, W1/W5/W6, F3/F9/F10,
+D1/D2/D5, J12/J12c, T1/T2/T5, C1/C5/C6, M4/M5, SQL1, X1, S2):
+heavy TPC-H shapes, graph, sketches, hypertable rollups,
+curation remainder, stream-stream joins, multimodal decode,
+timeseries, data quality, events, and the UDF surface — so two
+consecutive rounds jointly re-prove the widest possible slice on
+freshly regenerated parquet (the driver never re-checks old rows;
+the r2 incident showed physical parquet types can shift between
+regenerations). The registry is otherwise frozen at 231.
 """
 
 from __future__ import annotations
@@ -63,78 +65,79 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-5 WINDOW: all 23 unverified names first (computed by
-# scripts/next_window.py from CORRECTNESS_r01-r04 — the 10-name legacy
-# residue plus the 13 round-5 additions; all green → 222/222 cumulative,
-# zero residue), then 27 re-verification slots: the driver regenerates
-# testdata every round and never re-checks old rows, so the spare slots
-# re-prove the most load-bearing §2-core greens on round-5 parquet (the
-# r2 incident showed physical parquet types can shift between
-# regenerations).
+# ROUND-6 WINDOW: the 9-name round-5 residue first (computed by
+# scripts/next_window.py from CORRECTNESS_r01-r05 — all green means
+# 231/231 cumulative driver-green, zero residue), then 41
+# re-verification slots rotated to families round 5's 27 did NOT
+# re-prove: the driver regenerates testdata every round and never
+# re-checks old rows (the r2 incident showed physical parquet types
+# can shift between regenerations), so rounds 5+6 jointly re-prove
+# the widest possible slice of the registry on fresh parquet.
 DRIVER_PRIORITY = (
-    # --- legacy residue: no green CORRECTNESS row from rounds 1-4 ---
-    "SQL17_tpch_q12",  # r4 red: oracle HUGEINT typing, fixed + linted this round
-    "A14_cube",
-    "J16_null_safe_join",
-    "W4b_ntile_global",
-    "U5_unpivot_melt",
-    "U6_except_all",
-    "F9c_to_json",
-    "SQL23_tpch_q20",
-    "SQL24_tpch_q11",
-    "SQL25_lateral_view_explode",
-    # --- round-5 additions: registered this round, first driver check ---
-    "A15_grouped_percentiles",
-    "A16_heavy_hitters",
-    "GR4_bfs_levels",
-    "W8_activity_streaks",
-    "W9_trailing_time_window",
-    "J17_asof_tolerance_join",
-    "T14_zipf_rank",
-    "E6_markov_transitions",
-    "M15_checkpoint_resume",
-    "MM7_audio_frame_features",
-    "SQL26_recursive_cte",
-    "S16_dynamic_partition_pruning",
-    "TS5_time_weighted_avg",
-    # --- re-verification: §2-core load-bearing queries, one+ per family ---
-    # aggregations
-    "A1_group_agg",
-    "A6_grouping_sets_rollup",
-    # joins (incl. broadcast + temporal)
-    "J1_inner_equi_join",
-    "J7_broadcast_join",
-    "J10_asof_join",
-    # windows + merge semantics
-    "W1_rank_topn",
-    "W5_dedup_keep_latest",
-    "W6_cdc_merge",
-    # scalar function families
-    "F3_datetime_funcs",
-    "F9_json_funcs",
-    "F10_vector_math",
-    # dedup ladder
-    "D1_exact_dedup",
-    "D2_minhash_lsh",
-    "D5_embedding_neardup",
-    # similarity / ANN
-    "J12_similarity_join",
-    "J12c_ivf_ann",
-    # text analysis
-    "T1_token_count",
-    "T2_lang_id",
-    "T5_tfidf_top_term",
-    # curation
-    "C1_corpus_curation",
-    "C5_pack_sequences",
-    "C6_decontaminate",
-    # streaming
-    "M4_session_window",
-    "M5_stream_dedup",
-    # SQL surface + extraction + sources
-    "SQL1_tpch_q3",
-    "X1_pdf_extract_text",
-    "S2_parquet_scan_pruned",
+    # --- round-5 residue: registered after r5's pinned window, first check ---
+    "A17_sliding_distinct",
+    "ML4_kmeans_lloyd",
+    "ML5_perceptron",
+    "F14_nested_struct_ops",
+    "D10_substring_span_dedup",
+    "MM8_image_neardup_bands",
+    "MM9_corrupt_quarantine",
+    "S17_orc_roundtrip",
+    "TS6_dow_seasonal",
+    # --- re-verification, rotated vs round 5's set ---
+    # heavy TPC-H shapes (multi-join, correlated-subquery, group-heavy)
+    "SQL2_correlated_subquery",
+    "SQL4_tpch_q5",
+    "SQL6_tpch_q18",
+    "SQL16_tpch_q9",
+    "SQL18_tpch_q13",
+    "SQL21_tpch_q21",
+    "SQL22_tpch_q2",
+    # graph (iterative equi-join algorithms)
+    "GR1_pagerank",
+    "GR2_triangle_count",
+    "GR3_connected_components",
+    # sketches + histogram
+    "A11_countmin_sketch",
+    "A12_hll_sketch",
+    "A13_histogram_quantiles",
+    # hypertable rollups
+    "H1_hypertable_rollup",
+    "H2_incremental_rollup_refresh",
+    # ML (regression + kNN; k-means/perceptron are in the residue block)
+    "ML1_ols_regression",
+    "ML3_knn_classifier",
+    # curation remainder (r5 re-proved C1/C5/C6)
+    "C2_stratified_sample",
+    "C4_chunk_documents",
+    "C10_boilerplate_removal",
+    "C12_leakage_free_split",
+    "C14_domain_quota_sample",
+    # streaming: watermark core + stateful + stream-stream joins
+    "M1_watermark_append",
+    "M6_stateful_funnel",
+    "M10_stream_stream_join",
+    "M13_stream_stream_left_outer",
+    # multimodal decode path (r5 re-proved none of MM2-MM6)
+    "MM2_frame_sample",
+    "MM3_modality_router",
+    "MM4_png_decode",
+    "MM5_wav_decode",
+    "MM6_perceptual_hash",
+    # timeseries
+    "TS1_gap_fill_locf",
+    "TS3_rolling_zscore_anomaly",
+    "TS4_ohlc_bars",
+    # data quality
+    "DQ1_expectation_checks",
+    "DQ2_referential_integrity",
+    "DQ3_financial_reconciliation",
+    # events
+    "E2_funnel_conversion",
+    "E4_event_path_trigrams",
+    # UDF surface
+    "V4_python_udtf",
+    "V7_map_in_arrow",
 )
 
 # Every name the registry must contain after load_all() — a deleted or

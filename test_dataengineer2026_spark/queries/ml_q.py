@@ -246,24 +246,29 @@ _ML4_DIM = 64
 
 
 def _sql_sqdist(v: str, c: str, dim: int = _ML4_DIM) -> str:
-    """Squared L2 distance as a sequential fold — same op order as the
-    Spark side's zip_with+aggregate, so the double result is
-    bit-identical across engines."""
-    t = f"(CAST({v}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE))"
+    """Squared L2 distance over integer micro-unit vectors — pure
+    BIGINT arithmetic, so the sum is EXACT and fold-order-independent
+    (no engine-specific float accumulation order can change it)."""
+    t = f"({v}[i] - {c}[i])"
     return (
-        f"round(list_sum(list_transform(generate_series(1,{dim}), "
-        f"i -> {t} * {t})), 9)"
+        f"CAST(list_sum(list_transform(generate_series(1,{dim}), "
+        f"i -> {t} * {t})) AS BIGINT)"
     )
 
 
 @register(
     "ML4_kmeans_lloyd",
     oracle=f"""
-WITH cent0 AS (
-  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_ML4_K}
+WITH em AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS e
+  FROM embeddings
+), cent0 AS (
+  SELECT vec_id AS cid, e AS ce FROM em WHERE vec_id < {_ML4_K}
 ), d1 AS (
-  SELECT e.vec_id, c.cid, {_sql_sqdist('e.embedding', 'c.ce')} AS dist
-  FROM embeddings e CROSS JOIN cent0 c
+  SELECT e.vec_id, c.cid, {_sql_sqdist('e.e', 'c.ce')} AS dist
+  FROM em e CROSS JOIN cent0 c
 ), a1 AS (
   SELECT vec_id, cid AS c_init FROM (
     SELECT vec_id, cid,
@@ -271,19 +276,18 @@ WITH cent0 AS (
     FROM d1
   ) WHERE rk = 1
 ), mem AS (
-  SELECT a.c_init AS cid, i.i AS dim_idx, e.vec_id,
-         CAST(e.embedding[i.i] AS DOUBLE) AS v
-  FROM embeddings e JOIN a1 a USING (vec_id),
+  SELECT a.c_init AS cid, i.i AS dim_idx, e.e[i.i] AS v
+  FROM em e JOIN a1 a USING (vec_id),
        unnest(generate_series(1, {_ML4_DIM})) AS i(i)
 ), upd AS (
   SELECT cid, dim_idx,
-         round(list_sum(list(v ORDER BY vec_id)) / COUNT(*), 9) AS cval
+         CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cval
   FROM mem GROUP BY cid, dim_idx
 ), cent1 AS (
   SELECT cid, list(cval ORDER BY dim_idx) AS ce FROM upd GROUP BY cid
 ), d2 AS (
-  SELECT e.vec_id, c.cid, {_sql_sqdist('e.embedding', 'c.ce')} AS dist
-  FROM embeddings e CROSS JOIN cent1 c
+  SELECT e.vec_id, c.cid, {_sql_sqdist('e.e', 'c.ce')} AS dist
+  FROM em e CROSS JOIN cent1 c
 ), a2 AS (
   SELECT vec_id, cid AS c_final FROM (
     SELECT vec_id, cid,
@@ -295,7 +299,7 @@ SELECT e.vec_id, e.label,
        CAST(a1.c_init AS INTEGER) AS c_init,
        CAST(a2.c_final AS INTEGER) AS c_final,
        a1.c_init <> a2.c_final AS moved
-FROM embeddings e
+FROM em e
 JOIN a1 ON e.vec_id = a1.vec_id
 JOIN a2 ON e.vec_id = a2.vec_id
 """,
@@ -310,34 +314,40 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side loop over collected data.
 
     Cross-engine bit-determinism, the hard part of verifying float
-    iteration: every distance is a SEQUENTIAL fold over dimension index
-    (zip_with + aggregate in Spark, list_sum(list_transform(...)) in
-    DuckDB — identical IEEE op order), centroid updates sum members in
-    explicit vec_id order (sorted collect_list fold vs list(v ORDER BY
-    vec_id)), and argmin ties break on centroid id, so both engines
-    walk literally the same arithmetic. At 100 TB: centroids are a
-    k x dim broadcast (a few KB), the corpus never shuffles for
-    assignment (map-only scoring), and the update is one partial-agg
-    shuffle keyed on (cluster, dim) — at that scale the ordered fold
-    swaps for the determinism.py exact-decimal sum, same contract.
+    iteration: embedding values floor-quantize to integer MICRO-UNITS
+    up front (the TS5/TS6 convention), so every distance is an EXACT
+    BIGINT sum of squared integer diffs — immune to accumulation order,
+    unlike a float fold whose result depends on whether the engine
+    folds left or tree-reduces (round-5 ADVICE flagged exactly that
+    risk in the previous round-to-9-decimals design). The centroid
+    update is the single non-integer step: floor(sum/count) where both
+    operands are exactly-representable integers, so the one IEEE
+    division is bitwise identical across engines. Argmin ties break on
+    centroid id over integer distances — no rounding boundary exists
+    anywhere. At 100 TB: centroids are a k x dim broadcast (a few KB),
+    the corpus never shuffles for assignment (map-only scoring), and
+    the update is one partial-agg shuffle keyed on (cluster, dim) —
+    integer sums partial-aggregate exactly.
     """
     apply_runtime_confs(spark)
-    e = tables.load(spark, sf_dir, "embeddings")
+    e = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * F.lit(1000000.0)).cast("long"),
+        ).alias("em"),
+    )
 
     def sqdist(v, c):
-        diff2 = F.zip_with(
-            v, c, lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double"))
-        )
-        return F.round(
-            F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x), 9
-        )
+        diff2 = F.zip_with(v, c, lambda a, b: (a - b) * (a - b))
+        return F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
     def assign(cent, out_name):
         from pyspark.sql import Window as W  # noqa: PLC0415
 
         d = e.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "cid", sqdist(F.col("embedding"), F.col("ce")).alias("dist")
+            "vec_id", "cid", sqdist(F.col("em"), F.col("ce")).alias("dist")
         )
         w = W.partitionBy("vec_id").orderBy("dist", "cid")
         return (
@@ -347,7 +357,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cent0 = e.filter(F.col("vec_id") < _ML4_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"), F.col("em").alias("ce")
     )
     # The iteration-1 assignment feeds both the centroid update and the
     # final output — cache it (2 longs per vector) so the broadcast-score
@@ -358,21 +368,18 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("c_init").alias("cid"),
-            F.posexplode("embedding").alias("pos", "val"),
+            F.posexplode("em").alias("pos", "val"),
         )
         .select(
-            "vec_id", "cid",
+            "cid",
             (F.col("pos") + 1).alias("dim_idx"),
-            F.col("val").cast("double").alias("v"),
+            F.col("val").alias("v"),
         )
     )
-    ordered_sum = F.aggregate(
-        F.array_sort(F.collect_list(F.struct("vec_id", "v"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["v"],
-    )
     upd = mem.groupBy("cid", "dim_idx").agg(
-        F.round(ordered_sum / F.count(F.lit(1)), 9).alias("cval")
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("cval")
     )
     cent1 = upd.groupBy("cid").agg(
         F.transform(
