@@ -142,15 +142,40 @@ def _run_suite(spark, qs) -> tuple[dict[str, float], dict[str, float], dict]:
     return timings, cold_timings, reran
 
 
+#: The suite's own 32-thread execution inflates the 1-min load average:
+#: a clean round-6 run (canaries 0.34/0.30, record-best total) read
+#: entry 1.75 -> end 6.74, i.e. ~5 of self-load. End-of-suite load is
+#: only a contention signal ABOVE that allowance.
+SELF_LOAD_ALLOWANCE = 5.0
+
+
+def is_contended(
+    gate_timed_out: bool,
+    load_at_end: float,
+    max_load: float = MAX_LOAD,
+    self_allowance: float = SELF_LOAD_ALLOWANCE,
+) -> bool:
+    """A round is contended if the entry gate gave up OR the 1-min load
+    right after the timed suite reads above gate + self-load allowance —
+    the entry reading alone can bless a run that got noisy mid-suite
+    (r5: the gate passed after a 120 s wait on a momentary dip)."""
+    return gate_timed_out or load_at_end > max_load + self_allowance
+
+
 def should_rerun_suite(
-    gate_timed_out: bool, total: float, prev: dict | None
+    contended: bool, total: float, prev: dict | None
 ) -> bool:
     """Contended-round guard decision (round-4 postmortem): re-run the
-    whole suite once iff the load gate gave up AND the total deviates
+    whole suite once iff the round was CONTENDED and the total deviates
     more than SUITE_RERUN_DEVIATION from the best prior round. Pure so
-    the policy is unit-testable without Spark."""
+    the policy is unit-testable without Spark.
+
+    ``contended`` means the load gate gave up OR the load read above the
+    gate when the suite FINISHED (round-5 postmortem: the gate waited
+    120 s and then passed on a momentary dip, but load was 2.64 by the
+    time the record was cut — entry load alone can bless a noisy run)."""
     return bool(
-        gate_timed_out
+        contended
         and prev
         and abs(total - prev["value"]) / prev["value"] > SUITE_RERUN_DEVIATION
     )
@@ -175,20 +200,27 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     steal0, total0 = _cpu_ticks()
     canary_before = _canary_sec()
+    load_at_start = round(os.getloadavg()[0], 2)
     timings, cold_timings, reran = _run_suite(spark, qs)
+    load_at_end = round(os.getloadavg()[0], 2)
     total = round(sum(timings.values()), 3)
     # r4's gate gave up at 135 s with load 2.8 and the suite read +41%
     # with zero plan changes — an uninterpretable headline. Keep the
     # cleaner of two runs when the guard trips, disclosing both.
+    # r5's gate passed on a momentary dip, so end-of-suite load above
+    # the gate counts as contention too.
     suite_reruns: dict | None = None
     prev = _latest_prior_bench()
-    if should_rerun_suite(gate_timed_out, total, prev):
+    contended = is_contended(gate_timed_out, load_at_end)
+    if should_rerun_suite(contended, total, prev):
         _wait_for_idle()
         timings2, cold2, reran2 = _run_suite(spark, qs)
+        load_at_end = round(os.getloadavg()[0], 2)
         total2 = round(sum(timings2.values()), 3)
         suite_reruns = {
-            "reason": f"load gate timed out (load {os.getloadavg()[0]:.1f} > "
-            f"{MAX_LOAD}) and total deviated >{SUITE_RERUN_DEVIATION:.0%} "
+            "reason": f"contended (gate_timed_out={gate_timed_out}, "
+            f"load start {load_at_start} / end above gate {MAX_LOAD}) "
+            f"and total deviated >{SUITE_RERUN_DEVIATION:.0%} "
             f"from best prior round r{prev['round']} ({prev['value']} s)",
             "first_total_sec": total,
             "second_total_sec": total2,
@@ -235,6 +267,11 @@ def main() -> None:
         # ambient load (measured ~15.9 s idle vs ~29 s at loadavg 4+), so
         # a delta without the load average is not interpretable.
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        # r5 postmortem: the entry gate can pass on a momentary dip, so
+        # the record carries load at suite start AND end; the contended
+        # re-run guard keys on either.
+        "load_avg_suite_start": load_at_start,
+        "load_avg_suite_end": load_at_end,
         "load_waited_sec": load_waited_sec,
     }
     out["canary_sec"] = [canary_before, _canary_sec()]

@@ -33,6 +33,23 @@ def test_rerun_without_prior_round_never_fires():
     assert not bench.should_rerun_suite(True, 99.0, None)
 
 
+def test_contended_keys_on_entry_gate_or_end_load():
+    """r5 postmortem: the entry gate can pass on a momentary load dip —
+    a suite that ENDS well above the gate is just as uninterpretable as
+    one whose gate timed out, and must arm the re-run guard. The end
+    reading is judged against gate + self-load allowance: the suite's
+    own 32-thread execution reads ~5 on the 1-min average even on an
+    idle box (measured r6: entry 1.75 -> end 6.74 with clean canaries
+    and a record-best total — that run must NOT arm the guard)."""
+    assert bench.is_contended(True, 0.0, max_load=2.0)  # gate gave up
+    # r6's clean-run shape: end 6.74 is self-load, not neighbors
+    assert not bench.is_contended(False, 6.74, max_load=2.0)
+    # genuinely contended finish: neighbors on top of self-load
+    assert bench.is_contended(False, 9.5, max_load=2.0)
+    # boundary: exactly at gate + allowance is clean, strictly-above arms
+    assert not bench.is_contended(False, 7.0, max_load=2.0)
+
+
 def test_latest_prior_bench_picks_best_total():
     """Deltas anchor to the BEST prior round, so a loaded-box round
     can't poison later comparisons with a flattering baseline."""
