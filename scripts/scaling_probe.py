@@ -1,0 +1,168 @@
+"""Empirical scale-up probe: do the headline plans hold as data grows?
+
+The bench (sf0.1) proves speed at test scale; the plan contracts
+(tests/test_plans.py) prove shape. This probe closes the remaining gap
+with MEASUREMENT: it replicates the sf0.1 tables K times (key columns
+shifted by replica so joins behave like K independent shards — the
+semantics of a K-times-larger day of data, not K copies of the same
+keys) and times the headline queries at each K. A query whose runtime
+grows ~linearly (or better, as added input files also add scan
+parallelism) is holding its contract; super-linear growth exposes a
+candidate-explosion or shuffle bottleneck the small benches can't see.
+
+Document text is re-tokenized per replica (every token prefixed with
+the replica tag) so the dedup/LSH family sees a K-times-larger corpus
+with the SAME duplicate density — naive replication would instead make
+every document a K-way near-duplicate and quadratically explode the
+verify stage, measuring a different (adversarial) workload. Embedding
+vec_ids shift, so the fixed query sets (vec_id < 5 etc.) stay fixed
+while the corpus scales — the 100 TB serving shape.
+
+Usage:
+    python scripts/scaling_probe.py [K ...]      # default: 1 3 10
+
+Writes one JSON line per K to stdout and a summary table at the end.
+Scaled data goes to /tmp/spark_graft_scaling/ (never committed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import registry
+from test_dataengineer2026_spark.session import get_session
+
+BASE = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/spark_graft_scaling"
+OFFSET = 10_000_000
+
+#: Integer key columns shifted by replica_idx * OFFSET — every table in
+#: the star schema shifts consistently, so replica i's rows join only
+#: replica i's rows (K independent shards).
+SHIFT_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+#: Headline queries that read only batch tables (the streaming M4 uses
+#: its own file-source staging; included — it reads events from sf_dir).
+PROBE_QUERIES = [
+    "A1_group_agg",
+    "J1_inner_equi_join",
+    "J7_broadcast_join",
+    "W3_running_agg",
+    "J10_asof_join",
+    "J12_similarity_join",
+    "D2_minhash_lsh",
+    "T5_tfidf_top_term",
+    "F9b_json_event_rollup",
+    "M4_session_window",
+    "SQL1_tpch_q3",
+    "V5_mm_binary_features",
+]
+
+
+def build(spark, k: int) -> str:
+    """Materialize the K-replica dataset; returns its sf_dir."""
+    out_dir = os.path.join(OUT_ROOT, f"x{k}")
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for table, cols in SHIFT_COLS.items():
+        src = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+        reps = []
+        for i in range(k):
+            r = src
+            for c in cols:
+                r = r.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+            if table == "documents" and i > 0:
+                # distinct shingles per replica, same intra-replica
+                # duplicate structure -> constant duplicate density
+                r = r.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"r{i}_$1")
+                )
+            reps.append(r)
+        df = reps[0]
+        for r in reps[1:]:
+            df = df.unionByName(r)
+        dest = os.path.join(out_dir, f"{table}.parquet")
+        if table == "events":
+            # the streaming stage (streaming/jobs.py:stage_events_dir)
+            # symlinks events.parquet as a single FILE, matching the
+            # driver's testdata layout — mirror that here
+            tmp = dest + ".dir"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            shutil.move(os.path.join(tmp, part), dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            df.write.mode("overwrite").parquet(dest)
+    open(marker, "w").close()
+    return out_dir
+
+
+def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in PROBE_QUERIES:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_session("scaling-probe", shuffle_partitions=32)
+    qs = registry.queries()
+    # warmup: JVM/codegen + streaming engine + Python worker pool
+    qs["A1_group_agg"](spark, BASE).write.format("noop").mode("overwrite").save()
+    qs["M2_tumbling_window"](spark, BASE).write.format("noop").mode("overwrite").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+    results: dict[int, dict[str, float]] = {}
+    for k in ks:
+        sf_dir = build(spark, k) if k > 1 else BASE
+        timings = time_queries(spark, qs, sf_dir)
+        results[k] = timings
+        print(json.dumps({
+            "k": k,
+            "sf_equiv": round(0.1 * k, 2),
+            "total_sec": round(sum(timings.values()), 3),
+            "queries": timings,
+            "load_avg_1m": round(os.getloadavg()[0], 2),
+        }), flush=True)
+    if len(ks) > 1 and 1 in results:
+        base = results[1]
+        print(f"\n{'query':28s} " + " ".join(f"x{k:<7d}" for k in ks)
+              + " growth@max(K={})".format(max(ks)))
+        for name in PROBE_QUERIES:
+            row = " ".join(f"{results[k][name]:<8.2f}" for k in ks)
+            growth = results[max(ks)][name] / max(base[name], 1e-9)
+            print(f"{name:28s} {row} {growth:5.1f}x")
+
+
+if __name__ == "__main__":
+    main()

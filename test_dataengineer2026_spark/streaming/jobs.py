@@ -62,6 +62,11 @@ def stage_events_dir(sf_dir: str) -> str:
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     src = tables.table_path(sf_dir, "events")
+    # re-link if missing, broken, or pointing at a stale target — a
+    # leftover symlink to a deleted/regenerated source would otherwise
+    # poison every later stream read of this sf_dir
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
+        os.remove(link)
     if not os.path.islink(link):
         os.symlink(src, link)
     return d

@@ -442,3 +442,38 @@ def test_wav_roundtrip_any_samples(n, rate, seed):
 
     s = [((seed + 97 * i) % 65536) - 32768 for i in range(n)]
     assert decode_wav(encode_wav(s, rate)) == (rate, 1, 16, s)
+
+
+def _band16(h: int, b: int) -> int:
+    """Python mirror of MM8's band extraction: shiftright(ahash, b*16)
+    & 65535 on a signed 64-bit value. Arithmetic shift + 16-bit mask
+    equals the unsigned-band value, so unsigned math here is exact."""
+    return (h >> (16 * b)) & 0xFFFF
+
+
+@given(
+    h=st.integers(min_value=0, max_value=2**64 - 1),
+    flips=st.sets(st.integers(min_value=0, max_value=63), max_size=3),
+)
+@settings(**SLOW)
+def test_mm8_banding_pigeonhole_full_recall(h, flips):
+    """MM8's recall guarantee: flipping <= 3 of 64 bits cannot touch
+    all 4 disjoint 16-bit bands, so every pair within the Hamming-3
+    candidate radius (and a fortiori the Hamming-2 verify threshold)
+    collides on >= 1 band — banding loses no true pair outside the
+    disclosed df-cap drop."""
+    h2 = h
+    for bit in flips:
+        h2 ^= 1 << bit
+    assert any(_band16(h, b) == _band16(h2, b) for b in range(4)), (
+        hex(h), sorted(flips)
+    )
+
+
+def test_mm8_banding_tight_at_four_flips():
+    """The guarantee is tight: one flip in EACH band defeats banding,
+    which is why the verify threshold (2) sits below bands-1 (3), not
+    at 4 — documents the boundary rather than assuming slack."""
+    h = 0
+    h2 = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    assert all(_band16(h, b) != _band16(h2, b) for b in range(4))
