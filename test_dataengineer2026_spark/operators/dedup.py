@@ -328,6 +328,17 @@ def connected_components(
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
     a fixpoint — returning partially propagated labels would silently
     split clusters (and diverge from the transitive-closure oracle).
+
+    Each round ends in ``localCheckpoint`` — caching alone does NOT
+    truncate the logical plan, and with ~4 references to the previous
+    label table per round the un-truncated lineage grows ~4^rounds:
+    at sf0.1 the analyzer itself OOMed the driver around round 8
+    before any executor ran a task. Checkpointing resets the lineage
+    to the materialized result, so plan size is constant per round —
+    the same discipline GraphX/GraphFrames apply to iterative graph
+    jobs. On a cluster, swap localCheckpoint for reliable
+    ``checkpoint()`` against the checkpoint dir so executor loss
+    cannot drop a round's blocks.
     """
     sym = edges.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")
@@ -369,7 +380,9 @@ def connected_components(
                     F.col("p.label"), F.coalesce(F.col("l_label"), F.col("p.label"))
                 ).alias("label"),
             )
-            .cache()
+            # materialize AND truncate lineage (see docstring): cache()
+            # would keep the full 4^round logical plan alive
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
