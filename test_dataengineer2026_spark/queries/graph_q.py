@@ -360,13 +360,28 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("lvl"),
     )
     for _ in range(BFS_MAX_HOPS):
-        expanded = (
-            dist.join(edges, dist.node == edges.src)
-            .select(F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl"))
-        )
-        dist = (
-            dist.unionByName(expanded)
-            .groupBy("node")
-            .agg(F.min("lvl").alias("lvl"))
-        )
+        # each round references dist TWICE (frontier join + union), so an
+        # un-truncated lineage doubles per round — 2^hops copies of the
+        # early rounds in one plan; localCheckpoint materializes the
+        # round (O(nodes) longs) and resets the lineage, the same
+        # discipline as connected_components (operators/dedup.py).
+        # The per-round plan shape is pinned separately on bfs_round
+        # (tests/test_plans.py) since the checkpoint hides executed
+        # rounds from the final plan.
+        dist = bfs_round(dist, edges).localCheckpoint()
     return dist.select("node", F.col("lvl").cast("long").alias("level"))
+
+
+def bfs_round(dist: DataFrame, edges: DataFrame) -> DataFrame:
+    """One BFS round: expand the current level table one hop along the
+    edge list, then collapse to min level per node. An equi-join on the
+    node key plus one aggregation — O(edges) shuffle, never a cartesian
+    product."""
+    expanded = dist.join(edges, dist.node == edges.src).select(
+        F.col("dst").alias("node"), (F.col("lvl") + 1).alias("lvl")
+    )
+    return (
+        dist.unionByName(expanded)
+        .groupBy("node")
+        .agg(F.min("lvl").alias("lvl"))
+    )

@@ -896,20 +896,35 @@ def test_w8_streaks_two_exchanges_window_feeds_both_aggs(spark):
     assert "Exchange hashpartitioning" not in p[:window_at], p
 
 
-def test_gr4_bfs_all_rounds_equi_join(spark):
-    """GR4: the frontier expansions plan as equi joins (hash /
-    sort-merge), never a CartesianProduct. The seed round is special:
-    its literal source node constant-folds the join key into a pushed
-    `src = 1` filter, so Catalyst degenerates THAT join to a 1-row
-    BroadcastNestedLoopJoin — correct and cheaper than a hash build;
-    every data-sized round must still be a hash/merge join."""
-    from test_dataengineer2026_spark.queries.graph_q import BFS_MAX_HOPS
+def test_gr4_bfs_round_is_equi_join(spark):
+    """GR4: a data-sized BFS round plans its frontier expansion as an
+    equi join (hash / sort-merge), never a CartesianProduct, and
+    collapses with one aggregation. The full query checkpoints each
+    round (lineage would otherwise DOUBLE per round — the early rounds
+    appeared 2^hops times in the pre-fix plan), so the round shape is
+    pinned on the bfs_round building block; the final plan must read
+    the last round from the checkpointed RDD, proving truncation."""
+    from pyspark.sql import functions as F
 
-    p = plan_string(QS["GR4_bfs_levels"](spark, SF_DIR_MID), "simple")
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.queries.graph_q import bfs_round
+
+    li = tables.load(spark, SF_DIR_MID, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    seed = li.select(F.col("src").alias("node"), F.lit(0).alias("lvl")).limit(100)
+    # a data-sized frontier (no literal seed, so the join key cannot
+    # constant-fold into a pushed filter)
+    p = plan_string(bfs_round(seed.localCheckpoint(), li), "simple")
     kinds = join_kinds(p)
     assert "CartesianProduct" not in kinds, kinds
-    equi = [k for k in kinds if k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")]
-    assert len(equi) >= BFS_MAX_HOPS - 1, kinds
+    assert any(
+        k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for k in kinds
+    ), kinds
+    assert "HashAggregate" in p, p
+    p_full = plan_string(QS["GR4_bfs_levels"](spark, SF_DIR_MID), "simple")
+    assert "ExistingRDD" in p_full or "Scan ExistingRDD" in p_full, p_full
 
 
 def test_s16_dynamic_partition_pruning_fires(spark):
