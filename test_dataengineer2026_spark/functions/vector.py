@@ -49,30 +49,55 @@ def l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def srp_plane_signs(n_planes: int, dim: int) -> list[list[int]]:
+    """±1 SRP hyperplane matrix, derived per (plane p, dimension i) as
+    md5(f"{p}_{i}") first-6-hex-digits parity — EXACTLY the derivation
+    the DuckDB oracle performs in SQL (md5 || substr || :: INTEGER % 2),
+    so the sign values are engine-identical by construction
+    (tests/test_properties.py pins this against an independent DuckDB
+    evaluation). Computed once driver-side: the matrix is row-constant,
+    and deriving it inside the plan recomputed n_planes x dim md5+conv
+    calls PER ROW (~3M hashes at sf0.1 — measured as the dominant cost
+    of the SRP bucketing stage)."""
+    import hashlib  # noqa: PLC0415
+
+    return [
+        [
+            (int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:6], 16) % 2) * 2
+            - 1
+            for i in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def srp_sign_bits(emb: Column, n_planes: int, dim: int) -> Column:
     """Sign-random-projection bits: plane p is a deterministic ±1
     hyperplane derived from md5(p||'_'||i) per dimension i — the
     engine-portable stand-in for a seeded Gaussian projection.
 
     Returns an array of n_planes ints (1 if projection > 0 else 0).
+    The plane matrix enters the plan as a nested literal array (a few
+    KB of constants — at any scale this is broadcast-for-free inside
+    the serialized plan); per-row work is the dim multiply-adds only.
+    The fold order and double values are identical to the previous
+    in-plan md5 derivation, so oracle parity is unchanged.
     """
-    idx = F.sequence(F.lit(1), F.lit(dim))
-
-    def sign_for(p: Column, i: Column) -> Column:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(p.cast("string"), F.lit("_"), i.cast("string"))), 1, 6
-            ),
-            16,
-            10,
-        ).cast("int")
-        return (h % 2) * 2 - 1
-
+    smat = F.array(
+        *[
+            F.array(*[F.lit(float(s)) for s in row])
+            for row in srp_plane_signs(n_planes, dim)
+        ]
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         lambda p: F.when(
             F.aggregate(
-                F.zip_with(emb, idx, lambda x, i: _d(x) * sign_for(p, i).cast("double")),
+                F.zip_with(
+                    emb,
+                    F.element_at(smat, (p + 1).cast("int")),
+                    lambda x, s: _d(x) * s,
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )

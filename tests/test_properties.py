@@ -477,3 +477,28 @@ def test_mm8_banding_tight_at_four_flips():
     h = 0
     h2 = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
     assert all(_band16(h, b) != _band16(h2, b) for b in range(4))
+
+
+def test_srp_plane_signs_match_duckdb_derivation():
+    """The driver-side SRP plane matrix must equal the md5 parity the
+    DuckDB oracle derives in SQL — an INDEPENDENT engine evaluation, so
+    a drifted hash recipe (format string, substring width, parity math)
+    fails here rather than as an opaque oracle mismatch."""
+    import duckdb
+
+    from test_dataengineer2026_spark.functions.vector import srp_plane_signs
+    from test_dataengineer2026_spark.operators.similarity import DIM, SRP_PLANES
+
+    signs = srp_plane_signs(SRP_PLANES, DIM)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT p.p, i.i,
+               ((('0x' || substr(md5(p.p || '_' || i.i), 1, 6))::INTEGER % 2)
+                * 2 - 1) AS s
+        FROM unnest(generate_series(0, {SRP_PLANES - 1})) AS p(p),
+             unnest(generate_series(1, {DIM})) AS i(i)
+        """
+    ).fetchall()
+    for p, i, s in rows:
+        assert signs[p][i - 1] == s, (p, i, signs[p][i - 1], s)
