@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from test_dataengineer2026_spark.functions.vector import cosine, l2sq, srp_sign_bits
+from test_dataengineer2026_spark.functions.vector import cosine, dot, l2_norm, l2sq, srp_sign_bits
 
 SRP_TABLES = 4
 SRP_BITS = 6
@@ -39,10 +39,20 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k most-cosine-similar corpus vectors per query vector."""
+    # norms are per-vector, so they are computed in the child
+    # projections (once per input row) instead of inside the pair
+    # expression (once per PAIR — 3x the fold work over |Q| x |C|);
+    # the arithmetic tree is unchanged, so the doubles are identical
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_emb"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -50,7 +60,11 @@ def cosine_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 9).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                9,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -78,8 +92,24 @@ def _assign_cells(
     (cell, c_emb). The centroid side is always k rows — broadcast — so
     assignment never shuffles the corpus; the only exchange is the
     per-id ranking window."""
-    scored = F.broadcast(cents).crossJoin(v).select(
-        "id", "cell", F.round(cosine(F.col("emb"), F.col("c_emb")), 9).alias("s")
+    # same norm-hoist as cosine_topk: per-vector norms in the child
+    # projections, only the dot product per (vector, centroid) pair
+    scored = (
+        F.broadcast(
+            cents.select(
+                "cell", "c_emb", l2_norm(F.col("c_emb")).alias("c_norm")
+            )
+        )
+        .crossJoin(v.select("id", "emb", l2_norm(F.col("emb")).alias("v_norm")))
+        .select(
+            "id",
+            "cell",
+            F.round(
+                dot(F.col("emb"), F.col("c_emb"))
+                / (F.col("v_norm") * F.col("c_norm")),
+                9,
+            ).alias("s"),
+        )
     )
     w = W.partitionBy("id").orderBy(F.col("s").desc(), F.col("cell"))
     return (
