@@ -142,11 +142,14 @@ def _run_suite(spark, qs) -> tuple[dict[str, float], dict[str, float], dict]:
     return timings, cold_timings, reran
 
 
-#: The suite's own 32-thread execution inflates the 1-min load average:
-#: a clean round-6 run (canaries 0.34/0.30, record-best total) read
-#: entry 1.75 -> end 6.74, i.e. ~5 of self-load. End-of-suite load is
-#: only a contention signal ABOVE that allowance.
-SELF_LOAD_ALLOWANCE = 5.0
+#: The suite's own execution nudges the 1-min load average: a truly
+#: idle round-6 run read entry 1.11 -> end 1.36 (self-load ~ +0.3; an
+#: earlier end=6.74 reading turned out to be DECAYING load from a
+#: prior 5-minute pytest run, not self-load). The allowance covers
+#: self-load plus headroom; over-arming is safe because the rerun
+#: additionally requires a >25% total deviation, and a genuine
+#: regression reproduces in the rerun and is kept.
+SELF_LOAD_ALLOWANCE = 2.0
 
 
 def is_contended(

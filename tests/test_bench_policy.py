@@ -37,17 +37,16 @@ def test_contended_keys_on_entry_gate_or_end_load():
     """r5 postmortem: the entry gate can pass on a momentary load dip —
     a suite that ENDS well above the gate is just as uninterpretable as
     one whose gate timed out, and must arm the re-run guard. The end
-    reading is judged against gate + self-load allowance: the suite's
-    own 32-thread execution reads ~5 on the 1-min average even on an
-    idle box (measured r6: entry 1.75 -> end 6.74 with clean canaries
-    and a record-best total — that run must NOT arm the guard)."""
+    reading is judged against gate + self-load allowance (measured r6
+    on a truly idle box: entry 1.11 -> end 1.36, i.e. self-load ~0.3;
+    the allowance keeps headroom without blessing real neighbors)."""
     assert bench.is_contended(True, 0.0, max_load=2.0)  # gate gave up
-    # r6's clean-run shape: end 6.74 is self-load, not neighbors
-    assert not bench.is_contended(False, 6.74, max_load=2.0)
-    # genuinely contended finish: neighbors on top of self-load
-    assert bench.is_contended(False, 9.5, max_load=2.0)
+    # a clean run's shape: end barely above entry
+    assert not bench.is_contended(False, 1.36, max_load=2.0)
+    # mid-suite contention the entry gate missed (the r5 worry)
+    assert bench.is_contended(False, 4.5, max_load=2.0)
     # boundary: exactly at gate + allowance is clean, strictly-above arms
-    assert not bench.is_contended(False, 7.0, max_load=2.0)
+    assert not bench.is_contended(False, 4.0, max_load=2.0)
 
 
 def test_latest_prior_bench_picks_best_total():
