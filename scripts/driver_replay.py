@@ -82,6 +82,18 @@ def main() -> int:
             print(f"{name}: rows-only, {len(sp)} rows")
             continue
         try:
+            # the real driver hashes TYPED values, and this replay
+            # compares Python objects — blind to the HUGEINT class of
+            # mismatch (the r4 SQL17 incident) unless typing is linted
+            # here too, mirroring tests/test_oracle_types.py (the
+            # DB-API description reports only generic NUMBER, so the
+            # relation's .types is the reliable source)
+            rel = con.sql(oracles[name])
+            bad_types = [
+                (c, str(t))
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
             res = con.execute(oracles[name])
             names = [x[0] for x in res.description]
             order = sorted(range(len(names)), key=lambda i: names[i])
@@ -91,6 +103,10 @@ def main() -> int:
             )
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            fails.append(name)
+            continue
+        if bad_types:
+            print(f"{name}: ORACLE TYPE LINT hugeint columns {bad_types}")
             fails.append(name)
             continue
         ok = sp_cols == dk_cols and sp == dk
