@@ -18,6 +18,13 @@ verify stage, measuring a different (adversarial) workload. Embedding
 vec_ids shift, so the fixed query sets (vec_id < 5 etc.) stay fixed
 while the corpus scales — the 100 TB serving shape.
 
+CAVEAT the summary accounts for: the token prefix inflates document
+BYTES beyond K (measured 49.5x bytes at K=30), so document-byte-bound
+queries (V5 md5-per-byte, D2/T5 shingling) must be read against the
+``doc_bytes_x`` multiple each JSON line reports, not K — the probe
+prints both growth ratios. Measured-vs-K alone overstates growth, i.e.
+the bias is conservative.
+
 Usage:
     python scripts/scaling_probe.py [K ...]      # default: 1 3 10
 
@@ -143,24 +150,38 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
     results: dict[int, dict[str, float]] = {}
+    byte_mult: dict[int, float] = {}
+    base_bytes = None
     for k in ks:
         sf_dir = build(spark, k) if k > 1 else BASE
+        doc_bytes = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select(F.sum(F.length("text")).alias("b"))
+            .collect()[0]["b"]
+        )
+        if base_bytes is None or k == 1:
+            base_bytes = doc_bytes if k == 1 else base_bytes
+        if base_bytes is None:
+            base_bytes = doc_bytes / k  # no K=1 run: approximate
+        byte_mult[k] = round(doc_bytes / base_bytes, 1)
         timings = time_queries(spark, qs, sf_dir)
         results[k] = timings
         print(json.dumps({
             "k": k,
             "sf_equiv": round(0.1 * k, 2),
+            "doc_bytes_x": byte_mult[k],
             "total_sec": round(sum(timings.values()), 3),
             "queries": timings,
             "load_avg_1m": round(os.getloadavg()[0], 2),
         }), flush=True)
     if len(ks) > 1 and 1 in results:
         base = results[1]
+        kmax = max(ks)
         print(f"\n{'query':28s} " + " ".join(f"x{k:<7d}" for k in ks)
-              + " growth@max(K={})".format(max(ks)))
+              + f" growth@K={kmax} (rows x{kmax}, doc bytes x{byte_mult[kmax]})")
         for name in PROBE_QUERIES:
             row = " ".join(f"{results[k][name]:<8.2f}" for k in ks)
-            growth = results[max(ks)][name] / max(base[name], 1e-9)
+            growth = results[kmax][name] / max(base[name], 1e-9)
             print(f"{name:28s} {row} {growth:5.1f}x")
 
 
