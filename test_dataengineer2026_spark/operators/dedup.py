@@ -340,10 +340,13 @@ def connected_components(
     ``checkpoint()`` against the checkpoint dir so executor loss
     cannot drop a round's blocks.
     """
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     sym = edges.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")
     ).unionAll(edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")))
     labels = nodes.select("doc", F.col("doc").alias("label")).cache()
+    prev_materialized = labels
     nbr = sym.alias("s")
     for _ in range(max_iter):
         nbr_min = (
@@ -356,8 +359,13 @@ def connected_components(
             .groupBy(F.col("s.doc").alias("doc"))
             .agg(F.min("nbr_label").alias("m"))
         )
+        # old_label rides along so the convergence count is an observed
+        # metric of the SAME job that materializes the round — one job
+        # per round instead of checkpoint + a separate count join
+        # (halves the per-round driver latency that dominates locally).
         propagated = labels.join(nbr_min, "doc", "left").select(
             "doc",
+            F.col("label").alias("old_label"),
             F.least(F.col("label"), F.coalesce(F.col("m"), F.col("label"))).alias(
                 "label"
             ),
@@ -365,6 +373,7 @@ def connected_components(
         # Pointer doubling: follow one hop through the label table so a
         # node pointing at an already-relabeled node jumps straight to
         # that node's (smaller) label.
+        obs = Observation()
         new_labels = (
             propagated.alias("p")
             .join(
@@ -376,22 +385,26 @@ def connected_components(
             )
             .select(
                 F.col("p.doc").alias("doc"),
+                F.col("p.old_label").alias("old_label"),
                 F.least(
                     F.col("p.label"), F.coalesce(F.col("l_label"), F.col("p.label"))
                 ).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias(
+                    "changed"
+                ),
+            )
             # materialize AND truncate lineage (see docstring): cache()
-            # would keep the full 4^round logical plan alive
+            # would keep the full 4^round logical plan alive. The
+            # eager checkpoint job also fires the observation above.
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = obs.get["changed"] or 0
+        prev_materialized.unpersist()
+        prev_materialized = new_labels
+        labels = new_labels.select("doc", "label")
         if changed == 0:
             return labels.select("doc", F.col("label").alias("cluster_id"))
     raise RuntimeError(
