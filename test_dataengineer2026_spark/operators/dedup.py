@@ -342,9 +342,17 @@ def connected_components(
     """
     from pyspark.sql import Observation  # noqa: PLC0415
 
-    sym = edges.select(
-        F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")
-    ).unionAll(edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr")))
+    # the edge list is consumed once per round — for callers whose edges
+    # come from an expensive pipeline (D6/D9: minhash/inverted-index
+    # candidate generation + verify), an uncached sym would re-run that
+    # whole pipeline every round; cache the 2-long-per-edge table once
+    sym = (
+        edges.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr"))
+        )
+        .cache()
+    )
     labels = nodes.select("doc", F.col("doc").alias("label")).cache()
     prev_materialized = labels
     nbr = sym.alias("s")
