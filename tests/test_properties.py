@@ -502,3 +502,103 @@ def test_srp_plane_signs_match_duckdb_derivation():
     ).fetchall()
     for p, i, s in rows:
         assert signs[p][i - 1] == s, (p, i, signs[p][i - 1], s)
+
+
+def _union_find_components(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min reachable node id."""
+    parent = {n: n for n in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+@settings(**SLOW)
+@given(
+    n=st.integers(min_value=2, max_value=40),
+    edge_seed=st.integers(min_value=0, max_value=2**31),
+    density=st.integers(min_value=1, max_value=6),
+)
+def test_connected_components_matches_union_find(spark, n, edge_seed, density):
+    """The distributed pointer-doubling CC (three structural rewrites in
+    round 6: lineage truncation, observed convergence, cached edges)
+    must agree with a reference union-find on arbitrary random graphs —
+    including path graphs, isolated nodes, and multi-component shapes
+    the sf-data never exercises."""
+    from test_dataengineer2026_spark.operators.dedup import connected_components
+
+    nodes = list(range(n))
+    edges = []
+    x = edge_seed
+    for _ in range(n * density // 2):
+        x = (1103515245 * x + 12345) % (2**31)
+        a = x % n
+        x = (1103515245 * x + 12345) % (2**31)
+        b = x % n
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    expected = _union_find_components(nodes, edges)
+    ndf = spark.createDataFrame([(v,) for v in nodes], "doc long")
+    edf = spark.createDataFrame(
+        edges or [(0, 1)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        edf = edf.limit(0)
+    got = {
+        r["doc"]: r["cluster_id"]
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=3, max_value=25),
+    edge_seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_triangles_oriented_matches_brute_force(spark, n, edge_seed):
+    """Degree-ordered triangle enumeration must produce exactly the
+    brute-force triangle multiset on random graphs — each triangle
+    once, none lost to the orientation, none duplicated."""
+    from itertools import combinations
+
+    from test_dataengineer2026_spark.operators.graph import (
+        degree_table,
+        orient_by_degree,
+        triangles_oriented,
+    )
+
+    x = edge_seed
+    edges = set()
+    for _ in range(n * 2):
+        x = (1103515245 * x + 12345) % (2**31)
+        a = x % n
+        x = (1103515245 * x + 12345) % (2**31)
+        b = x % n
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = sorted(
+        tuple(sorted(t))
+        for t in combinations(range(n), 3)
+        if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]
+    )
+    pairs = spark.createDataFrame(
+        sorted(edges) or [(0, 1)], "u long, v long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    tri = triangles_oriented(orient_by_degree(pairs, degree_table(pairs)))
+    got = sorted(tuple(sorted((r["a"], r["b"], r["c"]))) for r in tri.collect())
+    assert got == expected
