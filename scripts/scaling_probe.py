@@ -82,6 +82,13 @@ PROBE_QUERIES = [
     "M4_session_window",
     "SQL1_tpch_q3",
     "V5_mm_binary_features",
+    # iterative family: rounds are a function of graph DIAMETER, which
+    # K independent shards leave unchanged — these must scale like one
+    # more pass over K x data per round, not super-linearly
+    "GR1_pagerank",
+    "GR3_connected_components",
+    "D6_neardup_clusters",
+    "ML3_knn_classifier",
 ]
 
 
