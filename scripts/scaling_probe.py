@@ -136,12 +136,37 @@ def build(spark, k: int) -> str:
     return out_dir
 
 
+#: Comma-separated query names to exclude from a probe run (logged in
+#: the JSON line so the omission is never silent). Exists for the very
+#: large K: ML3's brute-force kNN is quadratic BY DESIGN (its test
+#: split is 10% of the corpus, so query x corpus pairs grow with K^2 —
+#: 3.6B pairs at K=100) and would dominate the run measuring a known
+#: curve; the sub-linear serving path at that scale is the J12c-f
+#: IVF/PQ ladder, which IS probed via J12.
+SKIP = {
+    s for s in os.environ.get("SPARK_GRAFT_PROBE_SKIP", "").split(",") if s
+}
+
+
 def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
+    """One timing per query; a query that THROWS records -1.0 and the
+    run continues — losing the other 14 timings to one OOM would hide
+    exactly the evidence the probe exists to surface (the K=100 shake-
+    out found a real one: 24 sequential sf10 queries exhaust one 8 GiB
+    JVM even though each passes solo — size the heap to the simulated
+    cluster via SPARK_GRAFT_DRIVER_MEM)."""
     timings: dict[str, float] = {}
     for name in PROBE_QUERIES:
+        if name in SKIP:
+            continue
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record, report, continue
+            print(f"PROBE ERROR {name}: {type(exc).__name__}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
     return timings
 
@@ -179,6 +204,12 @@ def main() -> None:
             "doc_bytes_x": byte_mult[k],
             "total_sec": round(sum(timings.values()), 3),
             "queries": timings,
+            "skipped": sorted(SKIP),
+            # One local JVM stands in for the WHOLE cluster's memory at
+            # K x data — report its heap so growth numbers read against
+            # the memory the run actually had (SPARK_GRAFT_DRIVER_MEM;
+            # K >= 30 wants >= 32g on a 128 GiB box, see SCALE.md).
+            "driver_mem": spark.conf.get("spark.driver.memory", "?"),
             "load_avg_1m": round(os.getloadavg()[0], 2),
         }), flush=True)
     if len(ks) > 1 and 1 in results:
@@ -187,6 +218,8 @@ def main() -> None:
         print(f"\n{'query':28s} " + " ".join(f"x{k:<7d}" for k in ks)
               + f" growth@K={kmax} (rows x{kmax}, doc bytes x{byte_mult[kmax]})")
         for name in PROBE_QUERIES:
+            if name in SKIP or any(results[k][name] < 0 for k in ks):
+                continue
             row = " ".join(f"{results[k][name]:<8.2f}" for k in ks)
             growth = results[kmax][name] / max(base[name], 1e-9)
             print(f"{name:28s} {row} {growth:5.1f}x")
