@@ -414,7 +414,14 @@ def connected_components(
         prev_materialized = new_labels
         labels = new_labels.select("doc", "label")
         if changed == 0:
+            # the result is localCheckpoint-materialized, so it no
+            # longer depends on sym's lineage — release the edge cache
+            # instead of pinning it for the session's lifetime (a
+            # long-lived session running many CC queries would
+            # otherwise accumulate dead edge blocks until clearCache)
+            sym.unpersist()
             return labels.select("doc", F.col("label").alias("cluster_id"))
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "with pointer doubling this needs a component diameter > "
