@@ -167,11 +167,25 @@ def main() -> None:
     # warmup: codegen + shuffle machinery on a throwaway slice
     _run(spark, _BASE_CONFS, plain_join(fact_uni.limit(100_000), dim))
 
+    # Aggregation-skew control: groupBy on the same hot key. Partial
+    # (map-side) aggregation collapses the hot key to one row per input
+    # split BEFORE the shuffle, so the reducer for key 0 receives
+    # O(splits) rows, not O(hot rows) — aggregation skew is benign and
+    # needs no salting; only JOINS materialize the hot key's row mass
+    # in one task. Measuring both sides of that asymmetry is the point.
+    def _group(f: DataFrame) -> DataFrame:
+        return f.groupBy("key").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amount").cast("decimal(18,2)")).alias("total"),
+        )
+
     timings = {
         "uniform_static": _run(spark, _BASE_CONFS, plain_join(fact_uni, dim)),
         "skewed_static": _run(spark, _BASE_CONFS, plain_join(fact_skew, dim)),
         "skewed_aqe": _run(spark, _AQE_CONFS, plain_join(fact_skew, dim)),
         "skewed_salted": _run(spark, _BASE_CONFS, salted_join(fact_skew, dim)),
+        "agg_uniform": _run(spark, _BASE_CONFS, _group(fact_uni)),
+        "agg_skewed": _run(spark, _BASE_CONFS, _group(fact_skew)),
     }
 
     # The three skewed strategies must agree row-for-row (7-row result).
