@@ -125,6 +125,44 @@ def salted_join(fact: DataFrame, dim: DataFrame) -> DataFrame:
     return _agg(f.join(d, ["key", "salt"]))
 
 
+#: Targeted variant: salt fan-out for detected hot keys only. Wider
+#: than the blanket SALT because only hot keys pay the dim explosion.
+SALT_T = 32
+
+
+def salted_targeted_join(fact: DataFrame, dim: DataFrame, n_fact: int) -> DataFrame:
+    """Production-grade partial salting: one partial-agg pass detects
+    keys whose row count exceeds an average partition's share, ONLY
+    those keys get salted (and only their dim rows explode, SALT_T
+    ways). The hot set is bounded by construction — at most P keys can
+    each exceed 1/P of the rows — so its broadcast never grows with
+    data. At 100 TB this is the shape that beats blanket salting: the
+    dim is itself large there, and multiplying ALL of it x SALT is a
+    shuffle-volume regression, while multiplying a handful of hot keys
+    is noise. (Aggregation skew needs none of this — see _group.)"""
+    hot = (
+        fact.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > n_fact // P)
+        .select("key", F.lit(True).alias("is_hot"))
+    )
+    f = fact.join(F.broadcast(hot), "key", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("is_hot"), F.pmod(F.xxhash64("id"), F.lit(SALT_T))
+        ).otherwise(F.lit(0)),
+    )
+    d = dim.join(F.broadcast(hot), "key", "left").withColumn(
+        "salt",
+        F.explode(
+            F.when(
+                F.col("is_hot"), F.sequence(F.lit(0), F.lit(SALT_T - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return _agg(f.drop("is_hot").join(d.drop("is_hot"), ["key", "salt"]))
+
+
 def _run(spark, confs: dict[str, str], df: DataFrame) -> float:
     _set_confs(spark, confs)
     t0 = time.perf_counter()
@@ -184,6 +222,9 @@ def main() -> None:
         "skewed_static": _run(spark, _BASE_CONFS, plain_join(fact_skew, dim)),
         "skewed_aqe": _run(spark, _AQE_CONFS, plain_join(fact_skew, dim)),
         "skewed_salted": _run(spark, _BASE_CONFS, salted_join(fact_skew, dim)),
+        "skewed_salted_targeted": _run(
+            spark, _BASE_CONFS, salted_targeted_join(fact_skew, dim, n_fact)
+        ),
         "agg_uniform": _run(spark, _BASE_CONFS, _group(fact_uni)),
         "agg_skewed": _run(spark, _BASE_CONFS, _group(fact_skew)),
     }
@@ -195,6 +236,10 @@ def main() -> None:
     assert sorted(map(tuple, plain_join(fact_skew, dim).collect())) == ref
     _set_confs(spark, _BASE_CONFS)
     assert sorted(map(tuple, salted_join(fact_skew, dim).collect())) == ref
+    assert (
+        sorted(map(tuple, salted_targeted_join(fact_skew, dim, n_fact).collect()))
+        == ref
+    )
 
     salted_fact = fact_skew.withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(SALT))
@@ -212,6 +257,11 @@ def main() -> None:
                 ),
                 "skew_speedup_salted": round(
                     timings["skewed_static"] / max(timings["skewed_salted"], 1e-9), 2
+                ),
+                "skew_speedup_targeted": round(
+                    timings["skewed_static"]
+                    / max(timings["skewed_salted_targeted"], 1e-9),
+                    2,
                 ),
                 "hist_key": partition_histogram(fact_skew, "key"),
                 "hist_key_salt": partition_histogram(salted_fact, "key", "salt"),

@@ -46,14 +46,33 @@ def test_hot_key_owns_advertised_share(spark, skew_tables):
 
 
 def test_salted_join_matches_plain(spark, skew_tables):
-    """The salted (key, salt) join must be row-identical to the plain
-    key join — the same invariant J1b's oracle pins, here on data that
-    is actually skewed."""
+    """Both salting variants must be row-identical to the plain key
+    join — the same invariant J1b's oracle pins, here on data that is
+    actually skewed."""
     fact, dim = skew_tables
     plain = sorted(map(tuple, kp.plain_join(fact, dim).collect()))
     salted = sorted(map(tuple, kp.salted_join(fact, dim).collect()))
+    targeted = sorted(
+        map(tuple, kp.salted_targeted_join(fact, dim, N).collect())
+    )
     assert plain == salted
+    assert plain == targeted
     assert len(plain) == 7  # one row per category
+
+
+def test_targeted_salting_detects_only_the_hot_key(spark, skew_tables):
+    """The heavy-hitter detection must find exactly key 0 at 40% hot
+    share (no uniform key reaches the 1/P threshold), so the dim-side
+    explosion is bounded to SALT_T rows."""
+    fact, dim = skew_tables
+    from pyspark.sql import functions as F
+    hot = (
+        fact.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > N // kp.P)
+        .collect()
+    )
+    assert [r["key"] for r in hot] == [0]
 
 
 def test_salting_flattens_partition_histogram(spark, skew_tables):
