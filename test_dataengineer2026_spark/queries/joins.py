@@ -323,6 +323,11 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit salt is the tool for the pathological case where one key
     exceeds a whole executor. SALT=8 multiplies build-side shuffle
     volume 8x in exchange for 8-way spread of the hottest key.
+    Measured on actually-skewed data (scripts/skew_probe.py, 20M rows,
+    one key owning 40%): static SMJ 2-3x slower than uniform, AQE
+    split recovers parity, salting 1.5-1.9x; the probe's
+    heavy-hitter-targeted variant bounds the dim explosion to detected
+    hot keys — the production shape when the dim is itself large.
     """
     apply_runtime_confs(spark)
     SALT = 8
