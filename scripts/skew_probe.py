@@ -244,6 +244,14 @@ def main() -> None:
     salted_fact = fact_skew.withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(SALT))
     )
+    # Targeted layout: cold keys keep salt 0 (hash(key, 0) still spreads
+    # them BY KEY), only the hot key fans out SALT_T ways.
+    targeted_fact = fact_skew.withColumn(
+        "salt",
+        F.when(
+            F.col("key") == 0, F.pmod(F.xxhash64("id"), F.lit(SALT_T))
+        ).otherwise(F.lit(0)),
+    )
     print(
         json.dumps(
             {
@@ -265,6 +273,9 @@ def main() -> None:
                 ),
                 "hist_key": partition_histogram(fact_skew, "key"),
                 "hist_key_salt": partition_histogram(salted_fact, "key", "salt"),
+                "hist_key_salt_targeted": partition_histogram(
+                    targeted_fact, "key", "salt"
+                ),
                 "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         ),
