@@ -191,10 +191,20 @@ def main() -> None:
             .select(F.sum(F.length("text")).alias("b"))
             .collect()[0]["b"]
         )
-        if base_bytes is None or k == 1:
-            base_bytes = doc_bytes if k == 1 else base_bytes
         if base_bytes is None:
-            base_bytes = doc_bytes / k  # no K=1 run: approximate
+            # Always measure the K=1 denominator from BASE directly:
+            # deriving it as doc_bytes/k from a scaled run understates
+            # doc_bytes_x, because the per-replica token prefix inflates
+            # document bytes superlinearly (measured 49.5x at K=30).
+            base_bytes = (
+                doc_bytes
+                if k == 1
+                else spark.read.parquet(
+                    os.path.join(BASE, "documents.parquet")
+                )
+                .select(F.sum(F.length("text")).alias("b"))
+                .collect()[0]["b"]
+            )
         byte_mult[k] = round(doc_bytes / base_bytes, 1)
         timings = time_queries(spark, qs, sf_dir)
         results[k] = timings

@@ -444,17 +444,29 @@ def decode_png_status(df_with_payload: DataFrame) -> DataFrame:
     'corrupt' (signature ok but the decoder raised — truncation, CRC,
     inflate, malformed chunks), 'ok' (+ true dimensions). The catch
     enumerates the decoder's actual data-failure surface (ValueError,
-    struct.error, zlib.error, IndexError, KeyError) rather than
-    Exception-wide: a MemoryError from a hostile deflate bomb or a
-    KeyboardInterrupt is an executor resource problem, not a data
-    fact, and must propagate instead of being mislabelled 'corrupt'."""
+    struct.error, zlib.error, IndexError, KeyError, OverflowError —
+    the last for headers whose declared dimensions exceed index
+    limits) rather than Exception-wide: a MemoryError from a hostile
+    deflate bomb or a KeyboardInterrupt is an executor resource
+    problem, not a data fact, and must propagate instead of being
+    mislabelled 'corrupt'. The decoder itself validates declared
+    dimensions against the decompressed payload BEFORE allocating
+    output buffers (png.py), so a tiny malformed header cannot
+    trigger a huge allocation in the first place."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
     from test_dataengineer2026_spark.multimodal.png import decode_png  # noqa: PLC0415
 
     _MAGIC = b"\x89PNG\r\n\x1a\n"
-    _DATA_ERRORS = (ValueError, struct.error, zlib.error, IndexError, KeyError)
+    _DATA_ERRORS = (
+        ValueError,
+        struct.error,
+        zlib.error,
+        IndexError,
+        KeyError,
+        OverflowError,
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -340,6 +340,17 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
 
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
+        # Validate declared dimensions against the decompressed size
+        # BEFORE allocating width*height*out_bpp: a ~100-byte payload
+        # declaring huge dimensions must raise ValueError (quarantined
+        # upstream), not OverflowError/MemoryError from the allocation.
+        expected = sum(
+            (scan_stride(wp) + 1) * hp
+            for wp, hp in (_pass_dims(width, height, p) for p in _ADAM7)
+            if wp and hp
+        )
+        if expected != len(raw):
+            raise ValueError("IDAT payload does not match Adam7 pass dimensions")
         out = bytearray(width * height * out_bpp)
         pos_r = 0
         for p in _ADAM7:

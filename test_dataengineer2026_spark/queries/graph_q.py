@@ -105,7 +105,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # module docstring promises. AQE additionally reuses the identical
     # per-round edge exchanges (ReusedExchange in the final plan);
     # measured ~7.0s -> ~5.1s warm at sf0.1.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # "spark.sql.shuffle.partitions" may be non-numeric on some
+    # platforms (e.g. "auto" under AQE-managed shuffles) — fall back to
+    # the cluster's default parallelism rather than crash.
+    try:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        n_shuffle = spark.sparkContext.defaultParallelism
     e = edges.join(deg, "src").repartition(n_shuffle, "src").cache()
     nodes = edges.select(F.col("src").alias("node")).distinct().cache()
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
@@ -365,6 +371,7 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(BFS_SOURCE).cast("long").alias("node"),
         F.lit(0).cast("long").alias("lvl"),
     )
+    prev = None
     for _ in range(BFS_MAX_HOPS):
         # each round references dist TWICE (frontier join + union), so an
         # un-truncated lineage doubles per round — 2^hops copies of the
@@ -375,6 +382,15 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (tests/test_plans.py) since the checkpoint hides executed
         # rounds from the final plan.
         dist = bfs_round(dist, edges).localCheckpoint()
+        # the eager checkpoint above materialized this round, so the
+        # PREVIOUS round's checkpoint blocks are dead — release them now
+        # instead of leaving O(BFS_MAX_HOPS) node tables in storage
+        # memory until nondeterministic ContextCleaner GC (mirrors
+        # connected_components).
+        if prev is not None:
+            prev.unpersist()
+        prev = dist
+    edges.unpersist()
     return dist.select("node", F.col("lvl").cast("long").alias("level"))
 
 

@@ -169,6 +169,63 @@ def test_adam7_truncated_pass_raises():
         decode_png(bytes(p[:-25]))
 
 
+def _hostile_interlaced_png() -> bytes:
+    """~100-byte interlaced PNG declaring 2^60 pixels — the cheapest
+    possible allocation bomb: valid signature, valid CRCs, tiny IDAT."""
+    w, h = 1 << 30, 1 << 30
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+    idat = zlib.compress(b"\x00" * 16)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_adam7_huge_declared_dims_raise_value_error_without_allocating():
+    """A ~100-byte interlaced PNG declaring huge dimensions must raise
+    ValueError (quarantinable data error) BEFORE allocating the
+    width*height output buffer — previously this hit OverflowError/
+    MemoryError from bytearray(width*height*out_bpp) and killed the
+    job instead of quarantining one row."""
+    payload = _hostile_interlaced_png()
+    assert len(payload) < 200
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(payload)
+
+
+def test_decode_png_status_quarantines_hostile_header(spark):
+    """End-to-end MM9 contract: one hostile payload quarantines ONE ROW
+    ('corrupt') while the good rows still decode — the Spark job never
+    dies from a malformed 100-byte file."""
+    from test_dataengineer2026_spark.multimodal.binary_ops import (
+        decode_png_status,
+    )
+
+    good = encode_png(2, 2, _gray(2, 2))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"NOTPNG__plus_some_padding")),
+            (3, bytearray(_hostile_interlaced_png())),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_png_status(df).collect()}
+    assert rows[1]["status"] == "ok"
+    assert (rows[1]["width"], rows[1]["height"]) == (2, 2)
+    assert rows[2]["status"] == "bad_signature"
+    assert rows[3]["status"] == "corrupt"
+
+
 def test_roundtrip_sub_byte_depths():
     """1/2/4-bit grey and palette: samples travel one-per-byte unscaled,
     pack MSB-first into scanlines (with pad bits at row ends), and
