@@ -33,6 +33,12 @@ consecutive rounds jointly re-prove the widest possible slice on
 freshly regenerated parquet (the driver never re-checks old rows;
 the r2 incident showed physical parquet types can shift between
 regenerations). The registry is otherwise frozen at 231.
+
+Round 7 rotates re-verification onto staleness: with zero unverified
+residue left, the window is the 50 queries whose latest driver-green
+row is OLDEST (41 r1-vintage + 9 r2-vintage) — see the ROUND-7 WINDOW
+comment on DRIVER_PRIORITY; the remaining 24 r2-vintage names are
+explicitly queued there for round 8.
 """
 
 from __future__ import annotations
@@ -65,79 +71,86 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-6 WINDOW: the 9-name round-5 residue first (computed by
-# scripts/next_window.py from CORRECTNESS_r01-r05 — all green means
-# 231/231 cumulative driver-green, zero residue), then 41
-# re-verification slots rotated to families round 5's 27 did NOT
-# re-prove: the driver regenerates testdata every round and never
-# re-checks old rows (the r2 incident showed physical parquet types
-# can shift between regenerations), so rounds 5+6 jointly re-prove
-# the widest possible slice of the registry on fresh parquet.
+# ROUND-7 WINDOW: all 231 queries are cumulatively driver-green, but
+# 74 were last driver-verified on ROUND-1/2 parquet, and the r2
+# incident showed physical parquet types can shift between the
+# driver's per-round testdata regenerations. This window front-loads
+# the 50 OLDEST greens (all 41 r1-vintage + the 9 oldest r2-vintage:
+# D3/D4/D6/D7, T3/T4, M2/M3/M7) so CORRECTNESS_r07 re-proves them on
+# current parquet. The staleness list is computed from
+# CORRECTNESS_r01-r06 (last-green-round histogram: r1=41, r2=33,
+# r3=26, r4=31, r5=50, r6=50).
+#
+# ROUND-8 QUEUE (the remaining 24 r2-vintage names, in registration
+# order — front-load these next round so the whole backlog clears):
+#   S9_stream_file_source, S10_foreach_batch_sink, M8_late_data_policy,
+#   M9_trigger_control, V5_mm_binary_features, V1_scalar_pandas_udf,
+#   V2_grouped_map_udf, V3_grouped_agg_udaf, V6_sql_udf_registration,
+#   X2_extract_table_cells, X3_extract_metadata, X4_extract_resources,
+#   X5_extract_reserves, X6_extract_economics, X7_normalize_numeric,
+#   X8_null_fill_contract, X9_validate_extraction, S1_binary_file_scan,
+#   S3_csv_roundtrip, S4_json_roundtrip, S5_text_scan,
+#   S6_json_sink_roundtrip, S7_csv_sink_roundtrip,
+#   S8_partitioned_parquet_roundtrip
 DRIVER_PRIORITY = (
-    # --- round-5 residue: registered after r5's pinned window, first check ---
-    "A17_sliding_distinct",
-    "ML4_kmeans_lloyd",
-    "ML5_perceptron",
-    "F14_nested_struct_ops",
-    "D10_substring_span_dedup",
-    "MM8_image_neardup_bands",
-    "MM9_corrupt_quarantine",
-    "S17_orc_roundtrip",
-    "TS6_dow_seasonal",
-    # --- re-verification, rotated vs round 5's set ---
-    # heavy TPC-H shapes (multi-join, correlated-subquery, group-heavy)
-    "SQL2_correlated_subquery",
-    "SQL4_tpch_q5",
-    "SQL6_tpch_q18",
-    "SQL16_tpch_q9",
-    "SQL18_tpch_q13",
-    "SQL21_tpch_q21",
-    "SQL22_tpch_q2",
-    # graph (iterative equi-join algorithms)
-    "GR1_pagerank",
-    "GR2_triangle_count",
-    "GR3_connected_components",
-    # sketches + histogram
-    "A11_countmin_sketch",
-    "A12_hll_sketch",
-    "A13_histogram_quantiles",
-    # hypertable rollups
-    "H1_hypertable_rollup",
-    "H2_incremental_rollup_refresh",
-    # ML (regression + kNN; k-means/perceptron are in the residue block)
-    "ML1_ols_regression",
-    "ML3_knn_classifier",
-    # curation remainder (r5 re-proved C1/C5/C6)
-    "C2_stratified_sample",
-    "C4_chunk_documents",
-    "C10_boilerplate_removal",
-    "C12_leakage_free_split",
-    "C14_domain_quota_sample",
-    # streaming: watermark core + stateful + stream-stream joins
-    "M1_watermark_append",
-    "M6_stateful_funnel",
-    "M10_stream_stream_join",
-    "M13_stream_stream_left_outer",
-    # multimodal decode path (r5 re-proved none of MM2-MM6)
-    "MM2_frame_sample",
-    "MM3_modality_router",
-    "MM4_png_decode",
-    "MM5_wav_decode",
-    "MM6_perceptual_hash",
-    # timeseries
-    "TS1_gap_fill_locf",
-    "TS3_rolling_zscore_anomaly",
-    "TS4_ohlc_bars",
-    # data quality
-    "DQ1_expectation_checks",
-    "DQ2_referential_integrity",
-    "DQ3_financial_reconciliation",
-    # events
-    "E2_funnel_conversion",
-    "E4_event_path_trigrams",
-    # UDF surface
-    "V4_python_udtf",
-    "V7_map_in_arrow",
+    # --- r1-vintage (41): aggregations ---
+    "A2_global_agg",
+    "A3_count_distinct",
+    "A4_approx_count_distinct",
+    "A5_agg_filtered",
+    "A7_pivot",
+    "A8_collect_agg",
+    "A9_stats_agg",
+    "A10_mode_first_last",
+    # projections / filters
+    "P1_project",
+    "P2_filter_predicate",
+    "P3_filter_null_semantics",
+    "P4_filter_like_regex",
+    "P5_distinct",
+    # joins
+    "J2_left_outer_join",
+    "J3_right_outer_join",
+    "J4_full_outer_join",
+    "J5_left_semi_join",
+    "J6_left_anti_join",
+    "J8_theta_join",
+    "J9_range_join",
+    "J11_cross_join",
+    "J13_self_join",
+    "J1b_salted_skew_join",
+    # windows
+    "W2_lag_lead",
+    "W3_running_agg",
+    "W4_ntile_percent",
+    # sorts / limits
+    "O1_sort",
+    "O2_sort_within_partitions",
+    "O3_limit_topk",
+    # set ops
+    "U1_union_all",
+    "U2_union_distinct",
+    "U3_intersect",
+    "U4_except",
+    # scalar functions
+    "F1_string_funcs",
+    "F2_regex_funcs",
+    "F4_math_funcs",
+    "F5_conditional_funcs",
+    "F6_cast_funcs",
+    "F7_array_funcs",
+    "F8_map_funcs",
+    "F11_hash_funcs",
+    # --- r2-vintage (9 oldest by registration order) ---
+    "D3_ngram_jaccard",
+    "D4_simhash",
+    "D6_neardup_clusters",
+    "D7_containment_dedup",
+    "T3_quality_score",
+    "T4_fingerprint",
+    "M2_tumbling_window",
+    "M3_sliding_window",
+    "M7_stream_static_join",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
