@@ -1,17 +1,28 @@
 """Compute the next round's DRIVER_PRIORITY candidates.
 
 Usage:
-    python scripts/next_window.py
+    python scripts/next_window.py            # unverified names (front-load these)
+    python scripts/next_window.py --stale    # 50 oldest greens (re-verify these)
 
-Prints every registered query with NO green row in any CORRECTNESS_r*.json
-(rows_match + schema_match + hash_match all true), in registration order —
-i.e. the names the next rotation should front-load. The driver verifies
-the FIRST 50 registered queries per round, so if more than 50 names print,
-defer the lowest-stakes ones explicitly and say so in queries/__init__.py.
+Default mode prints every registered query with NO green row in any
+CORRECTNESS_r*.json (rows_match + schema_match + hash_match all true),
+in registration order — i.e. the names the next rotation must
+front-load. The driver verifies the FIRST 50 registered queries per
+round, so if more than 50 names print, defer the lowest-stakes ones
+explicitly and say so in queries/__init__.py.
+
+``--stale`` is for the converged state (zero unverified): it prints
+the 50 queries whose LATEST green row is oldest, plus the last-green-
+round histogram — the driver regenerates testdata each round and never
+re-checks old rows, and physical parquet types have shifted between
+regenerations before (the r2 incident), so spare window slots should
+re-prove the stalest greens on fresh parquet. Unverified names, if
+any, sort before every green and appear first in this mode too.
 """
 
 from __future__ import annotations
 
+import collections
 import glob
 import json
 import os
@@ -22,10 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from test_dataengineer2026_spark import registry
 
 
-def green_names() -> set[str]:
-    names: set[str] = set()
+def last_green_round() -> dict[str, int]:
+    """name -> highest round whose CORRECTNESS file has a green row for it."""
+    latest: dict[str, int] = {}
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         with open(path) as f:
             data = json.load(f)
         if "parsed" in data and isinstance(data["parsed"], dict):
@@ -39,13 +52,32 @@ def green_names() -> set[str]:
                 and row.get("hash_match")
                 and not row.get("err")
             ):
-                names.add(name)
-    return names
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def main() -> None:
-    green = green_names()
+    latest = last_green_round()
+    green = set(latest)
     unverified = [n for n in registry.all_specs() if n not in green]
+
+    if "--stale" in sys.argv:
+        hist = collections.Counter(latest[n] for n in latest)
+        print(
+            "# last-green-round histogram: "
+            + ", ".join(f"r{r}={hist[r]}" for r in sorted(hist))
+        )
+        # registration order breaks ties inside a vintage, so the output
+        # is stable and directly pasteable into DRIVER_PRIORITY.
+        ranked = sorted(
+            registry.all_specs(), key=lambda n: latest.get(n, 0)
+        )[:50]
+        print(f"# {len(unverified)} unverified; 50 stalest (oldest green first):")
+        for n in ranked:
+            vintage = f"r{latest[n]}" if n in latest else "UNVERIFIED"
+            print(f"{n}  # {vintage}")
+        return
+
     print(f"# {len(green)} driver-green, {len(unverified)} unverified:")
     for n in unverified:
         print(n)
