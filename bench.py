@@ -235,18 +235,23 @@ def main() -> None:
             total = total2
     # Variance pinning (round-4 verdict item 6): J1/M4 showed small
     # nominal regressions vs r1 that were within canary noise but
-    # unproven — sample them n=5 and record the band. T5 joined after
+    # unproven — sample them and record the band. T5 joined after
     # its r5 scare (1.69 s first-run read as a regression; an idle-box
-    # re-time proved 1.25-1.39 s steady state — the band makes that
-    # evidence automatic every round). The HEADLINE timing stays the
-    # post-rescue value so the protocol matches every other query; the
-    # band seeds from the pre-rescue COLD run (so a rescued query's
-    # band still discloses its cold sample) and is disclosure, not a
-    # substitute measurement.
+    # re-time proved 1.25-1.39 s steady state), and round 7 extended
+    # the band to EVERY headline query after r6's A1 +0.66 s read as
+    # the round's whole regression but was first-run codegen variance —
+    # with a band per query that evidence is automatic, not an
+    # after-the-fact re-time. The historically volatile trio keeps
+    # n=5; the rest sample n=3 (cold + 2 warm). The HEADLINE timing
+    # stays the post-rescue first-run value so the protocol matches
+    # prior rounds; the band seeds from the pre-rescue COLD run (so a
+    # rescued query's band still discloses its cold sample) and is
+    # disclosure, not a substitute measurement.
+    _DEEP_BAND = ("J1_inner_equi_join", "M4_session_window", "T5_tfidf_top_term")
     variance_band: dict[str, dict] = {}
-    for name in ("J1_inner_equi_join", "M4_session_window", "T5_tfidf_top_term"):
+    for name in HEADLINE:
         samples = [cold_timings[name]]
-        for _ in range(4):
+        for _ in range(4 if name in _DEEP_BAND else 2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -287,6 +292,14 @@ def main() -> None:
         out["suite_reruns"] = suite_reruns
     if variance_band:
         out["variance_band"] = variance_band
+        # Steady-state comparator: sum of per-query band medians. The
+        # headline total keeps the first-run protocol (comparable to
+        # every prior round); this number strips the per-round compile/
+        # JIT lottery so cross-round deltas read against something
+        # stable.
+        out["median_total_sec"] = round(
+            sum(b["median"] for b in variance_band.values()), 3
+        )
     steal1, total1 = _cpu_ticks()
     if total1 > total0:
         out["cpu_steal_pct"] = round(
