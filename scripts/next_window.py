@@ -33,10 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from test_dataengineer2026_spark import registry
 
 
-def last_green_round() -> dict[str, int]:
+def last_green_round(root: str | None = None) -> dict[str, int]:
     """name -> highest round whose CORRECTNESS file has a green row for it."""
     latest: dict[str, int] = {}
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         with open(path) as f:
