@@ -507,6 +507,24 @@ def test_ts3_bounded_exchanges_no_global_sort(spark):
     assert "rangepartitioning" not in p, p
 
 
+def test_dedup_candidate_joins_are_banded_not_cartesian(spark):
+    """D2/D3/D4/D7: every near-dup candidate generator joins on a
+    bounded band/bucket equi-key (LSH band, simhash pigeonhole band,
+    shared token, containment shingle) — the whole 100 TB story is
+    that candidate generation NEVER degenerates into an all-pairs
+    cartesian/nested-loop, whatever sizes AQE sees."""
+    for name in (
+        "D2_minhash_lsh",
+        "D3_ngram_jaccard",
+        "D4_simhash",
+        "D7_containment_dedup",
+    ):
+        p = plan_string(QS[name](spark, SF_DIR_MID), "simple")
+        assert "CartesianProduct" not in p, (name, p)
+        assert "BroadcastNestedLoopJoin" not in p, (name, p)
+        assert join_kinds(p), (name, p)  # the equi-join is actually there
+
+
 def test_gr2_no_cartesian(spark):
     """GR2: triangle enumeration is equi-joins only — a cartesian or
     broadcast-nested-loop anywhere means the ordered-edge join
