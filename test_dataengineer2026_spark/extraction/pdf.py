@@ -43,10 +43,26 @@ _ESC_CHAR = {
 KERN_GAP = -150
 
 
+#: One alternation, one pass: sequential re.sub passes would re-examine
+#: bytes PRODUCED by an earlier pass (``\\\\`` -> ``\`` -> stripped again).
+#: ISO 32000 §7.3.4.2: named escapes; up to three OCTAL digits (``\8``
+#: is not octal — int(_, 8) on it used to raise ValueError out of the
+#: extraction UDF); backslash-EOL is a line continuation (both bytes
+#: drop); any other escaped byte keeps itself, dropping the backslash.
+_ESC_RE = re.compile(rb"\\(?:([nrtbf()\\])|([0-7]{1,3})|(\r\n?|\n)|(.)|$)", re.S)
+
+
 def _unescape(lit: bytes) -> bytes:
-    s = lit[1:-1]
-    s = re.sub(rb"\\([nrtbf()\\])", lambda m: _ESC_CHAR[m.group(1)], s)
-    return re.sub(rb"\\(\d{1,3})", lambda m: bytes([int(m.group(1), 8) & 0xFF]), s)
+    def repl(m: re.Match[bytes]) -> bytes:
+        if m.group(1) is not None:
+            return _ESC_CHAR[m.group(1)]
+        if m.group(2) is not None:
+            return bytes([int(m.group(2), 8) & 0xFF])
+        if m.group(4) is not None:
+            return m.group(4)
+        return b""  # line continuation or trailing backslash
+
+    return _ESC_RE.sub(repl, lit[1:-1])
 
 
 # ------------------------------------------------------------- ToUnicode CMap
@@ -69,6 +85,8 @@ CMaps = dict[int, dict[int, str]]  # code byte-width -> {code -> unicode}
 
 
 def _utf16(hx: bytes) -> str:
+    if len(hx) % 2:  # odd final digit is an implied 0, as in hex strings
+        hx += b"0"
     return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
 
 
@@ -97,7 +115,11 @@ def parse_tounicode(data: bytes, into: CMaps | None = None) -> CMaps:
             else:
                 base = _utf16(_HEX_TOK.match(dst).group(1))
                 for i in range(hi - lo + 1):
-                    # increment the final UTF-16 code unit (spec behavior)
+                    # increment the final UTF-16 code unit (spec behavior);
+                    # a hostile base near U+10FFFF would walk past chr()'s
+                    # domain — stop instead of raising out of the UDF
+                    if base and ord(base[-1]) + i > 0x10FFFF:
+                        break
                     maps.setdefault(width, {})[lo + i] = base[:-1] + chr(
                         ord(base[-1]) + i
                     ) if base else ""

@@ -159,6 +159,51 @@ def test_bfrange_forms():
     assert m[2][0x100] == "X" and m[2][0x101] == "Y"
 
 
+def test_hostile_streams_never_raise():
+    """Production corpus robustness (TEST.md's 1k-10k-PDF path): a
+    malformed-but-decompressible content stream must yield degraded
+    text or nothing — never an exception out of the extraction UDF.
+    Each case escaped a previous version: ``\\888`` is not octal
+    (int(_, 8) raised), ``<abc>`` CMap dst is odd-length hex
+    (bytes.fromhex raised), and a bfrange base near U+10FFFF walked
+    chr() past its domain."""
+    import zlib
+
+    from test_dataengineer2026_spark.extraction.pdf import (
+        extract_pages,
+        extract_runs,
+        parse_tounicode,
+    )
+
+    def wrap(content: bytes) -> bytes:
+        z = zlib.compress(content)
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+            + b" >>\nstream\n" + z + b"\nendstream\nendobj"
+        )
+
+    hostile = [
+        b"BT (\\777\\888) Tj ET",
+        b"beginbfchar <0> <abc> endbfchar BT <0> Tj ET",
+        b"beginbfrange <00> <ff> <dbffdfff> endbfrange BT <00> Tj ET",
+        b"BT (a\\) Tj ET",
+        b"BT [ ( ] TJ ET",
+    ]
+    for content in hostile:
+        extract_pages(wrap(content))
+        extract_runs(wrap(content))
+
+    # the escape-at-spec contract directly
+    from test_dataengineer2026_spark.extraction.pdf import _unescape
+
+    assert _unescape(rb"(\777\888)") == bytes([0o777 & 0xFF]) + b"888"
+    assert _unescape(b"(a\\\nb)") == b"ab"  # line continuation drops both
+    assert _unescape(rb"(\q)") == b"q"  # unknown escape drops backslash
+    # bfrange near the top of the Unicode range stops instead of raising
+    m = parse_tounicode(b"1 beginbfrange <00> <ff> <dbffdfff> endbfrange")
+    assert m[1][0x00] == "\U0010ffff" and 0x01 not in m[1]
+
+
 def test_positional_cells_round_trip():
     """X2b core: cells drawn column-major with coordinate jitter must be
     recovered in (row, col) structure purely from geometry."""
