@@ -226,6 +226,69 @@ def test_decode_png_status_quarantines_hostile_header(spark):
     assert rows[3]["status"] == "corrupt"
 
 
+def test_fuzz_decoders_raise_only_quarantinable_errors():
+    """MM9 catch-list completeness: every exception a hostile payload
+    can push out of decode_png/decode_wav must be in the quarantine
+    set (ValueError, struct.error, zlib.error, IndexError, KeyError,
+    OverflowError) — anything else would escape the per-row 'corrupt'
+    classification and kill the job. Seeded, so failures reproduce."""
+    import random
+
+    from test_dataengineer2026_spark.multimodal.wav import decode_wav, encode_wav
+
+    data_errors = (ValueError, struct.error, zlib.error, IndexError, KeyError, OverflowError)
+    rng = random.Random(7)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    payloads = []
+    # random tails behind the PNG magic
+    for _ in range(200):
+        payloads.append(
+            ("png", b"\x89PNG\r\n\x1a\n"
+             + bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200))))
+        )
+    # valid chunk framing, adversarial IHDR fields
+    for _ in range(200):
+        ihdr = struct.pack(
+            ">IIBBBBB", rng.randrange(0, 1 << 32), rng.randrange(0, 1 << 32),
+            rng.choice([0, 1, 2, 4, 8, 16, 32]), rng.choice([0, 2, 3, 4, 6, 7]),
+            0, 0, rng.choice([0, 1, 2]),
+        )
+        idat = zlib.compress(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64))))
+        payloads.append(
+            ("png", b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+        )
+    # bit-flipped valid files (decoder reached with plausible structure)
+    good_png = bytearray(encode_png(32, 32, _gray(32, 32)))
+    good_wav = bytearray(encode_wav([0, 1, -1, 32767, -32768] * 8, 8000, 1))
+    for _ in range(200):
+        p = bytearray(good_png)
+        for _ in range(rng.randrange(1, 6)):
+            p[rng.randrange(len(p))] = rng.randrange(256)
+        payloads.append(("png", bytes(p)))
+    for _ in range(200):
+        p = bytearray(good_wav)
+        for _ in range(rng.randrange(1, 6)):
+            p[rng.randrange(len(p))] = rng.randrange(256)
+        payloads.append(("wav", bytes(p)))
+    for _ in range(200):
+        payloads.append(
+            ("wav", b"RIFF" + bytes(rng.randrange(256) for _ in range(rng.randrange(8, 150))))
+        )
+
+    for kind, payload in payloads:
+        try:
+            (decode_png if kind == "png" else decode_wav)(payload)
+        except data_errors:
+            pass  # quarantinable: classified 'corrupt', job survives
+
+
 def test_roundtrip_sub_byte_depths():
     """1/2/4-bit grey and palette: samples travel one-per-byte unscaled,
     pack MSB-first into scanlines (with pad bits at row ends), and
