@@ -507,6 +507,31 @@ def test_ts3_bounded_exchanges_no_global_sort(spark):
     assert "rangepartitioning" not in p, p
 
 
+def test_j9_range_join_is_bucketed_equi_not_nested_loop(spark):
+    """J9: the interval predicate rides an equi-bucket key with the
+    `between` as a residual — a nested-loop/cartesian here is the
+    classic range-join explosion that cannot survive a real fact
+    table. (Locally the bucket join broadcasts; at scale it degrades
+    to sort-merge on the same key — both are equi-join kinds.)"""
+    p = plan_string(QS["J9_range_join"](spark, SF_DIR_MID), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    kinds = join_kinds(p)
+    assert kinds, p
+
+
+def test_j10_asof_compiles_to_single_shuffle_no_join(spark):
+    """J10: the as-of join is union-tag + last(ignorenulls) window —
+    the plan must contain NO join operator at all and exactly ONE
+    exchange (the window's partition key), never a rangepartitioning.
+    This is the shape that makes as-of O(one shuffle) at 100 TB
+    instead of a per-row range probe."""
+    p = plan_string(QS["J10_asof_join"](spark, SF_DIR_MID), "simple")
+    assert not join_kinds(p), p
+    assert exchange_count(p) == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
 def test_dedup_candidate_joins_are_banded_not_cartesian(spark):
     """D2/D3/D4/D7: every near-dup candidate generator joins on a
     bounded band/bucket equi-key (LSH band, simhash pigeonhole band,
