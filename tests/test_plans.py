@@ -507,6 +507,35 @@ def test_ts3_bounded_exchanges_no_global_sort(spark):
     assert "rangepartitioning" not in p, p
 
 
+def test_w5_dedup_keep_latest_single_window_shuffle(spark):
+    """W5: keep-latest dedup is one window shuffle on the dedup key
+    over one scan — no join, no sort-based rangepartitioning. The
+    100 TB contract: dedup cost is one pass + one O(rows) exchange."""
+    p = plan_string(QS["W5_dedup_keep_latest"](spark, SF_DIR_MID), "simple")
+    assert not join_kinds(p), p
+    assert exchange_count(p) == 1, p
+    assert "rangepartitioning" not in p.lower(), p
+
+
+def test_a6_rollup_is_expand_over_one_scan(spark):
+    """A6: rollup subtotals come from the native Expand operator over a
+    SINGLE scan and a single agg exchange — not one scan per grouping
+    set (the naive union-of-aggs plan that multiplies 100 TB reads)."""
+    p = plan_string(QS["A6_grouping_sets_rollup"](spark, SF_DIR_MID), "simple")
+    assert "Expand" in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert exchange_count(p) == 1, p
+
+
+def test_h1_hypertable_rollup_single_scan(spark):
+    """H1: the daily rollup re-aggregates hourly PARTIALS from one scan
+    of the raw table (two agg exchanges: hour then day) — never a
+    second scan of raw data per rollup level."""
+    p = plan_string(QS["H1_hypertable_rollup"](spark, SF_DIR_MID), "simple")
+    assert p.count("Scan parquet") == 1, p
+    assert exchange_count(p) <= 2, p
+
+
 def test_j9_range_join_is_bucketed_equi_not_nested_loop(spark):
     """J9: the interval predicate rides an equi-bucket key with the
     `between` as a residual — a nested-loop/cartesian here is the
