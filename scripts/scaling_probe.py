@@ -87,6 +87,7 @@ PROBE_QUERIES = [
     # more pass over K x data per round, not super-linearly
     "GR1_pagerank",
     "GR3_connected_components",
+    "GR4_bfs_levels",
     "D6_neardup_clusters",
     "ML3_knn_classifier",
 ]
