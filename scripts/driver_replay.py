@@ -3,6 +3,7 @@
 Usage:
     python scripts/driver_replay.py            # all queries at sf0.01
     python scripts/driver_replay.py A1 J       # only names with these prefixes
+    python scripts/driver_replay.py --window   # exactly the DRIVER_PRIORITY 50
     SF_DIR=/root/testdata/sf0.001 python scripts/driver_replay.py
 
 Builds a BARE SparkSession (like the driver would), imports
@@ -40,7 +41,13 @@ def norm(v):
 
 
 def main() -> int:
-    prefixes = tuple(sys.argv[1:])
+    argv = sys.argv[1:]
+    if "--window" in argv:
+        # replay exactly what the driver will verify this round
+        from test_dataengineer2026_spark.queries import DRIVER_PRIORITY
+
+        argv = [n for n in argv if n != "--window"] + list(DRIVER_PRIORITY)
+    prefixes = tuple(argv)
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]")
         .appName("driver-replay")
