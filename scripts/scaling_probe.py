@@ -172,6 +172,17 @@ def time_queries(spark, qs, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _doc_bytes(spark, sf_dir: str) -> int:
+    """Total document text bytes in one dataset — the single definition
+    both the per-K numerator and the BASE denominator use, so the
+    `doc_bytes_x` ratio cannot silently diverge between the two."""
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.sum(F.length("text")).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
     spark = get_session("scaling-probe", shuffle_partitions=32)
@@ -187,25 +198,13 @@ def main() -> None:
     base_bytes = None
     for k in ks:
         sf_dir = build(spark, k) if k > 1 else BASE
-        doc_bytes = (
-            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-            .select(F.sum(F.length("text")).alias("b"))
-            .collect()[0]["b"]
-        )
+        doc_bytes = _doc_bytes(spark, sf_dir)
         if base_bytes is None:
             # Always measure the K=1 denominator from BASE directly:
             # deriving it as doc_bytes/k from a scaled run understates
             # doc_bytes_x, because the per-replica token prefix inflates
             # document bytes superlinearly (measured 49.5x at K=30).
-            base_bytes = (
-                doc_bytes
-                if k == 1
-                else spark.read.parquet(
-                    os.path.join(BASE, "documents.parquet")
-                )
-                .select(F.sum(F.length("text")).alias("b"))
-                .collect()[0]["b"]
-            )
+            base_bytes = doc_bytes if k == 1 else _doc_bytes(spark, BASE)
         byte_mult[k] = round(doc_bytes / base_bytes, 1)
         timings = time_queries(spark, qs, sf_dir)
         results[k] = timings

@@ -39,10 +39,18 @@ def main() -> None:
     spark = get_session("sweep", shuffle_partitions=32)
     qs = registry.queries()
     names = list(qs)[args.start : args.start + args.count]
+    # Resume skips only CLEAN rows from the SAME sf_dir: an errored
+    # query must re-run on resume, and rows measured at a different
+    # scale factor must not count as done for this one.
     done = set()
     if os.path.exists(args.out):
         with open(args.out) as f:
-            done = {json.loads(line)["name"] for line in f if line.strip()}
+            for line in f:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("sf_dir") == SF_DIR and not rec.get("err"):
+                    done.add(rec["name"])
     with open(args.out, "a") as out:
         for name in names:
             if name in done:
@@ -54,7 +62,12 @@ def main() -> None:
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001 — a sweep must finish
                 err = f"{type(e).__name__}: {e}"[:200]
-            rec = {"name": name, "sec": round(time.perf_counter() - t0, 3), "err": err}
+            rec = {
+                "name": name,
+                "sec": round(time.perf_counter() - t0, 3),
+                "err": err,
+                "sf_dir": SF_DIR,
+            }
             out.write(json.dumps(rec) + "\n")
             out.flush()
             print(rec, flush=True)

@@ -344,6 +344,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
         # BEFORE allocating width*height*out_bpp: a ~100-byte payload
         # declaring huge dimensions must raise ValueError (quarantined
         # upstream), not OverflowError/MemoryError from the allocation.
+        # This is exact (the loop below consumes precisely these pass
+        # sizes), so truncated AND oversized payloads both land here.
         expected = sum(
             (scan_stride(wp) + 1) * hp
             for wp, hp in (_pass_dims(width, height, p) for p in _ADAM7)
@@ -359,8 +361,6 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
             if wp == 0 or hp == 0:
                 continue
             size = (scan_stride(wp) + 1) * hp
-            if pos_r + size > len(raw):
-                raise ValueError("IDAT payload truncated mid-Adam7-pass")
             sub = to_samples(
                 _unfilter(raw[pos_r : pos_r + size], hp, scan_stride(wp), bpp),
                 hp,
@@ -374,8 +374,6 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
                     out[(y * width + x) * out_bpp : (y * width + x + 1) * out_bpp] = (
                         sub[(j * wp + i) * out_bpp : (j * wp + i + 1) * out_bpp]
                     )
-        if pos_r != len(raw):
-            raise ValueError("IDAT payload does not match Adam7 pass dimensions")
     else:
         if len(raw) != (scan_stride(width) + 1) * height:
             raise ValueError("IDAT payload does not match dimensions")

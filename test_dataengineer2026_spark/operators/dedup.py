@@ -36,6 +36,7 @@ from test_dataengineer2026_spark.functions.text import (
     shingles,
     tokens,
 )
+from test_dataengineer2026_spark.lineage import release_checkpoint
 from test_dataengineer2026_spark.tables import parallelize
 
 # MinHash parameters: k = bands * rows_per_band signatures.
@@ -410,7 +411,11 @@ def connected_components(
             .localCheckpoint()
         )
         changed = obs.get["changed"] or 0
-        prev_materialized.unpersist()
+        # round 1's prev is the .cache()d seed (CacheManager path);
+        # later rounds are localCheckpoints, whose storage plain
+        # unpersist() does NOT free — release_checkpoint handles both
+        # (lineage.py documents the measured no-op).
+        release_checkpoint(prev_materialized)
         prev_materialized = new_labels
         labels = new_labels.select("doc", "label")
         if changed == 0:

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.lineage import release_checkpoint
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -385,10 +386,12 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the eager checkpoint above materialized this round, so the
         # PREVIOUS round's checkpoint blocks are dead — release them now
         # instead of leaving O(BFS_MAX_HOPS) node tables in storage
-        # memory until nondeterministic ContextCleaner GC (mirrors
-        # connected_components).
+        # memory until nondeterministic ContextCleaner GC. NOTE:
+        # DataFrame.unpersist() alone is a NO-OP on checkpoint storage
+        # (RDD-level blocks, not CacheManager entries) — the helper
+        # unpersists the LogicalRDD's underlying RDD (lineage.py).
         if prev is not None:
-            prev.unpersist()
+            release_checkpoint(prev)
         prev = dist
     edges.unpersist()
     return dist.select("node", F.col("lvl").cast("long").alias("level"))
