@@ -332,6 +332,33 @@ def test_png_decoder_never_misparses_garbage(data):
         decode_png(data)
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_pdf_extraction_never_raises_on_arbitrary_streams(data):
+    """Production-corpus contract: ANY byte string wrapped as a
+    decompressible PDF content stream yields degraded text or nothing —
+    extract_pages/extract_runs must never raise (the job-killing class
+    that round 7's structured fuzz caught three instances of: \\888
+    octal, odd CMap hex, chr() past U+10FFFF)."""
+    import zlib
+
+    from test_dataengineer2026_spark.extraction.pdf import (
+        extract_pages,
+        extract_runs,
+    )
+
+    # force the text-bearing markers so parsing actually runs, and wrap
+    # in valid stream framing so the payload reaches the decoder
+    content = b"BT " + data + b" Tj TJ Tm Td ET beginbfchar " + data[:40] + b" endbfchar"
+    z = zlib.compress(content)
+    payload = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" >>\nstream\n" + z + b"\nendstream\nendobj"
+    )
+    extract_pages(payload)
+    extract_runs(payload)
+
+
 @given(
     w=st.integers(min_value=1, max_value=20),
     h=st.integers(min_value=1, max_value=20),
