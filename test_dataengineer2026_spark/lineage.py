@@ -34,6 +34,13 @@ from pyspark.sql import DataFrame
 def release_checkpoint(df: DataFrame) -> bool:
     """Free a frame's materialized storage (cache OR localCheckpoint).
 
+    ONLY call this on frames no live plan will read again: a locally
+    checkpointed RDD's lineage is truncated, so after release it cannot
+    be recomputed (Spark logs exactly that warning on the unpersist).
+    The iterative loops satisfy this by construction — they release
+    round N-1 only after round N has eagerly materialized, and never
+    release the final result they return.
+
     Returns True if RDD-level checkpoint blocks were explicitly
     released, False when only the (possibly no-op) CacheManager path
     ran. Non-blocking: uses async unpersist so the caller's next round
