@@ -68,10 +68,15 @@ def main() -> None:
             "# last-green-round histogram: "
             + ", ".join(f"r{r}={hist[r]}" for r in sorted(hist))
         )
-        # registration order breaks ties inside a vintage, so the output
-        # is stable and directly pasteable into DRIVER_PRIORITY.
+        # True registration order breaks ties inside a vintage (NOT the
+        # DRIVER_PRIORITY-first order all_specs() returns — the r7
+        # advisor flagged that using it would rank current-window names
+        # ahead of the rest of their vintage), so the output is stable
+        # across rotations and directly pasteable into DRIVER_PRIORITY.
+        reg_order = {n: i for i, n in enumerate(registry._REGISTRY)}
         ranked = sorted(
-            registry.all_specs(), key=lambda n: latest.get(n, 0)
+            registry.all_specs(),
+            key=lambda n: (latest.get(n, 0), reg_order[n]),
         )[:50]
         print(f"# {len(unverified)} unverified; 50 stalest (oldest green first):")
         for n in ranked:

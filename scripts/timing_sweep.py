@@ -63,8 +63,15 @@ def main() -> None:
         ordered = sorted(rows.values(), key=lambda r: -r["sec"])
         for r in ordered[:15]:
             print(f"{r['name']:34s} {r['sec']:8.2f}  {r.get('err') or ''}")
-        total = round(sum(r["sec"] for r in rows.values()), 1)
-        print(f"# {len(rows)} queries, total {total} s, errors: {errs or 'none'}")
+        # Clean rows only: time-to-error would inflate the headline
+        # total vs a clean sweep (r7 advisor note).
+        total = round(
+            sum(r["sec"] for r in rows.values() if not r.get("err")), 1
+        )
+        print(
+            f"# {len(rows)} queries, clean total {total} s "
+            f"({len(rows) - len(errs)} clean), errors: {errs or 'none'}"
+        )
         return
 
     from test_dataengineer2026_spark import registry  # noqa: PLC0415

@@ -34,11 +34,16 @@ freshly regenerated parquet (the driver never re-checks old rows;
 the r2 incident showed physical parquet types can shift between
 regenerations). The registry is otherwise frozen at 231.
 
-Round 7 rotates re-verification onto staleness: with zero unverified
-residue left, the window is the 50 queries whose latest driver-green
-row is OLDEST (41 r1-vintage + 9 r2-vintage) — see the ROUND-7 WINDOW
-comment on DRIVER_PRIORITY; the remaining 24 r2-vintage names are
-explicitly queued there for round 8.
+Round 7 rotated re-verification onto staleness: with zero unverified
+residue left, the window became the 50 queries whose latest driver-green
+row was OLDEST (41 r1-vintage + 9 r2-vintage) — all 50 green in
+CORRECTNESS_r07.json.
+
+Round 8 continues the staleness rotation (see the ROUND-8 WINDOW
+comment on DRIVER_PRIORITY): the 24 remaining r2-vintage names plus
+the 26 oldest r3-vintage, clearing the r2 backlog entirely. The list
+is exactly `python scripts/next_window.py --stale` output, so future
+rotations are mechanical.
 """
 
 from __future__ import annotations
@@ -71,86 +76,75 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-7 WINDOW: all 231 queries are cumulatively driver-green, but
-# 74 were last driver-verified on ROUND-1/2 parquet, and the r2
-# incident showed physical parquet types can shift between the
-# driver's per-round testdata regenerations. This window front-loads
-# the 50 OLDEST greens (all 41 r1-vintage + the 9 oldest r2-vintage:
-# D3/D4/D6/D7, T3/T4, M2/M3/M7) so CORRECTNESS_r07 re-proves them on
-# current parquet. The staleness list is computed from
-# CORRECTNESS_r01-r06 (last-green-round histogram: r1=41, r2=33,
-# r3=26, r4=31, r5=50, r6=50).
+# ROUND-8 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r07
+# (last-green-round histogram entering r8: r2=24, r3=26, r4=31,
+# r5=50, r6=50, r7=50). The 24 remaining r2-vintage names (streaming
+# policy, UDF surface, PDF extraction, source/sink roundtrips) clear
+# the r2 backlog completely; the 26 spare slots take the oldest
+# r3-vintage slice (ML/graph-adjacent, SCD2, ANN ladder, curation,
+# events, SQL remainder, layout ops, timeseries). After r8 the oldest
+# vintage anywhere is r3 (31 names), queued below for round 9.
 #
-# ROUND-8 QUEUE (the remaining 24 r2-vintage names, in registration
-# order — front-load these next round so the whole backlog clears):
-#   S9_stream_file_source, S10_foreach_batch_sink, M8_late_data_policy,
-#   M9_trigger_control, V5_mm_binary_features, V1_scalar_pandas_udf,
-#   V2_grouped_map_udf, V3_grouped_agg_udaf, V6_sql_udf_registration,
-#   X2_extract_table_cells, X3_extract_metadata, X4_extract_resources,
-#   X5_extract_reserves, X6_extract_economics, X7_normalize_numeric,
-#   X8_null_fill_contract, X9_validate_extraction, S1_binary_file_scan,
-#   S3_csv_roundtrip, S4_json_roundtrip, S5_text_scan,
-#   S6_json_sink_roundtrip, S7_csv_sink_roundtrip,
-#   S8_partitioned_parquet_roundtrip
+# ROUND-9 QUEUE (the remaining 31 r3/r4-boundary names by staleness —
+# run `python scripts/next_window.py --stale` next round; it will
+# print them plus the freshest slice to fill the window).
 DRIVER_PRIORITY = (
-    # --- r1-vintage (41): aggregations ---
-    "A2_global_agg",
-    "A3_count_distinct",
-    "A4_approx_count_distinct",
-    "A5_agg_filtered",
-    "A7_pivot",
-    "A8_collect_agg",
-    "A9_stats_agg",
-    "A10_mode_first_last",
-    # projections / filters
-    "P1_project",
-    "P2_filter_predicate",
-    "P3_filter_null_semantics",
-    "P4_filter_like_regex",
-    "P5_distinct",
-    # joins
-    "J2_left_outer_join",
-    "J3_right_outer_join",
-    "J4_full_outer_join",
-    "J5_left_semi_join",
-    "J6_left_anti_join",
-    "J8_theta_join",
-    "J9_range_join",
-    "J11_cross_join",
-    "J13_self_join",
-    "J1b_salted_skew_join",
-    # windows
-    "W2_lag_lead",
-    "W3_running_agg",
-    "W4_ntile_percent",
-    # sorts / limits
-    "O1_sort",
-    "O2_sort_within_partitions",
-    "O3_limit_topk",
-    # set ops
-    "U1_union_all",
-    "U2_union_distinct",
-    "U3_intersect",
-    "U4_except",
-    # scalar functions
-    "F1_string_funcs",
-    "F2_regex_funcs",
-    "F4_math_funcs",
-    "F5_conditional_funcs",
-    "F6_cast_funcs",
-    "F7_array_funcs",
-    "F8_map_funcs",
-    "F11_hash_funcs",
-    # --- r2-vintage (9 oldest by registration order) ---
-    "D3_ngram_jaccard",
-    "D4_simhash",
-    "D6_neardup_clusters",
-    "D7_containment_dedup",
-    "T3_quality_score",
-    "T4_fingerprint",
-    "M2_tumbling_window",
-    "M3_sliding_window",
-    "M7_stream_static_join",
+    # --- r2-vintage (24): streaming policy + file-stream sources ---
+    "S9_stream_file_source",
+    "S10_foreach_batch_sink",
+    "M8_late_data_policy",
+    "M9_trigger_control",
+    # UDF surface
+    "V5_mm_binary_features",
+    "V1_scalar_pandas_udf",
+    "V2_grouped_map_udf",
+    "V3_grouped_agg_udaf",
+    "V6_sql_udf_registration",
+    # PDF extraction pipeline (true registration order)
+    "X3_extract_metadata",
+    "X4_extract_resources",
+    "X5_extract_reserves",
+    "X2_extract_table_cells",
+    "X8_null_fill_contract",
+    "X9_validate_extraction",
+    "X6_extract_economics",
+    "X7_normalize_numeric",
+    # source/sink roundtrips (true registration order)
+    "S8_partitioned_parquet_roundtrip",
+    "S1_binary_file_scan",
+    "S5_text_scan",
+    "S6_json_sink_roundtrip",
+    "S7_csv_sink_roundtrip",
+    "S3_csv_roundtrip",
+    "S4_json_roundtrip",
+    # --- r3-vintage (26 oldest by registration order) ---
+    "ML2_grouped_ols",
+    "J14_bloom_pruned_join",
+    "W7_scd2_dimension",
+    "J12b_srp_lsh_ann",
+    "J12d_ivf_kmeans_ann",
+    "D8_paragraph_dedup",
+    "D9_canonical_selection",
+    "C3_mixture_weights",
+    "C7_quota_sample",
+    "C8_length_percentiles",
+    "C9_shuffle_shards",
+    "C11_temperature_sample",
+    "E1_batch_sessionize",
+    "E3_cohort_retention",
+    "M11_chained_window_agg",
+    "SQL3_cte_window",
+    "SQL5_tpch_q10",
+    "SQL7_tpch_q14",
+    "SQL8_tpch_q17",
+    "SQL9_tpch_q19",
+    "SQL10_tpch_q22",
+    "S11_bucketed_join",
+    "S12_dynamic_partition_backfill",
+    "S13_zorder_layout",
+    "S14_compact_small_files",
+    "TS2_linear_interpolation",
 )
 
 # Every name the registry must contain after load_all() — a deleted or

@@ -9,6 +9,8 @@ iterative query leaves O(1) live storage entries, not O(rounds).
 
 from __future__ import annotations
 
+import time
+
 from test_dataengineer2026_spark import registry
 from test_dataengineer2026_spark.lineage import release_checkpoint
 from tests.conftest import SF_DIR
@@ -41,5 +43,13 @@ def test_iterative_queries_leave_o1_storage(spark):
     for name in ("GR4_bfs_levels", "D6_neardup_clusters"):
         before = _storage_ids(spark)
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # The releases inside the loop (release_checkpoint, unpersist)
+        # are non-blocking, so block removal can lag the query's return
+        # under load (r7 advisor flake warning) — poll briefly before
+        # judging a leak.
         leaked = _storage_ids(spark) - before
+        deadline = time.monotonic() + 10.0
+        while len(leaked) > 1 and time.monotonic() < deadline:
+            time.sleep(0.25)
+            leaked = _storage_ids(spark) - before
         assert len(leaked) <= 1, (name, leaked)
