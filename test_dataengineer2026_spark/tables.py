@@ -65,7 +65,25 @@ def parallelize(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(n, F.col(key)) if key else df.repartition(n)
 
 
+#: Session-conf marker recording which sf_dir's views are registered.
+_VIEWS_MARKER = "spark.graft.registered_views_sf_dir"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all tables as temp views for the spark.sql() surface."""
+    """Register all tables as temp views for the spark.sql() surface.
+
+    Idempotent per (session, sf_dir): re-reading ten parquet footers and
+    re-creating ten temp views costs ~0.5-1.0 s per call (measured at
+    sf0.1 — it was most of SQL1's per-call build time), and every
+    spark.sql query calls this. Re-registration happens only when the
+    sf_dir changes or a view has been dropped; temp views snapshot the
+    file listing at creation, so same-path same-session reuse reads the
+    same data either way.
+    """
+    if spark.conf.get(_VIEWS_MARKER, None) == sf_dir and all(
+        spark.catalog.tableExists(name) for name in TABLES
+    ):
+        return
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(_VIEWS_MARKER, sf_dir)

@@ -1,0 +1,43 @@
+"""register_views caching contract.
+
+Round-8 change: register_views became idempotent per (session, sf_dir)
+because re-reading ten parquet footers per spark.sql call was most of
+every SQL query's build time (~0.5-1.0 s at sf0.1). These tests pin the
+three behaviors the cache must keep correct: reuse, sf_dir
+invalidation, and self-healing after a dropped view.
+"""
+
+from __future__ import annotations
+
+from test_dataengineer2026_spark import tables
+from tests.conftest import SF_DIR, SF_DIR_MID
+
+
+def _rows(spark, table: str) -> int:
+    return spark.sql(f"SELECT COUNT(*) AS n FROM {table}").collect()[0]["n"]
+
+
+def test_register_views_is_idempotent_and_marks_session(spark):
+    tables.register_views(spark, SF_DIR)
+    n1 = _rows(spark, "region")
+    assert spark.conf.get(tables._VIEWS_MARKER) == SF_DIR
+    # second call must be a no-op (marker unchanged, views intact)
+    tables.register_views(spark, SF_DIR)
+    assert _rows(spark, "region") == n1
+
+
+def test_register_views_invalidates_on_sf_dir_change(spark):
+    tables.register_views(spark, SF_DIR)
+    small = _rows(spark, "lineitem")
+    tables.register_views(spark, SF_DIR_MID)
+    mid = _rows(spark, "lineitem")
+    assert mid > small, "sf_dir switch did not re-register views"
+    tables.register_views(spark, SF_DIR)
+    assert _rows(spark, "lineitem") == small
+
+
+def test_register_views_self_heals_dropped_view(spark):
+    tables.register_views(spark, SF_DIR)
+    spark.catalog.dropTempView("orders")
+    tables.register_views(spark, SF_DIR)
+    assert _rows(spark, "orders") > 0
