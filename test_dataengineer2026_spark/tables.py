@@ -42,6 +42,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Per-session memo of the ten base relations: spark.read.parquet
+    # re-lists files and re-reads footers on every call (~50-200 ms at
+    # sf0.1), and multi-table queries load up to five tables per build.
+    # DataFrames are immutable, so handing every caller the same base
+    # relation is safe; the memo never covers arbitrary paths (sink
+    # roundtrips and probes read their own outputs directly), and a
+    # regenerated sf_dir always arrives in a fresh driver process.
+    cache: dict[tuple[str, str], DataFrame]
+    cache = getattr(spark, "_graft_table_cache", None) or {}
+    if not hasattr(spark, "_graft_table_cache"):
+        spark._graft_table_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -49,8 +63,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        return df
-    return spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+    cache[key] = df
+    return df
 
 
 def parallelize(df: DataFrame, key: str | None = None) -> DataFrame:
