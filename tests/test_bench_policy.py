@@ -67,3 +67,71 @@ def test_latest_prior_bench_picks_best_total():
         if "value" in data:
             totals.append(data["value"])
     assert prev["value"] == min(totals)
+
+
+def test_compact_line_fits_driver_tail_capture(tmp_path, monkeypatch):
+    """The driver records only the last 2000 chars of bench output;
+    round 7's ~2.6k line arrived truncated and BENCH_r07.json got
+    "parsed": null. _compact must (a) always emit a line under the cap,
+    (b) keep the contract fields, and (c) park the full record in the
+    sidecar."""
+    import json
+
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "detail.json"))
+    queries = {f"Q{i:02d}_some_longish_query_name": 1.234 for i in range(12)}
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": 14.808,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "load_avg_1m": 1.5,
+        "load_avg_suite_start": 1.2,
+        "load_avg_suite_end": 1.8,
+        "load_waited_sec": 90.0,
+        "canary_sec": [0.3, 0.31],
+        "variance_band": {
+            q: {"samples": [1.5, 1.2, 1.1, 1.0, 0.9], "min": 0.9,
+                "median": 1.1, "max": 1.5}
+            for q in queries
+        },
+        "median_total_sec": 13.2,
+        "cpu_steal_pct": 0.02,
+        "delta_vs": 7,
+        "delta_sec": {q: -0.123 for q in queries},
+        "delta_total_sec": -0.5,
+        "stall_reruns": {"Q00_some_longish_query_name": [9.0, 1.2]},
+        "suite_reruns": {"reason": "contended " * 20, "first_total_sec": 20.0,
+                         "second_total_sec": 14.8, "kept": "second",
+                         "first_queries": queries},
+    }
+    line = bench._compact(dict(record))
+    assert len(json.dumps(line)) <= bench.MAX_LINE_CHARS
+    for key in ("metric", "value", "unit", "queries", "sf"):
+        assert line[key] == record[key]
+    # bulky diagnostics are summarized, never inlined
+    assert "variance_band" not in line
+    assert "delta_sec" not in line
+    sidecar = json.loads((tmp_path / "detail.json").read_text())
+    assert sidecar["variance_band"] == record["variance_band"]
+    assert sidecar["delta_sec"] == record["delta_sec"]
+
+
+def test_compact_drops_optional_fields_when_oversized(tmp_path, monkeypatch):
+    """Even a pathological record (hundreds of queries) must fit: the
+    required fields dominate and optional keys drop in order."""
+    import json
+
+    monkeypatch.setattr(bench, "DETAIL_PATH", str(tmp_path / "detail.json"))
+    queries = {f"Q{i:03d}_name": 1.0 for i in range(40)}
+    record = {
+        "metric": "headline_queries_total_sec", "value": 40.0, "unit": "sec",
+        "queries": queries, "sf": 0.1, "load_avg_1m": 1.0,
+        "canary_sec": [0.3, 0.3],
+        "variance_band": {q: {"samples": [1.0], "min": 1.0, "median": 1.0,
+                              "max": 1.0} for q in queries},
+        "median_total_sec": 40.0,
+    }
+    line = bench._compact(dict(record))
+    assert len(json.dumps(line)) <= bench.MAX_LINE_CHARS
+    assert line["queries"] == queries
