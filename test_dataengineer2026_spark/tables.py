@@ -49,9 +49,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # relation is safe; the memo never covers arbitrary paths (sink
     # roundtrips and probes read their own outputs directly), and a
     # regenerated sf_dir always arrives in a fresh driver process.
-    cache: dict[tuple[str, str], DataFrame]
-    cache = getattr(spark, "_graft_table_cache", None) or {}
-    if not hasattr(spark, "_graft_table_cache"):
+    cache: dict[tuple[str, str], DataFrame] | None
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
         spark._graft_table_cache = cache
     key = (sf_dir, name)
     if key in cache:
