@@ -135,3 +135,17 @@ def test_compact_drops_optional_fields_when_oversized(tmp_path, monkeypatch):
     line = bench._compact(dict(record))
     assert len(json.dumps(line)) <= bench.MAX_LINE_CHARS
     assert line["queries"] == queries
+
+
+def test_shuffle_audit_sums_complete_stages_only():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from shuffle_audit import stage_totals
+
+    stages = [
+        {"status": "COMPLETE", "shuffleReadBytes": 100, "shuffleWriteBytes": 40},
+        {"status": "SKIPPED", "shuffleReadBytes": 999, "shuffleWriteBytes": 999},
+        {"status": "COMPLETE", "shuffleWriteBytes": 60},  # missing read key
+        {"status": "ACTIVE", "shuffleReadBytes": 5, "shuffleWriteBytes": 5},
+    ]
+    assert stage_totals(stages) == (100, 100)
