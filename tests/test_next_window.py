@@ -63,3 +63,16 @@ def test_regression_after_green_does_not_erase_vintage(tmp_path):
     _write(tmp_path, 1, {"Q1": GREEN})
     _write(tmp_path, 2, {"Q1": {**GREEN, "hash_match": False}})
     assert last_green_round(str(tmp_path)) == {"Q1": 1}
+
+
+def test_driver_priority_is_exactly_one_window():
+    """The driver verifies the FIRST 50 registered names; a tuple that
+    drifts off 50 (a paste error during rotation) silently shrinks or
+    wastes window slots."""
+    from test_dataengineer2026_spark.queries import DRIVER_PRIORITY, load_all
+    from test_dataengineer2026_spark import registry
+
+    load_all()
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert list(registry.all_specs())[:50] == list(DRIVER_PRIORITY)
