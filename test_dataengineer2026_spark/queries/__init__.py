@@ -86,9 +86,10 @@ _MODULES = (
 # events, SQL remainder, layout ops, timeseries). After r8 the oldest
 # vintage anywhere is r3 (31 names), queued below for round 9.
 #
-# ROUND-9 QUEUE (the remaining 31 r3/r4-boundary names by staleness —
-# run `python scripts/next_window.py --stale` next round; it will
-# print them plus the freshest slice to fill the window).
+# ROUND-9 QUEUE: assuming this window goes green, the oldest vintage
+# left is r4 (31 names) — run `python scripts/next_window.py --stale`
+# next round; it prints those 31 plus the 19 oldest r5 names to fill
+# the window, in paste-ready order.
 DRIVER_PRIORITY = (
     # --- r2-vintage (24): streaming policy + file-stream sources ---
     "S9_stream_file_source",
