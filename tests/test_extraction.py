@@ -222,3 +222,67 @@ def test_positional_cells_round_trip():
     ]
     got = cluster_cells(extract_runs(render_table_pdf(cells)))
     assert got == sorted(cells)
+
+
+def test_structural_pdfs_never_raise():
+    """Round-8 fuzz tier: pages_udf wraps extract_pages with NO
+    try/except — the never-raise contract IS the quarantine, so a
+    single hostile byte pattern that raises kills the whole Spark
+    task. The round-7 tier fuzzed single-object stream blobs; this
+    one builds structurally valid multi-object documents (catalog,
+    pages tree, xref, Flate content) and bit-flips them, exercising
+    the pages-tree walk. Seeded; 12k-doc sweeps with fresh seeds ran
+    clean in round 8."""
+    import random
+    import zlib
+
+    from test_dataengineer2026_spark.extraction.pdf import (
+        extract_pages,
+        extract_runs,
+    )
+
+    def build_pdf(rng, n_pages, corrupt):
+        objs = []
+        kids = " ".join(f"{3+i} 0 R" for i in range(n_pages))
+        objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+        objs.append(
+            (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+        )
+        nid = 3 + n_pages
+        for i in range(n_pages):
+            objs.append(
+                (3 + i,
+                 f"<< /Type /Page /Parent 2 0 R /Contents {nid+i} 0 R >>".encode())
+            )
+        for i in range(n_pages):
+            comp = zlib.compress(
+                f"BT /F1 12 Tf 10 {700-i*20} Td (pg{i}) Tj ET".encode()
+            )
+            objs.append(
+                (nid + i,
+                 b"<< /Length " + str(len(comp)).encode()
+                 + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream")
+            )
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n, body in objs:
+            offs[n] = len(out)
+            out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+        xa = len(out)
+        out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+        for n in sorted(offs):
+            out += f"{offs[n]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\n"
+                f"startxref\n{xa}\n%%EOF").encode()
+        if corrupt:
+            for _ in range(rng.randrange(1, 15)):
+                out[rng.randrange(len(out))] = rng.randrange(256)
+        return bytes(out)
+
+    rng = random.Random(88)
+    clean = build_pdf(rng, 2, corrupt=False)
+    assert [p for p, _ in extract_pages(clean)] == [0, 1]
+    for i in range(200):
+        blob = build_pdf(rng, rng.randrange(1, 4), corrupt=True)
+        extract_pages(blob)   # must not raise — any exception fails the test
+        extract_runs(blob)
