@@ -343,8 +343,13 @@ def _compact(out: dict) -> dict:
     summarizes the bulky diagnostics: variance bands collapse to their
     medians, per-query deltas and rerun transcripts stay sidecar-only.
     """
-    with open(DETAIL_PATH, "w") as f:
-        json.dump(out, f, indent=1)
+    try:
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(out, f, indent=1)
+        detail_ok = True
+    except OSError as e:  # the sidecar is best-effort; the LINE is the record
+        print(f"WARN: could not write {DETAIL_PATH}: {e}", file=sys.stderr)
+        detail_ok = False
     line = dict(out)
     if "variance_band" in line:
         line["band_median_sec"] = {
@@ -353,8 +358,11 @@ def _compact(out: dict) -> dict:
     line.pop("delta_sec", None)
     for k in ("suite_reruns", "stall_reruns"):
         if k in line:
-            line[k] = f"see {os.path.basename(DETAIL_PATH)}"
-    line["detail"] = os.path.basename(DETAIL_PATH)
+            line[k] = (
+                f"see {os.path.basename(DETAIL_PATH)}" if detail_ok else "yes"
+            )
+    if detail_ok:
+        line["detail"] = os.path.basename(DETAIL_PATH)
     # Belt-and-braces: drop optional keys until the line fits.
     droppable = [
         "band_median_sec", "canary_sec", "load_waited_sec",

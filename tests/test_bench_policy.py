@@ -149,3 +149,23 @@ def test_shuffle_audit_sums_complete_stages_only():
         {"status": "ACTIVE", "shuffleReadBytes": 5, "shuffleWriteBytes": 5},
     ]
     assert stage_totals(stages) == (100, 100)
+
+
+def test_compact_survives_unwritable_sidecar(monkeypatch, capsys):
+    """The stdout line is the driver's record; a sidecar write failure
+    (disk full, read-only checkout) must degrade to line-only, never
+    raise."""
+    import json
+
+    monkeypatch.setattr(
+        bench, "DETAIL_PATH", "/proc/definitely/not/writable/detail.json"
+    )
+    record = {
+        "metric": "headline_queries_total_sec", "value": 1.0, "unit": "sec",
+        "queries": {"Q": 1.0}, "sf": 0.1,
+        "stall_reruns": {"Q": [9.0, 1.0]},
+    }
+    line = bench._compact(dict(record))
+    assert "detail" not in line
+    assert line["stall_reruns"] == "yes"
+    assert len(json.dumps(line)) <= bench.MAX_LINE_CHARS
