@@ -61,18 +61,15 @@ def stage_totals(stages: list[dict]) -> tuple[int, int]:
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
-
     from test_dataengineer2026_spark import registry
+    from test_dataengineer2026_spark.session import get_session
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count() or 8)}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "true")
-        .appName("shuffle-audit")
-        .getOrCreate()
+    # The tuned session (8g heap — GR2 OOMs a default 1g driver), with
+    # the UI turned back on: the REST stage endpoint IS the instrument.
+    spark = get_session(
+        "shuffle-audit",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
     )
     qs = registry.queries()
     prefixes = tuple(sys.argv[1:])
