@@ -52,7 +52,8 @@ def main() -> int:
         # --shard i/N: the i-th (1-based) of N equal registry slices —
         # a full 231-query replay overruns the 600 s sandbox cap, so
         # round 8 ran it as hand-built name files; this makes the split
-        # mechanical: for i in 1..6: driver_replay.py --shard $i/6
+        # mechanical: for i in 1..8: driver_replay.py --shard $i/8
+        # (8 slices of ~29 measured comfortably under the cap)
         idx = argv.index("--shard")
         i, n_shards = (int(x) for x in argv[idx + 1].split("/"))
         del argv[idx:idx + 2]
