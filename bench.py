@@ -329,8 +329,13 @@ def main() -> None:
 #: run. The stdout line must stay under this cap; full diagnostics go
 #: to the sidecar instead.
 MAX_LINE_CHARS = 1900
-DETAIL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+#: Ad-hoc/test runs once clobbered the committed round record (restored
+#: in 6754b9c), so the sidecar path is overridable: set
+#: BENCH_DETAIL_PATH for scratch runs; the repo-root default stays the
+#: explicitly promoted per-round copy. (r8 advisor, low)
+DETAIL_PATH = os.environ.get(
+    "BENCH_DETAIL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
 )
 
 

@@ -13,6 +13,7 @@ row count + sorted schema names + order-insensitive value compare.
 
 from __future__ import annotations
 
+import argparse
 import datetime
 import os
 import sys
@@ -28,6 +29,48 @@ from test_dataengineer2026_spark import tables
 SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 
 
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    """Parse CLI args; kept Spark-free so ``--help`` never boots a JVM.
+
+    Round-8 verdict flagged that unknown flags used to be treated as
+    name prefixes, so ``--help`` selected 0 queries and printed a
+    vacuous "RESULT: ALL MATCH". argparse rejects unknown flags, and
+    main() now fails loudly on an empty selection.
+    """
+    ap = argparse.ArgumentParser(
+        description="Replay the verification driver's contract check locally.",
+        epilog="SF_DIR=/root/testdata/sf0.001 overrides the data directory.",
+    )
+    ap.add_argument(
+        "prefixes",
+        nargs="*",
+        help="only run queries whose name starts with one of these (e.g. A1 J)",
+    )
+    ap.add_argument(
+        "--window",
+        action="store_true",
+        help="replay exactly the DRIVER_PRIORITY 50 the driver verifies this round",
+    )
+    ap.add_argument(
+        "--shard",
+        metavar="i/N",
+        default=None,
+        help="run the i-th (1-based) of N equal registry slices; "
+        "a full 231-query replay overruns the 600 s sandbox cap, so "
+        "round 8+ runs: for i in 1..8: driver_replay.py --shard $i/8",
+    )
+    args = ap.parse_args(argv)
+    if args.shard is not None:
+        try:
+            i, n_shards = (int(x) for x in args.shard.split("/"))
+        except ValueError:
+            ap.error(f"--shard expects i/N (got {args.shard!r})")
+        if n_shards < 1 or not 1 <= i <= n_shards:
+            ap.error(f"--shard requires 1 <= i <= N (got {i}/{n_shards})")
+        args.shard = (i, n_shards)
+    return args
+
+
 def norm(v):
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
@@ -41,24 +84,14 @@ def norm(v):
 
 
 def main() -> int:
-    argv = sys.argv[1:]
-    if "--window" in argv:
+    args = parse_args()
+    prefixes = tuple(args.prefixes)
+    if args.window:
         # replay exactly what the driver will verify this round
         from test_dataengineer2026_spark.queries import DRIVER_PRIORITY
 
-        argv = [n for n in argv if n != "--window"] + list(DRIVER_PRIORITY)
-    shard = None
-    if "--shard" in argv:
-        # --shard i/N: the i-th (1-based) of N equal registry slices —
-        # a full 231-query replay overruns the 600 s sandbox cap, so
-        # round 8 ran it as hand-built name files; this makes the split
-        # mechanical: for i in 1..8: driver_replay.py --shard $i/8
-        # (8 slices of ~29 measured comfortably under the cap)
-        idx = argv.index("--shard")
-        i, n_shards = (int(x) for x in argv[idx + 1].split("/"))
-        del argv[idx:idx + 2]
-        shard = (i, n_shards)
-    prefixes = tuple(argv)
+        prefixes = prefixes + tuple(DRIVER_PRIORITY)
+    shard = args.shard
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', 8)}]")
         .appName("driver-replay")
@@ -88,6 +121,10 @@ def main() -> int:
         per = -(-len(names) // n_shards)  # ceil division
         names = names[(i - 1) * per : i * per]
         print(f"shard {i}/{n_shards}: {len(names)} queries")
+    if not names:
+        # an empty selection must never read as a pass (r8 verdict #1)
+        print("RESULT: NO QUERIES SELECTED (bad prefix or empty shard)")
+        return 2
 
     fails = []
     for name in names:
@@ -118,9 +155,9 @@ def main() -> int:
                 if "HUGEINT" in str(t).upper()
             ]
             res = con.execute(oracles[name])
-            names = [x[0] for x in res.description]
-            order = sorted(range(len(names)), key=lambda i: names[i])
-            dk_cols = [names[i] for i in order]
+            oracle_cols = [x[0] for x in res.description]
+            order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
+            dk_cols = [oracle_cols[i] for i in order]
             dk = sorted(
                 (tuple(norm(row[i]) for i in order) for row in res.fetchall()), key=str
             )

@@ -77,6 +77,14 @@ def main() -> None:
         [n for n in qs if n.startswith(prefixes)] if prefixes else DEFAULT
     )
     ui, app = spark.sparkContext.uiWebUrl, spark.sparkContext.applicationId
+    # spark.ui.enabled is a static conf: if a SparkSession already exists
+    # in this process, getOrCreate reuses it with the UI still off and
+    # uiWebUrl is None — fail here with the real cause instead of a
+    # confusing urlopen("None/api/...") error later. (r8 advisor, low)
+    assert ui is not None, (
+        "Spark UI is disabled — the audit needs a FRESH python process "
+        "(spark.ui.enabled is static and getOrCreate reused a UI-less session)"
+    )
 
     def snapshot() -> tuple[int, int]:
         with urllib.request.urlopen(

@@ -44,6 +44,12 @@ comment on DRIVER_PRIORITY): the 24 remaining r2-vintage names plus
 the 26 oldest r3-vintage, clearing the r2 backlog entirely. The list
 is exactly `python scripts/next_window.py --stale` output, so future
 rotations are mechanical.
+
+Round 9 repeats the mechanical rotation (see the ROUND-9 WINDOW
+comment on DRIVER_PRIORITY): the 31 r4-vintage names plus the 19
+oldest r5-vintage, clearing the r4 backlog entirely. All greens
+then sit within four rounds of a fresh re-proof on regenerated
+parquet.
 """
 
 from __future__ import annotations
@@ -76,76 +82,77 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-8 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r07
-# (last-green-round histogram entering r8: r2=24, r3=26, r4=31,
-# r5=50, r6=50, r7=50). The 24 remaining r2-vintage names (streaming
-# policy, UDF surface, PDF extraction, source/sink roundtrips) clear
-# the r2 backlog completely; the 26 spare slots take the oldest
-# r3-vintage slice (ML/graph-adjacent, SCD2, ANN ladder, curation,
-# events, SQL remainder, layout ops, timeseries). After r8 the oldest
-# vintage anywhere is r3 (31 names), queued below for round 9.
+# ROUND-9 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r08
+# (last-green-round histogram entering r9: r4=31, r5=50, r6=50,
+# r7=50, r8=50). The 31 r4-vintage names (TPC-H remainder, text
+# extensions T6-T13, extraction X10-X12, streaming M12/M14, ANN
+# PQ tier, URL/interval ops, schema evolution) clear the r4
+# backlog completely; the 19 spare slots take the oldest r5 slice
+# (aggregation/join/window core re-verification on fresh parquet).
 #
-# ROUND-9 QUEUE: assuming this window goes green, the oldest vintage
-# left is r4 (31 names) — run `python scripts/next_window.py --stale`
-# next round; it prints those 31 plus the 19 oldest r5 names to fill
-# the window, in paste-ready order.
+# ROUND-10 QUEUE: assuming this window goes green, the oldest
+# vintage left is r5 (31 names) — run
+# `python scripts/next_window.py --stale` next round; it prints
+# those 31 plus the 19 oldest r6 names, in paste-ready order.
 DRIVER_PRIORITY = (
-    # --- r2-vintage (24): streaming policy + file-stream sources ---
-    "S9_stream_file_source",
-    "S10_foreach_batch_sink",
-    "M8_late_data_policy",
-    "M9_trigger_control",
-    # UDF surface
-    "V5_mm_binary_features",
-    "V1_scalar_pandas_udf",
-    "V2_grouped_map_udf",
-    "V3_grouped_agg_udaf",
-    "V6_sql_udf_registration",
-    # PDF extraction pipeline (true registration order)
-    "X3_extract_metadata",
-    "X4_extract_resources",
-    "X5_extract_reserves",
-    "X2_extract_table_cells",
-    "X8_null_fill_contract",
-    "X9_validate_extraction",
-    "X6_extract_economics",
-    "X7_normalize_numeric",
-    # source/sink roundtrips (true registration order)
-    "S8_partitioned_parquet_roundtrip",
-    "S1_binary_file_scan",
-    "S5_text_scan",
-    "S6_json_sink_roundtrip",
-    "S7_csv_sink_roundtrip",
-    "S3_csv_roundtrip",
-    "S4_json_roundtrip",
-    # --- r3-vintage (26 oldest by registration order) ---
-    "ML2_grouped_ols",
-    "J14_bloom_pruned_join",
-    "W7_scd2_dimension",
-    "J12b_srp_lsh_ann",
-    "J12d_ivf_kmeans_ann",
-    "D8_paragraph_dedup",
-    "D9_canonical_selection",
-    "C3_mixture_weights",
-    "C7_quota_sample",
-    "C8_length_percentiles",
-    "C9_shuffle_shards",
-    "C11_temperature_sample",
-    "E1_batch_sessionize",
-    "E3_cohort_retention",
-    "M11_chained_window_agg",
-    "SQL3_cte_window",
-    "SQL5_tpch_q10",
-    "SQL7_tpch_q14",
-    "SQL8_tpch_q17",
-    "SQL9_tpch_q19",
-    "SQL10_tpch_q22",
-    "S11_bucketed_join",
-    "S12_dynamic_partition_backfill",
-    "S13_zorder_layout",
-    "S14_compact_small_files",
-    "TS2_linear_interpolation",
+    # --- r4-vintage (31): scalar/text/SQL/extraction/streaming remainder ---
+    "F13_url_funcs",
+    "J15_interval_overlap_join",
+    "J12e_pq_ann",
+    "J12f_pq_rerank_ann",
+    # text-analysis extensions
+    "T7_repetition_signals",
+    "T6_winnowing_fingerprint",
+    "T8_pii_redaction",
+    "T9_text_normalization",
+    "T10_quality_classifier",
+    "T11_unigram_surprisal",
+    "T12_bpe_pair_stats",
+    "T13_bigram_surprisal",
+    # curation / events / streaming observability
+    "C13_curriculum_order",
+    "F9b_json_event_rollup",
+    "E5_first_touch_attribution",
+    "M12_stream_observability",
+    "M14_dedup_within_watermark",
+    # cogrouped UDF surface + TPC-H remainder
+    "V8_cogrouped_pandas",
+    "SQL11_tpch_q1",
+    "SQL12_tpch_q4",
+    "SQL13_tpch_q6",
+    "SQL14_tpch_q7",
+    "SQL15_tpch_q8",
+    "SQL19_tpch_q15",
+    "SQL20_tpch_q16",
+    # extraction extensions + schema evolution
+    "X10_llm_extract",
+    "X2b_positional_cells",
+    "X11_entity_resolution",
+    "X9b_text_layer_check",
+    "X12_reserves_economics_join",
+    "S15_schema_evolution",
+    # --- r5-vintage (19 oldest): aggregation / join / window core ---
+    "A1_group_agg",
+    "A6_grouping_sets_rollup",
+    "A14_cube",
+    "A15_grouped_percentiles",
+    "A16_heavy_hitters",
+    "GR4_bfs_levels",
+    "J1_inner_equi_join",
+    "J7_broadcast_join",
+    "J16_null_safe_join",
+    # window family + set ops + datetime + as-of
+    "W1_rank_topn",
+    "W4b_ntile_global",
+    "W5_dedup_keep_latest",
+    "W6_cdc_merge",
+    "W8_activity_streaks",
+    "W9_trailing_time_window",
+    "U5_unpivot_melt",
+    "U6_except_all",
+    "F3_datetime_funcs",
+    "J10_asof_join",
 )
 
 # Every name the registry must contain after load_all() — a deleted or

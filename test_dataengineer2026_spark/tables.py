@@ -70,6 +70,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def clear_cache(spark: SparkSession) -> None:
+    """Drop the per-session base-relation memo.
+
+    ``load`` assumes parquet under a given sf_dir is immutable for the
+    life of the driver process; call this after regenerating files in
+    place so subsequent loads re-read the footers (r8 advisor note —
+    the harness always regenerates into a fresh process, but external
+    users of ``tables.load`` may not)."""
+    getattr(spark, "_graft_table_cache", {}).clear()
+
+
 def parallelize(df: DataFrame, key: str | None = None) -> DataFrame:
     """Widen a narrow scan before CPU-heavy per-row work (hashing,
     shingling, UDFs). A small local parquet file arrives as ONE scan

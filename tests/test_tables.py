@@ -41,3 +41,14 @@ def test_register_views_self_heals_dropped_view(spark):
     spark.catalog.dropTempView("orders")
     tables.register_views(spark, SF_DIR)
     assert _rows(spark, "orders") > 0
+
+
+def test_load_memoizes_and_clear_cache_resets(spark):
+    a = tables.load(spark, SF_DIR, "region")
+    assert tables.load(spark, SF_DIR, "region") is a, "memo must return same relation"
+    tables.clear_cache(spark)
+    b = tables.load(spark, SF_DIR, "region")
+    assert b is not a, "clear_cache must force a fresh footer read"
+    assert b.count() == a.count()
+    # clear_cache on a session that never loaded anything is a no-op
+    tables.clear_cache(spark)
