@@ -57,12 +57,32 @@ def last_green_round(root: str | None = None) -> dict[str, int]:
     return latest
 
 
+def parse_args(argv: list[str] | None = None):
+    """CLI: ``--stale`` switches from unverified names to oldest greens."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "Compute the next round's DRIVER_PRIORITY candidates from "
+            "the CORRECTNESS_r*.json history."
+        )
+    )
+    ap.add_argument(
+        "--stale", action="store_true",
+        help="print the 50 queries whose latest green row is oldest "
+             "(plus the vintage histogram) instead of unverified names",
+    )
+    return ap.parse_args(argv)
+
+
 def main() -> None:
+    args = parse_args()
+
     latest = last_green_round()
     green = set(latest)
     unverified = [n for n in registry.all_specs() if n not in green]
 
-    if "--stale" in sys.argv:
+    if args.stale:
         hist = collections.Counter(latest[n] for n in latest)
         print(
             "# last-green-round histogram: "
@@ -96,4 +116,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        # `next_window.py | head` closes stdout early — normal usage,
+        # not an error worth a traceback.
+        os._exit(0)

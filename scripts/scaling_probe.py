@@ -183,8 +183,29 @@ def _doc_bytes(spark, sf_dir: str) -> int:
     )
 
 
+def parse_args(argv: list[str] | None = None) -> list[int]:
+    """CLI: replication factors; rejects K < 1 and unknown flags."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "Replicate the sf0.1 tables K times and time the headline "
+            "queries at each K; prints one JSON line per K and a growth "
+            "summary. Scaled data goes to /tmp/spark_graft_scaling/."
+        )
+    )
+    ap.add_argument(
+        "ks", metavar="K", type=int, nargs="*", default=[1, 3, 10],
+        help="replication factors to probe (default: 1 3 10)",
+    )
+    ks = ap.parse_args(argv).ks
+    if any(k < 1 for k in ks):
+        ap.error("replication factors must be >= 1")
+    return ks
+
+
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    ks = parse_args()
     spark = get_session("scaling-probe", shuffle_partitions=32)
     qs = registry.queries()
     # warmup: JVM/codegen + streaming engine + Python worker pool

@@ -60,7 +60,35 @@ def stage_totals(stages: list[dict]) -> tuple[int, int]:
     return read, write
 
 
+def _build_parser():
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "Measure per-query completed-stage shuffle bytes at sf0.1 "
+            "via the Spark UI REST stage metrics; prints one JSON line "
+            "per query. Needs a fresh python process (spark.ui.enabled "
+            "is a static conf)."
+        )
+    )
+    ap.add_argument(
+        "prefixes", metavar="PREFIX", nargs="*",
+        help="only audit queries whose name starts with one of these "
+             "(default: the headline set)",
+    )
+    return ap
+
+
+def parse_args(argv: list[str] | None = None):
+    """CLI: query-name prefixes (parse-only — the empty-selection check
+    needs the live registry, so it happens in main)."""
+    return _build_parser().parse_args(argv)
+
+
 def main() -> None:
+    ap = _build_parser()
+    args = ap.parse_args()
+
     from test_dataengineer2026_spark import registry
     from test_dataengineer2026_spark.session import get_session
 
@@ -72,10 +100,12 @@ def main() -> None:
         extra_conf={"spark.ui.enabled": "true"},
     )
     qs = registry.queries()
-    prefixes = tuple(sys.argv[1:])
+    prefixes = tuple(args.prefixes)
     names = (
         [n for n in qs if n.startswith(prefixes)] if prefixes else DEFAULT
     )
+    if not names:
+        ap.error(f"no registered query matches prefixes {list(prefixes)}")
     ui, app = spark.sparkContext.uiWebUrl, spark.sparkContext.applicationId
     # spark.ui.enabled is a static conf: if a SparkSession already exists
     # in this process, getOrCreate reuses it with the UI still off and

@@ -186,9 +186,38 @@ def partition_histogram(df: DataFrame, *cols: str) -> dict[str, int]:
     }
 
 
+def parse_args(argv: list[str] | None = None) -> tuple[int, float]:
+    """CLI: (n_fact, hot_share); rejects non-positive sizes and
+    hot_share outside (0, 1)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "Build a deliberately skewed fact table (one hot key owning "
+            "hot_share of rows) and time the same join+agg under static, "
+            "AQE-skew-split, and salted strategies; asserts all skewed "
+            "variants return identical results."
+        )
+    )
+    ap.add_argument(
+        "n_fact", type=float, nargs="?", default=20_000_000,
+        help="fact-table row count (default 2e7; floats like 2e6 accepted)",
+    )
+    ap.add_argument(
+        "hot_share", type=float, nargs="?", default=0.4,
+        help="fraction of rows owned by the hot key (default 0.4)",
+    )
+    args = ap.parse_args(argv)
+    n_fact = int(args.n_fact)
+    if n_fact < 1:
+        ap.error("n_fact must be >= 1")
+    if not 0.0 < args.hot_share < 1.0:
+        ap.error("hot_share must be in (0, 1)")
+    return n_fact, args.hot_share
+
+
 def main() -> None:
-    n_fact = int(float(sys.argv[1])) if len(sys.argv) > 1 else 20_000_000
-    hot_share = float(sys.argv[2]) if len(sys.argv) > 2 else 0.4
+    n_fact, hot_share = parse_args()
     spark = get_session("skew-probe", shuffle_partitions=P)
     shutil.rmtree(OUT_ROOT, ignore_errors=True)
 
