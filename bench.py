@@ -54,11 +54,34 @@ HEADLINE = [
 MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
 MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
 SUITE_RERUN_DEVIATION = 0.25
+#: Host-steal gate (round-9 postmortem): loadavg only sees THIS guest's
+#: runnable tasks, so a noisy microVM neighbor is invisible to the load
+#: gate while stretching the CPU-bound queries 2-4x (measured: D2 1.24 s
+#: at steal 0.0 -> 5.05 s at suite steal 3.27%, with entry load 1.93
+#: UNDER the gate). Idle steal on this box measures 0.0-0.03%; the bad
+#: runs read 0.58-3.27% — 0.5% cleanly separates them.
+MAX_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "0.5"))
+
+
+def _steal_window_pct(seconds: float = 5.0) -> float:
+    """Host steal %% over a short sleep — the probe for the entry gate."""
+    s0, t0 = _cpu_ticks()
+    time.sleep(seconds)
+    s1, t1 = _cpu_ticks()
+    if t1 <= t0:
+        return 0.0
+    return 100.0 * (s1 - s0) / (t1 - t0)
 
 
 def _wait_for_idle() -> float:
+    """Block until load is under the gate AND a 5 s steal window is
+    under MAX_STEAL_PCT, or MAX_WAIT_SEC passes (never forever)."""
     waited = 0.0
-    while os.getloadavg()[0] > MAX_LOAD and waited < MAX_WAIT_SEC:
+    while waited < MAX_WAIT_SEC:
+        if os.getloadavg()[0] <= MAX_LOAD:
+            if _steal_window_pct(5.0) <= MAX_STEAL_PCT:
+                break
+            waited += 5
         time.sleep(15)
         waited += 15
     return waited
@@ -66,10 +89,12 @@ def _wait_for_idle() -> float:
 
 def _canary_sec() -> float:
     """Fixed single-core workload (~0.25s on this box when idle). Run
-    before and after the timed section, it calibrates ambient slowdown:
-    steal accounting reads ~0 in this microVM even when neighbors
-    demonstrably stretch wall-clock 2-4x, so a known workload is the
-    only reliable noise gauge."""
+    before and after the timed section, it calibrates ambient slowdown.
+    Complementary to the steal gate: a neighbor that steals a FRACTION
+    of the 32 cores barely moves this single-core loop (r9 measured
+    canary 0.34 s while 32-thread D2 stretched 4x at steal 3.27%), so
+    neither signal alone suffices — steal %% catches wide-but-shallow
+    contention, the canary catches per-core slowdown."""
     t0 = time.perf_counter()
     acc = 0
     for i in range(4_000_000):
@@ -157,12 +182,20 @@ def is_contended(
     load_at_end: float,
     max_load: float = MAX_LOAD,
     self_allowance: float = SELF_LOAD_ALLOWANCE,
+    steal_pct: float = 0.0,
+    max_steal_pct: float = MAX_STEAL_PCT,
 ) -> bool:
-    """A round is contended if the entry gate gave up OR the 1-min load
+    """A round is contended if the entry gate gave up, OR the 1-min load
     right after the timed suite reads above gate + self-load allowance —
     the entry reading alone can bless a run that got noisy mid-suite
-    (r5: the gate passed after a 120 s wait on a momentary dip)."""
-    return gate_timed_out or load_at_end > max_load + self_allowance
+    (r5: the gate passed after a 120 s wait on a momentary dip) — OR
+    host steal over the suite exceeded the gate (r9: a microVM neighbor
+    is invisible to loadavg but stretched D2 4x at entry load 1.93)."""
+    return (
+        gate_timed_out
+        or load_at_end > max_load + self_allowance
+        or steal_pct > max_steal_pct
+    )
 
 
 def should_rerun_suite(
@@ -221,7 +254,15 @@ def main() -> None:
     # the gate counts as contention too.
     suite_reruns: dict | None = None
     prev = _latest_prior_bench()
-    contended = is_contended(gate_timed_out, load_at_end)
+    steal_mid, total_mid = _cpu_ticks()
+    suite_steal_pct = (
+        round(100.0 * (steal_mid - steal0) / (total_mid - total0), 2)
+        if total_mid > total0
+        else 0.0
+    )
+    contended = is_contended(
+        gate_timed_out, load_at_end, steal_pct=suite_steal_pct
+    )
     if should_rerun_suite(contended, total, prev):
         _wait_for_idle()
         timings2, cold2, reran2 = _run_suite(spark, qs)
@@ -229,7 +270,8 @@ def main() -> None:
         total2 = round(sum(timings2.values()), 3)
         suite_reruns = {
             "reason": f"contended (gate_timed_out={gate_timed_out}, "
-            f"load start {load_at_start} / end above gate {MAX_LOAD}) "
+            f"load start {load_at_start} / end above gate {MAX_LOAD}, "
+            f"suite steal {suite_steal_pct}% vs gate {MAX_STEAL_PCT}%) "
             f"and total deviated >{SUITE_RERUN_DEVIATION:.0%} "
             f"from best prior round r{prev['round']} ({prev['value']} s)",
             "first_total_sec": total,

@@ -49,6 +49,20 @@ def test_contended_keys_on_entry_gate_or_end_load():
     assert not bench.is_contended(False, 4.0, max_load=2.0)
 
 
+def test_contended_keys_on_host_steal():
+    """r9 postmortem: a microVM neighbor is invisible to loadavg (entry
+    load 1.93 UNDER the gate) but stretched the 32-thread queries 2-4x;
+    suite-level steal above MAX_STEAL_PCT must arm the re-run guard on
+    its own. Idle steal measures 0.0-0.03%, bad runs 0.58-3.27%."""
+    # today's bad run: clean load, steal 3.27%
+    assert bench.is_contended(False, 1.9, max_load=2.0, steal_pct=3.27)
+    # the r8 driver run: clean load, zero steal
+    assert not bench.is_contended(False, 1.9, max_load=2.0, steal_pct=0.0)
+    # boundary: exactly at the steal gate is clean, strictly-above arms
+    assert not bench.is_contended(False, 1.9, max_load=2.0, steal_pct=0.5)
+    assert bench.is_contended(False, 1.9, max_load=2.0, steal_pct=0.51)
+
+
 def test_latest_prior_bench_picks_best_total():
     """Deltas anchor to the BEST prior round, so a loaded-box round
     can't poison later comparisons with a flattering baseline."""
