@@ -183,3 +183,31 @@ def test_compact_survives_unwritable_sidecar(monkeypatch, capsys):
     assert "detail" not in line
     assert line["stall_reruns"] == "yes"
     assert len(json.dumps(line)) <= bench.MAX_LINE_CHARS
+
+
+def test_wait_for_idle_blocks_on_steal(monkeypatch):
+    """The entry gate must not bless a low-load box while the host is
+    stealing: it re-checks a 5 s steal window until clean or timeout,
+    and never sleeps forever."""
+    steal_readings = iter([3.2, 1.1, 0.3])  # two dirty windows, then clean
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(
+        bench, "_steal_window_pct", lambda seconds=5.0: next(steal_readings)
+    )
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    waited = bench._wait_for_idle()
+    # waited covers the two dirty 5 s windows plus the 15 s backoffs
+    assert waited == 5 + 15 + 5 + 15
+    assert sleeps == [15, 15]
+
+
+def test_wait_for_idle_gives_up_at_max_wait(monkeypatch):
+    """A permanently noisy neighbor must not hang the bench — the gate
+    gives up after MAX_WAIT_SEC and the steal disclosure in the record
+    marks the run contended instead."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(bench, "_steal_window_pct", lambda seconds=5.0: 9.9)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    waited = bench._wait_for_idle()
+    assert waited >= bench.MAX_WAIT_SEC
