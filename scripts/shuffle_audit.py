@@ -12,6 +12,15 @@ reads by ~1000x (measured: a 10.8 MB lineitem scan reports ~18 KB), so
 the number would be noise. Shuffle metrics come from the shuffle write
 path itself and are exact.
 
+CAVEAT — retained-stage eviction (round-9 measurement): the UI REST
+store keeps ``spark.ui.retainedStages`` (default 1000) stages; a long
+single-process audit (e.g. all 231 via an empty-prefix run) overflows
+it, and evicted stages DROP OUT of the snapshot totals — late deltas
+then under-count or go negative (measured: S13 read -10.6 MB, SQL22
+write 4x low; both restored exactly in a fresh process). Audit big
+registries in chunks, and treat any negative or read<write row as an
+eviction artifact to re-measure fresh, not a result.
+
 Usage:
     python scripts/shuffle_audit.py                 # headline queries
     python scripts/shuffle_audit.py A1 W3 SQL1      # name-prefix filter
