@@ -45,11 +45,15 @@ the 26 oldest r3-vintage, clearing the r2 backlog entirely. The list
 is exactly `python scripts/next_window.py --stale` output, so future
 rotations are mechanical.
 
-Round 9 repeats the mechanical rotation (see the ROUND-9 WINDOW
-comment on DRIVER_PRIORITY): the 31 r4-vintage names plus the 19
-oldest r5-vintage, clearing the r4 backlog entirely. All greens
-then sit within four rounds of a fresh re-proof on regenerated
-parquet.
+Round 9 repeated the mechanical rotation: the 31 r4-vintage names
+plus the 19 oldest r5-vintage, clearing the r4 backlog entirely —
+all 50 green in CORRECTNESS_r09.json.
+
+Round 10 continues the rotation (see the ROUND-10 WINDOW comment on
+DRIVER_PRIORITY) with one judge-ordered substitution: the de-vacuated
+F2_regex_funcs and J6_left_anti_join (previously green on 0-row
+empty-vs-empty evidence) replace the two newest stale names so their
+row-producing paths earn a real driver green this round.
 """
 
 from __future__ import annotations
@@ -82,77 +86,76 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-9 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r08
-# (last-green-round histogram entering r9: r4=31, r5=50, r6=50,
-# r7=50, r8=50). The 31 r4-vintage names (TPC-H remainder, text
-# extensions T6-T13, extraction X10-X12, streaming M12/M14, ANN
-# PQ tier, URL/interval ops, schema evolution) clear the r4
-# backlog completely; the 19 spare slots take the oldest r5 slice
-# (aggregation/join/window core re-verification on fresh parquet).
+# ROUND-10 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r09
+# (last-green-round histogram entering r10: r5=31, r6=50, r7=50,
+# r8=50, r9=50), with one prescribed substitution: the round-9
+# judge found F2_regex_funcs and J6_left_anti_join green on
+# VACUOUS evidence (0 rows at every fixture scale since round 1)
+# and ordered their de-vacuated forms into this window, displacing
+# the two newest names in the computed list (C10, C12 — both r6,
+# re-queued for round 11). The 31 r5-vintage names clear the r5
+# backlog completely; the 17 remaining spare slots take the oldest
+# r6 slice (rollups, sketches, ML, graph).
 #
-# ROUND-10 QUEUE: assuming this window goes green, the oldest
-# vintage left is r5 (31 names) — run
+# ROUND-11 QUEUE: assuming this window goes green, the oldest
+# vintage left is r6 (33 names incl. the displaced C10/C12) — run
 # `python scripts/next_window.py --stale` next round; it prints
-# those 31 plus the 19 oldest r6 names, in paste-ready order.
+# those 33 plus the 17 oldest r7 names, in paste-ready order.
 DRIVER_PRIORITY = (
-    # --- r4-vintage (31): scalar/text/SQL/extraction/streaming remainder ---
-    "F13_url_funcs",
-    "J15_interval_overlap_join",
-    "J12e_pq_ann",
-    "J12f_pq_rerank_ann",
-    # text-analysis extensions
-    "T7_repetition_signals",
-    "T6_winnowing_fingerprint",
-    "T8_pii_redaction",
-    "T9_text_normalization",
-    "T10_quality_classifier",
-    "T11_unigram_surprisal",
-    "T12_bpe_pair_stats",
-    "T13_bigram_surprisal",
-    # curation / events / streaming observability
-    "C13_curriculum_order",
-    "F9b_json_event_rollup",
-    "E5_first_touch_attribution",
-    "M12_stream_observability",
-    "M14_dedup_within_watermark",
-    # cogrouped UDF surface + TPC-H remainder
-    "V8_cogrouped_pandas",
-    "SQL11_tpch_q1",
-    "SQL12_tpch_q4",
-    "SQL13_tpch_q6",
-    "SQL14_tpch_q7",
-    "SQL15_tpch_q8",
-    "SQL19_tpch_q15",
-    "SQL20_tpch_q16",
-    # extraction extensions + schema evolution
-    "X10_llm_extract",
-    "X2b_positional_cells",
-    "X11_entity_resolution",
-    "X9b_text_layer_check",
-    "X12_reserves_economics_join",
-    "S15_schema_evolution",
-    # --- r5-vintage (19 oldest): aggregation / join / window core ---
-    "A1_group_agg",
-    "A6_grouping_sets_rollup",
-    "A14_cube",
-    "A15_grouped_percentiles",
-    "A16_heavy_hitters",
-    "GR4_bfs_levels",
-    "J1_inner_equi_join",
-    "J7_broadcast_join",
-    "J16_null_safe_join",
-    # window family + set ops + datetime + as-of
-    "W1_rank_topn",
-    "W4b_ntile_global",
-    "W5_dedup_keep_latest",
-    "W6_cdc_merge",
-    "W8_activity_streaks",
-    "W9_trailing_time_window",
-    "U5_unpivot_melt",
-    "U6_except_all",
-    "F3_datetime_funcs",
-    "J10_asof_join",
+    # --- r5-vintage (31): dedup/ANN/text/curation/streaming/SQL/extraction ---
+    "J17_asof_tolerance_join",
+    "D1_exact_dedup",
+    "D2_minhash_lsh",
+    "F10_vector_math",
+    "J12_similarity_join",
+    "J12c_ivf_ann",
+    "D5_embedding_neardup",
+    "T1_token_count",
+    "T2_lang_id",
+    "T5_tfidf_top_term",
+    "C1_corpus_curation",
+    "T14_zipf_rank",
+    "C5_pack_sequences",
+    "C6_decontaminate",
+    "F9_json_funcs",
+    "F9c_to_json",
+    "E6_markov_transitions",
+    "M4_session_window",
+    "M5_stream_dedup",
+    "M15_checkpoint_resume",
+    "MM7_audio_frame_features",
+    "SQL1_tpch_q3",
+    "SQL17_tpch_q12",
+    "SQL23_tpch_q20",
+    "SQL24_tpch_q11",
+    "SQL25_lateral_view_explode",
+    "SQL26_recursive_cte",
+    "X1_pdf_extract_text",
+    "S2_parquet_scan_pruned",
+    "S16_dynamic_partition_pruning",
+    "TS5_time_weighted_avg",
+    # --- r6-vintage (17 oldest): rollups, sketches, ML, graph, nested/dedup/curation ---
+    "H1_hypertable_rollup",
+    "H2_incremental_rollup_refresh",
+    "A13_histogram_quantiles",
+    "A17_sliding_distinct",
+    "A11_countmin_sketch",
+    "A12_hll_sketch",
+    "ML1_ols_regression",
+    "ML3_knn_classifier",
+    "ML4_kmeans_lloyd",
+    "ML5_perceptron",
+    "GR1_pagerank",
+    "GR2_triangle_count",
+    "GR3_connected_components",
+    "F14_nested_struct_ops",
+    "D10_substring_span_dedup",
+    "C2_stratified_sample",
+    "C4_chunk_documents",
+    # --- de-vacuated round-9 findings (displace the 2 newest stale names) ---
+    "F2_regex_funcs",
+    "J6_left_anti_join",
 )
 
 # Every name the registry must contain after load_all() — a deleted or

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from test_dataengineer2026_spark import registry
-from tests.conftest import SF_DIR, assert_parity
+from tests.conftest import SF_DIR, SF_DIR_MID, assert_parity
 
 SPECS = registry.all_specs()
 
@@ -25,6 +25,37 @@ def test_query_parity(spark, duck, name):
         _ = df.schema  # schema must be stable/derivable
         return
     assert_parity(df, duck, spec.oracle)
+
+
+def test_registry_nonvacuous():
+    """Every oracle-checked query must return > 0 rows at the driver's
+    scale (sf0.01) — an empty result hash-matches an empty oracle and
+    proves nothing (round-9 judge: F2/J6 were green on empty-vs-empty
+    since round 1). DuckDB-only: the driver separately proves
+    spark == oracle, so oracle_rows > 0 implies spark_rows > 0 on any
+    green row. No whitelist — there are no intentional-empty exhibits;
+    add one here explicitly if that ever changes."""
+    import duckdb
+
+    from test_dataengineer2026_spark import tables
+
+    con = duckdb.connect()
+    try:
+        for t in tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{t}.parquet')"
+            )
+        vacuous = []
+        for name, spec in sorted(SPECS.items()):
+            if spec.oracle is None:
+                continue
+            body = spec.oracle.rstrip().rstrip(";")
+            n = con.execute(f"SELECT COUNT(*) FROM ({body}) _q").fetchone()[0]
+            if n == 0:
+                vacuous.append(name)
+        assert not vacuous, f"vacuous oracle evidence (0 rows at sf0.01): {vacuous}"
+    finally:
+        con.close()
 
 
 def test_registry_lint():
