@@ -73,18 +73,24 @@ def _steal_window_pct(seconds: float = 5.0) -> float:
     return 100.0 * (s1 - s0) / (t1 - t0)
 
 
-def _wait_for_idle() -> float:
+def _wait_for_idle() -> tuple[float, bool]:
     """Block until load is under the gate AND a 5 s steal window is
-    under MAX_STEAL_PCT, or MAX_WAIT_SEC passes (never forever)."""
+    under MAX_STEAL_PCT, or MAX_WAIT_SEC passes (never forever).
+
+    Returns (seconds_waited, timed_out). The flag — not a re-sampled
+    loadavg — is what must arm ``is_contended``: a wait that exhausted
+    MAX_WAIT_SEC purely on persistent host steal leaves load clean, so
+    re-deriving timeout from load alone blesses the run (r9 advisor)."""
     waited = 0.0
-    while waited < MAX_WAIT_SEC:
+    while True:
         if os.getloadavg()[0] <= MAX_LOAD:
             if _steal_window_pct(5.0) <= MAX_STEAL_PCT:
-                break
+                return waited, False
             waited += 5
+        if waited >= MAX_WAIT_SEC:
+            return waited, True
         time.sleep(15)
         waited += 15
-    return waited
 
 
 def _canary_sec() -> float:
@@ -218,8 +224,7 @@ def should_rerun_suite(
 
 
 def main() -> None:
-    load_waited_sec = _wait_for_idle()
-    gate_timed_out = os.getloadavg()[0] > MAX_LOAD
+    load_waited_sec, gate_timed_out = _wait_for_idle()
     spark = get_session("bench", shuffle_partitions=max(CPUS, 16))
     qs = registry.queries()
     # untimed warmup: JVM/codegen/parquet-footer caches, plus one tiny

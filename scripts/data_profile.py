@@ -72,7 +72,9 @@ def _q(con, sql: str) -> list[tuple]:
 def profile(sf_dir: str) -> dict:
     """One dict per table; every number is a workload driver somewhere."""
     con = duckdb.connect()
-    p = lambda t: os.path.join(sf_dir, f"{t}.parquet")  # noqa: E731
+    # p() is interpolated into SQL string literals; escape single quotes
+    # so a quoted path breaks nothing (r9 advisor)
+    p = lambda t: os.path.join(sf_dir, f"{t}.parquet").replace("'", "''")  # noqa: E731
     out: dict[str, dict] = {"sf_dir": sf_dir}
 
     # Row counts for every table: the zeroth-order fingerprint.

@@ -120,10 +120,15 @@ def main() -> None:
     # in this process, getOrCreate reuses it with the UI still off and
     # uiWebUrl is None — fail here with the real cause instead of a
     # confusing urlopen("None/api/...") error later. (r8 advisor, low)
-    assert ui is not None, (
-        "Spark UI is disabled — the audit needs a FRESH python process "
-        "(spark.ui.enabled is static and getOrCreate reused a UI-less session)"
-    )
+    if ui is None:
+        # runtime precondition, not a debug check: a bare assert is
+        # stripped under `python -O` and the confusing
+        # urlopen('None/api/...') failure comes back (r9 advisor)
+        raise SystemExit(
+            "Spark UI is disabled — the audit needs a FRESH python process "
+            "(spark.ui.enabled is static and getOrCreate reused a UI-less "
+            "session)"
+        )
 
     def snapshot() -> tuple[int, int]:
         with urllib.request.urlopen(

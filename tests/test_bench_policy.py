@@ -196,10 +196,11 @@ def test_wait_for_idle_blocks_on_steal(monkeypatch):
         bench, "_steal_window_pct", lambda seconds=5.0: next(steal_readings)
     )
     monkeypatch.setattr(bench.time, "sleep", sleeps.append)
-    waited = bench._wait_for_idle()
+    waited, timed_out = bench._wait_for_idle()
     # waited covers the two dirty 5 s windows plus the 15 s backoffs
     assert waited == 5 + 15 + 5 + 15
     assert sleeps == [15, 15]
+    assert timed_out is False
 
 
 def test_wait_for_idle_gives_up_at_max_wait(monkeypatch):
@@ -209,5 +210,8 @@ def test_wait_for_idle_gives_up_at_max_wait(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
     monkeypatch.setattr(bench, "_steal_window_pct", lambda seconds=5.0: 9.9)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    waited = bench._wait_for_idle()
+    waited, timed_out = bench._wait_for_idle()
     assert waited >= bench.MAX_WAIT_SEC
+    # the flag — not a loadavg re-sample — must report the timeout:
+    # persistent steal leaves load clean, so load alone can't (r9 advisor)
+    assert timed_out is True
