@@ -58,6 +58,51 @@ def test_registry_nonvacuous():
         con.close()
 
 
+def test_registry_informative():
+    """Every multi-row oracle result must have >= 1 column with more than
+    one distinct value at sf0.01 — the next weakness class below
+    vacuity: a result whose every column is constant hash-matches on row
+    count alone and pins no per-row values. Swept round 10: 0 of 231
+    fail (individual constant columns exist — intentional pins like
+    F6's bad_cast_null / F2's first_number and fixture properties like
+    MM4's bit_depth — but each sits beside varying columns, so the hash
+    still proves real values). Single-row results are exempt: their
+    hash pins exact values by construction. No whitelist; add one
+    explicitly if an intentionally-constant exhibit ever appears."""
+    import duckdb
+
+    from test_dataengineer2026_spark import tables
+
+    con = duckdb.connect()
+    try:
+        for t in tables.TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{t}.parquet')"
+            )
+        uninformative = []
+        for name, spec in sorted(SPECS.items()):
+            if spec.oracle is None:
+                continue
+            body = spec.oracle.rstrip().rstrip(";")
+            cols = [
+                d[0]
+                for d in con.execute(f"SELECT * FROM ({body}) _q LIMIT 0").description
+            ]
+            n = con.execute(f"SELECT COUNT(*) FROM ({body}) _q").fetchone()[0]
+            if n <= 1:
+                continue
+            exprs = ", ".join(f'COUNT(DISTINCT "{c}") AS "{c}"' for c in cols)
+            row = con.execute(f"SELECT {exprs} FROM ({body}) _q").fetchone()
+            if not any(v and v > 1 for v in row):
+                uninformative.append((name, n))
+        assert not uninformative, (
+            f"constant-only oracle evidence (no varying column at sf0.01): "
+            f"{uninformative}"
+        )
+    finally:
+        con.close()
+
+
 def test_registry_lint():
     """Registry hygiene: every query is named by family convention,
     carries a non-empty DuckDB oracle (the driver's hard gate), has
