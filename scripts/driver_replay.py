@@ -103,10 +103,17 @@ def main() -> int:
     df = entry_mod.entry(spark)
     n = len(df.collect())
     print(f"entry(): {n} rows, schema={[f.name for f in df.schema.fields]}")
-    assert n > 0
+    # Runtime verification gates, not debug checks: raise so `python -O`
+    # cannot strip them and let an empty replay report success.
+    if n <= 0:
+        raise RuntimeError(f"entry() returned {n} rows; expected > 0")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    assert set(oracles) <= set(qs), "oracle keys must be a subset of query keys"
+    if not set(oracles) <= set(qs):
+        raise RuntimeError(
+            f"oracle keys must be a subset of query keys; extras: "
+            f"{sorted(set(oracles) - set(qs))}"
+        )
     print(f"{len(qs)} queries, {len(oracles)} with oracles")
 
     con = duckdb.connect()

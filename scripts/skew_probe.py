@@ -259,16 +259,18 @@ def main() -> None:
     }
 
     # The three skewed strategies must agree row-for-row (7-row result).
+    # Raise (don't assert): these are the probe's correctness gates and
+    # must survive `python -O`.
     _set_confs(spark, _BASE_CONFS)
     ref = sorted(map(tuple, plain_join(fact_skew, dim).collect()))
     _set_confs(spark, _AQE_CONFS)
-    assert sorted(map(tuple, plain_join(fact_skew, dim).collect())) == ref
+    if sorted(map(tuple, plain_join(fact_skew, dim).collect())) != ref:
+        raise RuntimeError("AQE-skew-split join result diverged from plain join")
     _set_confs(spark, _BASE_CONFS)
-    assert sorted(map(tuple, salted_join(fact_skew, dim).collect())) == ref
-    assert (
-        sorted(map(tuple, salted_targeted_join(fact_skew, dim, n_fact).collect()))
-        == ref
-    )
+    if sorted(map(tuple, salted_join(fact_skew, dim).collect())) != ref:
+        raise RuntimeError("salted join result diverged from plain join")
+    if sorted(map(tuple, salted_targeted_join(fact_skew, dim, n_fact).collect())) != ref:
+        raise RuntimeError("targeted-salt join result diverged from plain join")
 
     salted_fact = fact_skew.withColumn(
         "salt", F.pmod(F.xxhash64("id"), F.lit(SALT))
