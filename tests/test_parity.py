@@ -14,6 +14,22 @@ from tests.conftest import SF_DIR, SF_DIR_MID, assert_parity
 SPECS = registry.all_specs()
 
 
+def _duck_mid():
+    """Fresh DuckDB connection with every fixture table viewed at the
+    driver's grading scale (sf0.01) — shared by the registry-evidence
+    guards below. Caller closes."""
+    import duckdb
+
+    from test_dataengineer2026_spark import tables
+
+    con = duckdb.connect()
+    for t in tables.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{t}.parquet')"
+        )
+    return con
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_parity(spark, duck, name):
     spec = SPECS[name]
@@ -35,16 +51,8 @@ def test_registry_nonvacuous():
     spark == oracle, so oracle_rows > 0 implies spark_rows > 0 on any
     green row. No whitelist — there are no intentional-empty exhibits;
     add one here explicitly if that ever changes."""
-    import duckdb
-
-    from test_dataengineer2026_spark import tables
-
-    con = duckdb.connect()
+    con = _duck_mid()
     try:
-        for t in tables.TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{t}.parquet')"
-            )
         vacuous = []
         for name, spec in sorted(SPECS.items()):
             if spec.oracle is None:
@@ -69,16 +77,8 @@ def test_registry_informative():
     still proves real values). Single-row results are exempt: their
     hash pins exact values by construction. No whitelist; add one
     explicitly if an intentionally-constant exhibit ever appears."""
-    import duckdb
-
-    from test_dataengineer2026_spark import tables
-
-    con = duckdb.connect()
+    con = _duck_mid()
     try:
-        for t in tables.TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{t}.parquet')"
-            )
         uninformative = []
         for name, spec in sorted(SPECS.items()):
             if spec.oracle is None:
