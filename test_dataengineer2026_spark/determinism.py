@@ -62,12 +62,18 @@ def dstddev(col: Column | str, typ: str = MONEY) -> Column:
     sqrt((sum(x^2) - sum(x)^2/n) / (n-1)) with both sums exact, so the only
     fp ops are the final few — identical on both engines. Constraint: use
     on small-magnitude columns (|x| <= ~1e3) so sum(x^2) fits FINAL.
+
+    The variance term is clamped at 0 before the sqrt: when a group's
+    true variance is within rounding noise of zero (constant column),
+    the final double ops can land a hair negative, where Spark returns
+    NaN but DuckDB raises "cannot take square root of a negative
+    number". GREATEST(_, 0) on both sides keeps the mirror exact.
     """
     c = F.col(col) if isinstance(col, str) else col
     n = F.count(c).cast("double")
     s = dnarrow(F.sum(dec(c, typ)))
     s2 = dnarrow(F.sum(dec(c, typ) * dec(c, typ)))
-    return F.sqrt((s2 - s * s / n) / (n - F.lit(1.0)))
+    return F.sqrt(F.greatest((s2 - s * s / n) / (n - F.lit(1.0)), F.lit(0.0)))
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -89,4 +95,5 @@ def sql_dstddev(expr: str, typ: str = MONEY) -> str:
     s = sql_dsum(expr, typ)
     s2 = sql_dnarrow(f"SUM(CAST({expr} AS {typ}) * CAST({expr} AS {typ}))")
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    return f"SQRT(({s2} - {s} * {s} / {n}) / ({n} - 1.0))"
+    # GREATEST mirrors the Spark-side clamp (see dstddev)
+    return f"SQRT(GREATEST(({s2} - {s} * {s} / {n}) / ({n} - 1.0), 0.0))"

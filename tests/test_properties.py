@@ -629,3 +629,95 @@ def test_triangles_oriented_matches_brute_force(spark, n, edge_seed):
     tri = triangles_oriented(orient_by_degree(pairs, degree_table(pairs)))
     got = sorted(tuple(sorted((r["a"], r["b"], r["c"]))) for r in tri.collect())
     assert got == expected
+
+
+# ------------------------------------------------- determinism.py contract
+
+
+@settings(**SLOW)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**8), max_value=10**8),  # money: 2dp, |x|<=1e6
+            st.integers(min_value=-(10**5), max_value=10**5),  # small: 2dp, |x|<=1e3
+        ),
+        min_size=2,
+        max_size=120,
+    ),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_decimal_agg_order_invariant_and_matches_duckdb(spark, cents, seed):
+    """determinism.py: the decimal-exact dsum/davg/dstddev must be (a)
+    bit-identical under any row order / partitioning — the whole point
+    of aggregating in DECIMAL space — and (b) bit-identical to the
+    mirror-image DuckDB SQL builders the oracles use. A 1-ulp drift
+    here fails the driver's value hash on every money aggregate, which
+    is why the contract deserves a direct pin beyond the 231 parity
+    matches that exercise it implicitly."""
+    import random
+
+    import duckdb
+
+    from test_dataengineer2026_spark import determinism as d
+
+    rows = [(c / 100.0, s / 100.0) for c, s in cents]
+    rnd = random.Random(seed)
+
+    def spark_agg(data):
+        df = spark.createDataFrame(data, "money double, small double")
+        out = (
+            df.repartition(rnd.choice([1, 3, 32]))
+            .agg(
+                d.dsum("money").alias("s"),
+                d.davg("money").alias("a"),
+                d.dstddev("small").alias("sd"),
+            )
+            .collect()[0]
+        )
+        return (out["s"], out["a"], out["sd"])
+
+    base = spark_agg(rows)
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    assert spark_agg(shuffled) == base  # exact ==, not approx: bit-identity
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (money DOUBLE, small DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        oracle = con.execute(
+            f"SELECT {d.sql_dsum('money')} AS s, {d.sql_davg('money')} AS a, "
+            f"{d.sql_dstddev('small')} AS sd FROM t"
+        ).fetchone()
+    finally:
+        con.close()
+    assert oracle == base
+
+
+def test_dstddev_constant_column_is_zero_on_both_engines(spark):
+    """The clamp in dstddev/sql_dstddev: a constant column's variance
+    lands within rounding noise of zero, where unclamped mirrors
+    diverge (Spark sqrt(-eps) -> NaN, DuckDB -> Out of Range Error).
+    Both sides must read exactly 0.0."""
+    import duckdb
+
+    from test_dataengineer2026_spark import determinism as d
+
+    rows = [(982.47,)] * 37  # 2dp constant, |x| <= 1e3 per the contract
+    got = (
+        spark.createDataFrame(rows, "small double")
+        .agg(d.dstddev("small").alias("sd"))
+        .collect()[0]["sd"]
+    )
+    assert got == 0.0
+
+    con = duckdb.connect()
+    try:
+        con.execute("CREATE TABLE t (small DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?)", rows)
+        oracle = con.execute(
+            f"SELECT {d.sql_dstddev('small')} AS sd FROM t"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert oracle == 0.0
