@@ -214,11 +214,11 @@ WITH obs AS (
 SELECT user_id, day,
        CAST(CAST(dv AS DECIMAL(18,6)) AS DOUBLE) AS day_value,
        round((CAST(CAST(dv AS DECIMAL(18,6)) AS DOUBLE) - s / n) /
-             sqrt((s2 - s * s / n) / n), 6) AS zscore
+             sqrt(GREATEST((s2 - s * s / n) / n, 0.0)), 6) AS zscore
 FROM win
 WHERE n >= 4 AND (s2 - s * s / n) / n > 0
   AND abs((CAST(CAST(dv AS DECIMAL(18,6)) AS DOUBLE) - s / n) /
-          sqrt((s2 - s * s / n) / n)) > 2.0
+          sqrt(GREATEST((s2 - s * s / n) / n, 0.0))) > 2.0
 """
 
 
@@ -269,7 +269,16 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n"),
     )
     var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
-    z = (F.col("day_value") - F.col("s") / F.col("n")) / F.sqrt(var)
+    # sqrt over a 0-clamped variance (mirrored in the oracle): a constant
+    # window's true variance is within rounding noise of zero, where the
+    # unclamped term can land a hair negative — Spark reads NaN but
+    # DuckDB hard-errors on sqrt(negative) if its optimizer ever orders
+    # the z-predicate before the var > 0 guard. The clamp removes the
+    # error path; the var > 0 filter still excludes those rows on both
+    # engines (and x/sqrt(0) is NULL on both, so z agrees even unfiltered).
+    z = (F.col("day_value") - F.col("s") / F.col("n")) / F.sqrt(
+        F.greatest(var, F.lit(0.0))
+    )
     return (
         win.filter((F.col("n") >= 4) & (var > 0) & (F.abs(z) > 2.0))
         .select("user_id", "day", "day_value", F.round(z, 6).alias("zscore"))
