@@ -428,10 +428,10 @@ WITH daily AS (
   FROM daily GROUP BY dow
 )
 SELECT d.day, d.dow, d.daily_micro,
-       round(CAST(b.dow_total AS DOUBLE) / CAST(b.dow_days AS DOUBLE), 6)
+       CAST(b.dow_total AS DOUBLE) / CAST(b.dow_days AS DOUBLE)
          AS dow_baseline_micro,
-       round(CAST(d.daily_micro AS DOUBLE)
-             - CAST(b.dow_total AS DOUBLE) / CAST(b.dow_days AS DOUBLE), 6)
+       CAST(d.daily_micro AS DOUBLE)
+             - CAST(b.dow_total AS DOUBLE) / CAST(b.dow_days AS DOUBLE)
          AS residual_micro
 FROM daily d JOIN base b USING (dow)
 """,
@@ -445,7 +445,14 @@ def dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     'low for a Saturday'). Determinism: daily totals quantize to exact
     integer micro-units (the TS5/W9 convention), the baseline is one
     int64/int64 double division, and the residual one subtraction —
-    identical IEEE ops on both engines. Plan: two aggregations (day,
+    identical IEEE ops on both engines, so the doubles are emitted
+    UNROUNDED: a display round(_, 6) here is not just unnecessary but
+    wrong at scale — DuckDB rounds doubles as round(x*1e6)/1e6, and
+    x*1e6 overflows 2^53 once |x| > ~9e9 (true for sf0.1 baselines
+    ~1.6e11), corrupting low digits where Spark's exact BigDecimal
+    rounding does not; found by the round-10 sf0.1 full-registry
+    replay (green at sf0.01 only because smaller magnitudes survive
+    the double-rounding). Plan: two aggregations (day,
     then weekday — the second runs over at most 7 groups) and a
     broadcast join of the 7-row baseline back onto the daily series;
     at 100 TB the day rollup partial-aggregates map-side and nothing
@@ -480,8 +487,8 @@ def dow_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "dow",
         "daily_micro",
-        F.round(baseline, 6).alias("dow_baseline_micro"),
-        F.round(
-            F.col("daily_micro").cast("double") - baseline, 6
-        ).alias("residual_micro"),
+        baseline.alias("dow_baseline_micro"),
+        (F.col("daily_micro").cast("double") - baseline).alias(
+            "residual_micro"
+        ),
     )

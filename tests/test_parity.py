@@ -103,6 +103,61 @@ def test_registry_informative():
         con.close()
 
 
+def test_registry_round_overflow_safe():
+    """No oracle may round() a double whose scaled magnitude nears 2^53.
+
+    DuckDB rounds doubles as round(x * 10^s) / 10^s, so once
+    |x| * 10^s exceeds 2^53 the multiply is inexact and the low digits
+    corrupt — while Spark rounds via exact BigDecimal, silently
+    diverging the mirror. Round-10's sf0.1 full-registry replay caught
+    exactly this in TS6 (baseline ~1.6e11 rounded at 6dp), which had
+    been green at sf0.01 only because the smaller magnitudes happened
+    to survive. This guard is magnitude-based, so it fails green-by-
+    luck cases too, and demands a decade of headroom: each rounded
+    column must satisfy max|x| * 10^s * 10 <= 2^53 at sf0.01 (sums
+    grow ~10x per SF decade). Fix sites by quantizing to integer
+    micro-units or emitting the unrounded deterministic double."""
+    import re
+
+    con = _duck_mid()
+    try:
+        offenders = []
+        for name, spec in sorted(SPECS.items()):
+            if spec.oracle is None:
+                continue
+            body = spec.oracle.rstrip().rstrip(";")
+            rounded = re.findall(
+                r"round\([^;]*?,\s*(\d+)\)\s*AS\s+(\w+)", body, re.I | re.S
+            )
+            if not rounded:
+                continue
+            out_cols = {
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM ({body}) _q"
+                ).fetchall()
+            }
+            for scale, col in rounded:
+                if col not in out_cols:
+                    # round() inside a CTE/subquery whose alias is not a
+                    # result column; its magnitude is checked indirectly
+                    # when the outer column it feeds is itself rounded,
+                    # and any divergence still fails the parity hash.
+                    continue
+                row = con.execute(
+                    f'SELECT MAX(ABS("{col}")) FROM ({body}) _q'
+                ).fetchone()
+                mx = row[0]
+                if mx is not None and float(mx) * 10 ** int(scale) * 10 > 2**53:
+                    offenders.append((name, col, int(scale), float(mx)))
+        assert not offenders, (
+            f"round() on doubles too large for DuckDB's round(x*10^s)/10^s "
+            f"(needs 10x headroom under 2^53): {offenders}"
+        )
+    finally:
+        con.close()
+
+
 def test_registry_lint():
     """Registry hygiene: every query is named by family convention,
     carries a non-empty DuckDB oracle (the driver's hard gate), has
