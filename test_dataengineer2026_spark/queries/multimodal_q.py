@@ -207,7 +207,9 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _stage("modality_store", sf_dir)
     sio.sink_parquet(sniffed, out, partition_by=["modality"])
-    back = sio.scan_parquet(spark, out)
+    # writer-side schema so an empty corpus routes to an empty frame
+    # instead of an UNABLE_TO_INFER_SCHEMA crash (see scan_parquet)
+    back = sio.scan_parquet(spark, out, schema=sniffed.schema)
     return back.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_payloads"),
         F.sum(F.length("payload")).cast("long").alias("total_bytes"),

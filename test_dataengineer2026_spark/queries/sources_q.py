@@ -43,7 +43,10 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     d = tables.load(spark, sf_dir, "documents")
     out = _stage("docs_parquet", sf_dir)
     sio.sink_parquet(d, out, partition_by=["lang"])
-    back = sio.scan_parquet(spark, out)
+    # writer-side schema: an empty input writes no data files, and an
+    # inferring read of that store would crash instead of returning an
+    # empty frame (see scan_parquet)
+    back = sio.scan_parquet(spark, out, schema=d.schema)
     return back.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -444,7 +447,14 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually evolves: no rewrite of historical files, the footer merge
     happens at planning time, and per-file pruning still works because
     the union schema is resolved per row-group. The aggregate proves
-    both generations land in one scan."""
+    both generations land in one scan.
+
+    Schema inference is the exhibit here, so the read-back deliberately
+    does NOT declare a schema — which means an empty corpus (no data
+    files written) cannot infer and raises UNABLE_TO_INFER_SCHEMA. A
+    production evolving-lake reader declares the current union schema
+    (the scan_parquet(schema=...) pattern used by S8/S16/MM3) and gets
+    an empty frame instead."""
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     out = _stage("s15_evolving", sf_dir)
@@ -506,10 +516,11 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_day = e.withColumn(
         "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
     )
-    with_day.select("event_id", "event_type", "value", "day").write.mode(
-        "overwrite"
-    ).partitionBy("day").parquet(out)
-    fact = spark.read.parquet(out)
+    written = with_day.select("event_id", "event_type", "value", "day")
+    written.write.mode("overwrite").partitionBy("day").parquet(out)
+    # writer-side schema: empty input -> no data files -> an inferring
+    # read crashes instead of returning an empty frame (see scan_parquet)
+    fact = spark.read.schema(written.schema).parquet(out)
     dim = (
         tables.load(spark, sf_dir, "events")
         .filter(

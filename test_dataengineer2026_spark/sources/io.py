@@ -27,9 +27,22 @@ def scan_binary(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
     return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 
 
-def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """S2: columnar scan with pushdown/pruning."""
-    return spark.read.parquet(path)
+def scan_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S2: columnar scan with pushdown/pruning.
+
+    Pass ``schema`` when the caller knows it (e.g. reading back a store
+    it just wrote): a partitioned write of an EMPTY DataFrame emits no
+    data files, so a schema-inferring read of that store fails with
+    UNABLE_TO_INFER_SCHEMA — a real incremental-pipeline hazard (an
+    empty backfill day must produce an empty frame, not a crash).
+    Partition columns present in the schema are still parsed from the
+    directory keys."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
 
 
 def scan_csv(

@@ -721,3 +721,48 @@ def test_dstddev_constant_column_is_zero_on_both_engines(spark):
     finally:
         con.close()
     assert oracle == 0.0
+
+
+@pytest.fixture(scope="module")
+def all_empty_sf_dir(tmp_path_factory):
+    """All ten tables present with the production physical schema but
+    zero rows — written via DuckDB COPY so parquet physical types
+    (notably events.ts TIMESTAMP(NANOS)) match the driver's fixtures,
+    which Spark-side limit(0) rewrites do not preserve."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    d = tmp_path_factory.mktemp("all_empty_sf")
+    con = duckdb.connect()
+    try:
+        for t in tables.TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') "
+                f"LIMIT 0) TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    finally:
+        con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "S8_partitioned_parquet_roundtrip",
+        "S16_dynamic_partition_pruning",
+        "MM3_modality_router",
+    ],
+)
+def test_partitioned_roundtrip_survives_empty_input(spark, all_empty_sf_dir, name):
+    """A partitioned write of an EMPTY frame emits no data files, so a
+    schema-inferring read-back crashes with UNABLE_TO_INFER_SCHEMA — a
+    real incremental-pipeline hazard (an empty backfill day must yield
+    an empty frame, not a failed job). These three write-then-read
+    queries declare the writer-side schema on the read (round-10
+    empty-input audit: 222/231 registry queries already degraded
+    gracefully; these three crashed) and must return 0 rows."""
+    from test_dataengineer2026_spark.registry import all_specs
+
+    df = all_specs()[name].fn(spark, all_empty_sf_dir)
+    assert df.count() == 0
