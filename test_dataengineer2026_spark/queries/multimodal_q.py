@@ -26,11 +26,11 @@ from test_dataengineer2026_spark.session import apply_runtime_confs
     oracle="""
 SELECT
   doc_id,
-  CAST(length(text) AS BIGINT) AS byte_len,
+  CAST(strlen(text) AS BIGINT) AS byte_len,
   md5(text) AS content_md5,
   ascii(substring(text, 1, 1)) AS first_byte,
-  CAST(length(text) % 640 AS INTEGER) AS width,
-  CAST((length(text) * 7) % 480 AS INTEGER) AS height
+  CAST(strlen(text) % 640 AS INTEGER) AS width,
+  CAST((strlen(text) * 7) % 480 AS INTEGER) AS height
 FROM documents
 """,
     tags=("multimodal", "udf", "mapInPandas"),
@@ -39,7 +39,15 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V5 + multimodal: binary payload -> typed features via mapInPandas
     (Arrow batch iterator). Decoder dimensions are a clearly-marked
     deterministic fake (no imaging libs in this build); everything else
-    (md5, lengths, bytes) is real."""
+    (md5, lengths, bytes) is real.
+
+    The Spark side measures the UTF-8 payload in BYTES, so the oracle
+    uses DuckDB's strlen (bytes), not length (chars) — equal on ASCII,
+    divergent otherwise. md5(text) in DuckDB already hashes the UTF-8
+    bytes, matching the binary md5. The one char-semantic residual is
+    first_byte (oracle: first codepoint; DuckDB cannot slice blobs) —
+    equal only while the corpus is ASCII, which
+    tests/test_parity.py::test_fixture_text_is_ascii pins loudly."""
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     return extract_features(attach_binary(d))
@@ -62,7 +70,13 @@ FROM f
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame sampling: fixed 100-byte windows, up to 3 frames
-    per payload — the keyframe-extraction batch shape."""
+    per payload — the keyframe-extraction batch shape.
+
+    The oracle frames by CHARACTERS (DuckDB cannot substring blobs);
+    the Spark side frames the UTF-8 payload by BYTES. Kept consistently
+    char-based rather than mixing a byte count with char slices —
+    equal only while the corpus is ASCII, which
+    tests/test_parity.py::test_fixture_text_is_ascii pins loudly."""
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     return sample_frames(attach_binary(d), frame_size=100, max_frames=3)

@@ -158,6 +158,30 @@ def test_registry_round_overflow_safe():
         con.close()
 
 
+def test_fixture_text_is_ascii():
+    """The binary-payload oracles (V5 first_byte, MM2 frame slicing)
+    compare Spark BYTE semantics against DuckDB CHAR semantics, which
+    coincide only while the corpus is pure ASCII — DuckDB cannot slice
+    or hash blobs, so a byte-exact oracle is inexpressible there. This
+    guard makes that dependency loud: if the driver ever regenerates
+    documents with non-ASCII text, fail HERE with a pointer to the
+    affected sites instead of surfacing as opaque hash mismatches."""
+    con = _duck_mid()
+    try:
+        n = con.execute(
+            "SELECT COUNT(*) FROM documents "
+            "WHERE strlen(text) != length(text)"
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{n} documents contain non-ASCII text; the char-semantic "
+            f"oracles in queries/multimodal_q.py (V5 first_byte, MM2 "
+            f"frame md5) no longer mirror the Spark byte semantics — "
+            f"see their docstrings for the fix options"
+        )
+    finally:
+        con.close()
+
+
 def test_registry_lint():
     """Registry hygiene: every query is named by family convention,
     carries a non-empty DuckDB oracle (the driver's hard gate), has
