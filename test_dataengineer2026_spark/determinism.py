@@ -30,8 +30,16 @@ RATE = "decimal(8,4)"  # discounts/taxes in [0,1] with 2dp
 #: nothing; crucially it is int64-backed in DuckDB (precision <= 18), so
 #: decimal->double is a single correctly-rounded conversion on both engines
 #: (wide int128-backed decimals double-round in DuckDB and can differ from
-#: Java BigDecimal by 1 ulp). Constraint: |sum| < 1e12, true at oracle
-#: scale sf0.01 for every column we aggregate.
+#: Java BigDecimal by 1 ulp). Constraint: |sum| < 1e12 — true at every
+#: fixture scale and probe (sf0.1 max is 5.2e9; the K=30 probe ~1.6e11),
+#: and verified fail-LOUD, not fail-silent: under Spark 4's ANSI default
+#: an overflowing narrow raises NUMERIC_VALUE_OUT_OF_RANGE rather than
+#: returning NULL. At true 100 TB scale (global money sums ~1e15+) this
+#: narrowing is the one knob to change: keep the exact DECIMAL(38,_)
+#: accumulation and either emit the decimal itself or accept the
+#: engine-native decimal->double rounding — the 18,6 narrowing exists
+#: only to make the *cross-engine oracle compare* bit-exact, a concern
+#: that disappears when there is no DuckDB mirror to match.
 FINAL = "decimal(18,6)"
 
 
