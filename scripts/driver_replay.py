@@ -17,6 +17,18 @@ import argparse
 import datetime
 import os
 import sys
+import time
+
+# Pin the PROCESS timezone to UTC before the JVM spawns: PySpark's
+# collect() renders TimestampType (LTZ) instants as naive datetimes in
+# the OS timezone, while the DuckDB oracle's TIMESTAMP (NTZ) values are
+# naive UTC wall times. Under a UTC host this is an identity; under any
+# other TZ every timestamp column shifts by the UTC offset and the
+# compare fails spuriously (verified: TZ=Asia/Tokyo shifted O2/S17 by
+# +09:00). Queries already pin the SESSION timezone (apply_runtime_confs)
+# — this pins the rendering boundary the session conf cannot reach.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -8,6 +8,13 @@ import datetime as dt
 import math
 import os
 import sys
+import time
+
+# Pin the process timezone to UTC before the JVM spawns (same rationale
+# as scripts/driver_replay.py): PySpark renders LTZ timestamps in the OS
+# timezone at collect(), and the parity compare assumes UTC wall times.
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 import duckdb
 import pytest
