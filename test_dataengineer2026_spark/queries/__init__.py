@@ -54,6 +54,11 @@ DRIVER_PRIORITY) with one judge-ordered substitution: the de-vacuated
 F2_regex_funcs and J6_left_anti_join (previously green on 0-row
 empty-vs-empty evidence) replace the two newest stale names so their
 row-producing paths earn a real driver green this round.
+
+Round 11 resumes the pure mechanical rotation (see the ROUND-11
+WINDOW comment on DRIVER_PRIORITY): the full 33-name r6 backlog —
+including the C10/C12 pair displaced by round 10's substitution —
+plus the 17 oldest r7 names.
 """
 
 from __future__ import annotations
@@ -86,76 +91,73 @@ _MODULES = (
     "quality_q",
 )
 
-# ROUND-10 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r09
-# (last-green-round histogram entering r10: r5=31, r6=50, r7=50,
-# r8=50, r9=50), with one prescribed substitution: the round-9
-# judge found F2_regex_funcs and J6_left_anti_join green on
-# VACUOUS evidence (0 rows at every fixture scale since round 1)
-# and ordered their de-vacuated forms into this window, displacing
-# the two newest names in the computed list (C10, C12 — both r6,
-# re-queued for round 11). The 31 r5-vintage names clear the r5
-# backlog completely; the 17 remaining spare slots take the oldest
-# r6 slice (rollups, sketches, ML, graph).
+# ROUND-11 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r10
+# (last-green-round histogram entering r11: r6=33, r7=48, r8=50,
+# r9=50, r10=50). The 33 r6-vintage names — including C10/C12,
+# displaced from the round-10 window by the judge-ordered F2/J6
+# substitution — clear the r6 backlog completely; the 17 remaining
+# spare slots take the oldest r7 slice (scalar aggs, projections,
+# outer/semi joins).
 #
-# ROUND-11 QUEUE: assuming this window goes green, the oldest
-# vintage left is r6 (33 names incl. the displaced C10/C12) — run
+# ROUND-12 QUEUE: assuming this window goes green, the oldest
+# vintage left is r7 (31 names) — run
 # `python scripts/next_window.py --stale` next round; it prints
-# those 33 plus the 17 oldest r7 names, in paste-ready order.
+# those 31 plus the 19 oldest r8 names, in paste-ready order.
 DRIVER_PRIORITY = (
-    # --- r5-vintage (31): dedup/ANN/text/curation/streaming/SQL/extraction ---
-    "J17_asof_tolerance_join",
-    "D1_exact_dedup",
-    "D2_minhash_lsh",
-    "F10_vector_math",
-    "J12_similarity_join",
-    "J12c_ivf_ann",
-    "D5_embedding_neardup",
-    "T1_token_count",
-    "T2_lang_id",
-    "T5_tfidf_top_term",
-    "C1_corpus_curation",
-    "T14_zipf_rank",
-    "C5_pack_sequences",
-    "C6_decontaminate",
-    "F9_json_funcs",
-    "F9c_to_json",
-    "E6_markov_transitions",
-    "M4_session_window",
-    "M5_stream_dedup",
-    "M15_checkpoint_resume",
-    "MM7_audio_frame_features",
-    "SQL1_tpch_q3",
-    "SQL17_tpch_q12",
-    "SQL23_tpch_q20",
-    "SQL24_tpch_q11",
-    "SQL25_lateral_view_explode",
-    "SQL26_recursive_cte",
-    "X1_pdf_extract_text",
-    "S2_parquet_scan_pruned",
-    "S16_dynamic_partition_pruning",
-    "TS5_time_weighted_avg",
-    # --- r6-vintage (17 oldest): rollups, sketches, ML, graph, nested/dedup/curation ---
-    "H1_hypertable_rollup",
-    "H2_incremental_rollup_refresh",
-    "A13_histogram_quantiles",
-    "A17_sliding_distinct",
-    "A11_countmin_sketch",
-    "A12_hll_sketch",
-    "ML1_ols_regression",
-    "ML3_knn_classifier",
-    "ML4_kmeans_lloyd",
-    "ML5_perceptron",
-    "GR1_pagerank",
-    "GR2_triangle_count",
-    "GR3_connected_components",
-    "F14_nested_struct_ops",
-    "D10_substring_span_dedup",
-    "C2_stratified_sample",
-    "C4_chunk_documents",
-    # --- de-vacuated round-9 findings (displace the 2 newest stale names) ---
-    "F2_regex_funcs",
-    "J6_left_anti_join",
+    # --- r6-vintage (33): curation, events, streaming, multimodal, UDF,
+    #     TPC-H SQL, ORC, timeseries, data quality ---
+    "C10_boilerplate_removal",
+    "C12_leakage_free_split",
+    "C14_domain_quota_sample",
+    "E2_funnel_conversion",
+    "E4_event_path_trigrams",
+    "M6_stateful_funnel",
+    "M1_watermark_append",
+    "M10_stream_stream_join",
+    "M13_stream_stream_left_outer",
+    "MM2_frame_sample",
+    "MM4_png_decode",
+    "MM5_wav_decode",
+    "MM3_modality_router",
+    "MM6_perceptual_hash",
+    "MM8_image_neardup_bands",
+    "MM9_corrupt_quarantine",
+    "V4_python_udtf",
+    "V7_map_in_arrow",
+    "SQL2_correlated_subquery",
+    "SQL4_tpch_q5",
+    "SQL6_tpch_q18",
+    "SQL16_tpch_q9",
+    "SQL18_tpch_q13",
+    "SQL21_tpch_q21",
+    "SQL22_tpch_q2",
+    "S17_orc_roundtrip",
+    "TS1_gap_fill_locf",
+    "TS3_rolling_zscore_anomaly",
+    "TS4_ohlc_bars",
+    "TS6_dow_seasonal",
+    "DQ1_expectation_checks",
+    "DQ2_referential_integrity",
+    "DQ3_financial_reconciliation",
+    # --- r7-vintage (17 oldest): scalar aggs, projections, joins ---
+    "A2_global_agg",
+    "A3_count_distinct",
+    "A4_approx_count_distinct",
+    "A5_agg_filtered",
+    "A7_pivot",
+    "A8_collect_agg",
+    "A9_stats_agg",
+    "A10_mode_first_last",
+    "P1_project",
+    "P2_filter_predicate",
+    "P3_filter_null_semantics",
+    "P4_filter_like_regex",
+    "P5_distinct",
+    "J2_left_outer_join",
+    "J3_right_outer_join",
+    "J4_full_outer_join",
+    "J5_left_semi_join",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
