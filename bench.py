@@ -47,13 +47,19 @@ HEADLINE = [
 #: recorded +19% at loadavg 7.5 with zero plan changes; r4 recorded +41%
 #: at loadavg 2.8 with, again, zero plan changes), so wait for the box to
 #: go idle before timing. Bounded — if the load never drops we run anyway
-#: and record the load so the number is interpretable; if the gate timed
-#: out AND the resulting total deviates >25% from the best prior round,
-#: the whole suite is re-run once and the cleaner sample kept (both
-#: disclosed under "suite_reruns", mirroring stall_reruns).
+#: and record the load so the number is interpretable. A contended
+#: attempt (gate timeout, end-load above gate+allowance, or suite steal
+#: above the steal gate) triggers up to MAX_SUITE_ATTEMPTS total runs;
+#: the kept record is the attempt with the LOWEST suite steal — never
+#: the lowest total, so selection can't bias the metric (r10 verdict:
+#: two consecutive driver runs inherited dirty windows at face value).
 MAX_LOAD = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "2.0"))
 MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
-SUITE_RERUN_DEVIATION = 0.25
+#: Suite-attempt budget and the (shorter) settle wait before a retry —
+#: 3 attempts bound the worst case near the old 2-attempt wall-clock
+#: while tripling the chances of landing a clean window.
+MAX_SUITE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SUITE_ATTEMPTS", "3"))
+RETRY_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_RETRY_WAIT_SEC", "300"))
 #: Host-steal gate (round-9 postmortem): loadavg only sees THIS guest's
 #: runnable tasks, so a noisy microVM neighbor is invisible to the load
 #: gate while stretching the CPU-bound queries 2-4x (measured: D2 1.24 s
@@ -73,21 +79,29 @@ def _steal_window_pct(seconds: float = 5.0) -> float:
     return 100.0 * (s1 - s0) / (t1 - t0)
 
 
-def _wait_for_idle() -> tuple[float, bool]:
+def _wait_for_idle(max_wait: float | None = None) -> tuple[float, bool]:
     """Block until load is under the gate AND a 5 s steal window is
-    under MAX_STEAL_PCT, or MAX_WAIT_SEC passes (never forever).
+    under MAX_STEAL_PCT AND load is STILL under the gate after that
+    window, or ``max_wait`` (default MAX_WAIT_SEC) passes (never
+    forever).
 
     Returns (seconds_waited, timed_out). The flag — not a re-sampled
     loadavg — is what must arm ``is_contended``: a wait that exhausted
-    MAX_WAIT_SEC purely on persistent host steal leaves load clean, so
-    re-deriving timeout from load alone blesses the run (r9 advisor)."""
+    the budget purely on persistent host steal leaves load clean, so
+    re-deriving timeout from load alone blesses the run (r9 advisor).
+    The post-window load re-sample (r10 advisor) closes the other
+    ordering hole: the entry load reading is ~5 s stale by the time the
+    steal window has slept, so a load spike arriving during the window
+    could otherwise be blessed."""
+    limit = MAX_WAIT_SEC if max_wait is None else max_wait
     waited = 0.0
     while True:
         if os.getloadavg()[0] <= MAX_LOAD:
             if _steal_window_pct(5.0) <= MAX_STEAL_PCT:
-                return waited, False
+                if os.getloadavg()[0] <= MAX_LOAD:
+                    return waited, False
             waited += 5
-        if waited >= MAX_WAIT_SEC:
+        if waited >= limit:
             return waited, True
         time.sleep(15)
         waited += 15
@@ -177,9 +191,10 @@ def _run_suite(spark, qs) -> tuple[dict[str, float], dict[str, float], dict]:
 #: idle round-6 run read entry 1.11 -> end 1.36 (self-load ~ +0.3; an
 #: earlier end=6.74 reading turned out to be DECAYING load from a
 #: prior 5-minute pytest run, not self-load). The allowance covers
-#: self-load plus headroom; over-arming is safe because the rerun
-#: additionally requires a >25% total deviation, and a genuine
-#: regression reproduces in the rerun and is kept.
+#: self-load plus headroom; over-arming is safe because a contended
+#: attempt only spends a bounded retry, and the kept record is chosen
+#: by lowest steal — a genuine regression reproduces in every attempt
+#: and survives selection.
 SELF_LOAD_ALLOWANCE = 2.0
 
 
@@ -204,23 +219,32 @@ def is_contended(
     )
 
 
-def should_rerun_suite(
-    contended: bool, total: float, prev: dict | None
+def should_retry_suite(
+    contended: bool, attempts_done: int, max_attempts: int = MAX_SUITE_ATTEMPTS
 ) -> bool:
-    """Contended-round guard decision (round-4 postmortem): re-run the
-    whole suite once iff the round was CONTENDED and the total deviates
-    more than SUITE_RERUN_DEVIATION from the best prior round. Pure so
-    the policy is unit-testable without Spark.
+    """Retry decision after each suite attempt (r10 verdict order):
+    retry iff the attempt just finished was CONTENDED and the attempt
+    budget is not exhausted. Unlike the r4-r9 policy this does NOT look
+    at the total's deviation from prior rounds — a dirty window is worth
+    retrying even when the number happens to land plausibly, because
+    plausible-but-contaminated records poisoned two consecutive official
+    rounds (r9: 14.19 s, r10: 15.99 s at 5.44% steal). Pure so the
+    policy is unit-testable without Spark."""
+    return bool(contended and attempts_done < max_attempts)
 
-    ``contended`` means the load gate gave up OR the load read above the
-    gate when the suite FINISHED (round-5 postmortem: the gate waited
-    120 s and then passed on a momentary dip, but load was 2.64 by the
-    time the record was cut — entry load alone can bless a noisy run)."""
-    return bool(
-        contended
-        and prev
-        and abs(total - prev["value"]) / prev["value"] > SUITE_RERUN_DEVIATION
-    )
+
+def pick_suite_attempt(steal_pcts: list[float]) -> int:
+    """Index of the attempt whose record is kept: the LOWEST suite
+    steal, earliest on ties. Selection deliberately never sees the
+    timing metric itself — keeping the fastest of three attempts would
+    bias the headline low and turn retries into cherry-picking (r10
+    verdict order: 'keep the record with the lowest suite steal, not
+    the lowest total')."""
+    best = 0
+    for i, s in enumerate(steal_pcts):
+        if s < steal_pcts[best]:
+            best = i
+    return best
 
 
 def main() -> None:
@@ -246,47 +270,55 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-    steal0, total0 = _cpu_ticks()
     canary_before = _canary_sec()
-    load_at_start = round(os.getloadavg()[0], 2)
-    timings, cold_timings, reran = _run_suite(spark, qs)
-    load_at_end = round(os.getloadavg()[0], 2)
-    total = round(sum(timings.values()), 3)
-    # r4's gate gave up at 135 s with load 2.8 and the suite read +41%
-    # with zero plan changes — an uninterpretable headline. Keep the
-    # cleaner of two runs when the guard trips, disclosing both.
-    # r5's gate passed on a momentary dip, so end-of-suite load above
-    # the gate counts as contention too.
-    suite_reruns: dict | None = None
     prev = _latest_prior_bench()
-    steal_mid, total_mid = _cpu_ticks()
-    suite_steal_pct = (
-        round(100.0 * (steal_mid - steal0) / (total_mid - total0), 2)
-        if total_mid > total0
-        else 0.0
-    )
-    contended = is_contended(
-        gate_timed_out, load_at_end, steal_pct=suite_steal_pct
-    )
-    if should_rerun_suite(contended, total, prev):
-        _wait_for_idle()
-        timings2, cold2, reran2 = _run_suite(spark, qs)
+    # Steal-gated attempt loop (r10 verdict order): up to
+    # MAX_SUITE_ATTEMPTS timed runs, stopping at the first clean one;
+    # the kept record is the LOWEST-STEAL attempt, never the fastest.
+    # r4's gate gave up at 135 s with load 2.8 and the suite read +41%
+    # with zero plan changes; r5's gate passed on a momentary dip (so
+    # end-of-suite load counts as contention); r9/r10's official records
+    # both inherited steal-dirty windows the old single-rerun policy
+    # (contended AND >25% deviation) declined to retry.
+    attempts: list[dict] = []
+    payloads: list[tuple] = []
+    steal_all0, total_all0 = _cpu_ticks()  # whole-session window for cpu_steal_pct
+    while True:
+        if attempts:  # bounded settle wait before a retry
+            load_waited_retry, gate_timed_out = _wait_for_idle(RETRY_WAIT_SEC)
+            load_waited_sec += load_waited_retry
+        load_at_start = round(os.getloadavg()[0], 2)
+        steal0, total0 = _cpu_ticks()
+        timings_a, cold_a, reran_a = _run_suite(spark, qs)
         load_at_end = round(os.getloadavg()[0], 2)
-        total2 = round(sum(timings2.values()), 3)
-        suite_reruns = {
-            "reason": f"contended (gate_timed_out={gate_timed_out}, "
-            f"load start {load_at_start} / end above gate {MAX_LOAD}, "
-            f"suite steal {suite_steal_pct}% vs gate {MAX_STEAL_PCT}%) "
-            f"and total deviated >{SUITE_RERUN_DEVIATION:.0%} "
-            f"from best prior round r{prev['round']} ({prev['value']} s)",
-            "first_total_sec": total,
-            "second_total_sec": total2,
-            "kept": "second" if total2 < total else "first",
-            "first_queries": dict(timings),
-        }
-        if total2 < total:
-            timings, cold_timings, reran = timings2, cold2, reran2
-            total = total2
+        steal_mid, total_mid = _cpu_ticks()
+        steal_a = (
+            round(100.0 * (steal_mid - steal0) / (total_mid - total0), 2)
+            if total_mid > total0
+            else 0.0
+        )
+        contended = is_contended(gate_timed_out, load_at_end, steal_pct=steal_a)
+        attempts.append(
+            {
+                "total_sec": round(sum(timings_a.values()), 3),
+                "steal_pct": steal_a,
+                "contended": contended,
+                "gate_timed_out": gate_timed_out,
+                "load_start": load_at_start,
+                "load_end": load_at_end,
+            }
+        )
+        payloads.append((timings_a, cold_a, reran_a))
+        if not should_retry_suite(contended, len(attempts)):
+            break
+    keep = pick_suite_attempt([a["steal_pct"] for a in attempts])
+    for i, a in enumerate(attempts):
+        a["kept"] = i == keep
+    timings, cold_timings, reran = payloads[keep]
+    total = attempts[keep]["total_sec"]
+    suite_steal_pct = attempts[keep]["steal_pct"]
+    load_at_start = attempts[keep]["load_start"]
+    load_at_end = attempts[keep]["load_end"]
     # Variance pinning (round-4 verdict item 6): J1/M4 showed small
     # nominal regressions vs r1 that were within canary noise but
     # unproven — sample them and record the band. T5 joined after
@@ -340,10 +372,21 @@ def main() -> None:
         "load_waited_sec": load_waited_sec,
     }
     out["canary_sec"] = [canary_before, _canary_sec()]
+    # The steal reading the record stands on: measured over the KEPT
+    # timed attempt only (the judge's clean-window criterion) — the
+    # post-band cpu_steal_pct below spans warmup/retries/bands too.
+    out["suite_steal_pct"] = suite_steal_pct
+    out["suite_attempts"] = len(attempts)
+    if len(attempts) > 1:
+        out["suite_attempt_log"] = attempts
+    if all(a["contended"] for a in attempts):
+        out["suite_steal_note"] = (
+            f"all {len(attempts)} steal-gated attempts contended; kept the "
+            f"lowest-steal attempt ({suite_steal_pct}% vs gate "
+            f"{MAX_STEAL_PCT}%) — interpret against variance-band minima"
+        )
     if reran:
         out["stall_reruns"] = reran
-    if suite_reruns:
-        out["suite_reruns"] = suite_reruns
     if variance_band:
         out["variance_band"] = variance_band
         # Steady-state comparator: sum of per-query band medians. The
@@ -355,9 +398,11 @@ def main() -> None:
             sum(b["median"] for b in variance_band.values()), 3
         )
     steal1, total1 = _cpu_ticks()
-    if total1 > total0:
+    if total1 > total_all0:
+        # Whole-session steal (all attempts + variance bands) — context
+        # only; suite_steal_pct above is the kept attempt's own reading.
         out["cpu_steal_pct"] = round(
-            100.0 * (steal1 - steal0) / (total1 - total0), 2
+            100.0 * (steal1 - steal_all0) / (total1 - total_all0), 2
         )
     if prev:
         out["delta_vs"] = prev["round"]
@@ -408,7 +453,7 @@ def _compact(out: dict) -> dict:
             q: b["median"] for q, b in line.pop("variance_band").items()
         }
     line.pop("delta_sec", None)
-    for k in ("suite_reruns", "stall_reruns"):
+    for k in ("suite_reruns", "suite_attempt_log", "stall_reruns"):
         if k in line:
             line[k] = (
                 f"see {os.path.basename(DETAIL_PATH)}" if detail_ok else "yes"

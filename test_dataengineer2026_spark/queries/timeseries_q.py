@@ -274,8 +274,12 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unclamped term can land a hair negative — Spark reads NaN but
     # DuckDB hard-errors on sqrt(negative) if its optimizer ever orders
     # the z-predicate before the var > 0 guard. The clamp removes the
-    # error path; the var > 0 filter still excludes those rows on both
-    # engines (and x/sqrt(0) is NULL on both, so z agrees even unfiltered).
+    # error path. Correctness then rests entirely on the var > 0
+    # conjunct excluding zero-variance rows on both engines — NOT on any
+    # assumed agreement about x/sqrt(0), whose rendering (NULL vs
+    # Infinity vs error) is engine- and mode-dependent; an Infinity
+    # would pass the abs(z) > 2 predicate where a NULL would not, so
+    # never drop the var > 0 guard.
     z = (F.col("day_value") - F.col("s") / F.col("n")) / F.sqrt(
         F.greatest(var, F.lit(0.0))
     )

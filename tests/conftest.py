@@ -25,7 +25,15 @@ from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-SF_DIR_MID = "/root/testdata/sf0.01"
+SF_DIR_MID = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MID", "/root/testdata/sf0.01")
+
+
+def duck_view_sql(table: str, sf_dir: str) -> str:
+    """CREATE VIEW statement for one fixture table with the path
+    single-quote-escaped (same pattern as scripts/data_profile.py) so a
+    relocated fixture root containing a quote can't break the SQL."""
+    path = os.path.join(sf_dir, f"{table}.parquet").replace("'", "''")
+    return f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}')"
 
 
 @pytest.fixture(scope="session")
@@ -38,9 +46,7 @@ def spark():
 def duck():
     con = duckdb.connect()
     for t in tables.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        con.execute(duck_view_sql(t, SF_DIR))
     yield con
     con.close()
 

@@ -1,10 +1,11 @@
 """Unit tests for bench.py's measurement policies (no Spark needed).
 
 The bench number is a judged artifact, so its guards get the same test
-discipline as query plans: the contended-round re-run must trip exactly
-when the load gate failed AND the total is implausible vs the best
-prior round, and never otherwise (a clean-gate regression must surface
-as a real delta, not get silently re-run away).
+discipline as query plans: a contended attempt must retry (up to the
+attempt budget) and the kept record must be chosen by suite steal, never
+by the timing metric itself — a clean-gate regression must surface as a
+real delta, not get silently retried away, and a retry must never turn
+into keep-the-fastest cherry-picking.
 """
 
 from __future__ import annotations
@@ -12,25 +13,33 @@ from __future__ import annotations
 import bench
 
 
-def test_rerun_requires_gate_timeout():
-    prev = {"round": 3, "value": 16.0}
-    # 2x deviation but the gate PASSED -> a genuine regression signal,
-    # never re-run
-    assert not bench.should_rerun_suite(False, 32.0, prev)
+def test_retry_fires_only_when_contended_with_budget():
+    """r10 verdict order: a contended attempt retries unconditionally
+    (no deviation-vs-prior test — r9/r10's official records were both
+    plausible-but-contaminated), up to MAX_SUITE_ATTEMPTS total runs."""
+    assert not bench.should_retry_suite(False, 1)  # clean first run: done
+    assert bench.should_retry_suite(True, 1)
+    assert bench.should_retry_suite(True, 2)
+    assert not bench.should_retry_suite(True, 3)   # budget exhausted
+    assert not bench.should_retry_suite(False, 2)  # clean retry: stop early
+    assert bench.MAX_SUITE_ATTEMPTS == 3
 
 
-def test_rerun_requires_deviation_beyond_band():
-    prev = {"round": 3, "value": 16.0}
-    assert not bench.should_rerun_suite(True, 16.0, prev)  # spot-on
-    assert not bench.should_rerun_suite(True, 19.9, prev)  # +24% < band
-    assert bench.should_rerun_suite(True, 20.1, prev)      # +25.6% > band
-    # deviation is symmetric: an implausibly FAST contended run is just
-    # as uninterpretable
-    assert bench.should_rerun_suite(True, 11.9, prev)
+def test_pick_suite_attempt_selects_lowest_steal_never_fastest():
+    """Selection is by steal only — the function never even receives
+    the totals, so keeping-the-fastest-of-three (metric cherry-picking)
+    is structurally impossible."""
+    assert bench.pick_suite_attempt([2.5, 0.1, 0.4]) == 1
+    assert bench.pick_suite_attempt([5.44, 3.2, 0.13]) == 2
+    assert bench.pick_suite_attempt([0.3]) == 0
 
 
-def test_rerun_without_prior_round_never_fires():
-    assert not bench.should_rerun_suite(True, 99.0, None)
+def test_pick_suite_attempt_tie_keeps_earliest():
+    """Equal steal readings keep the EARLIEST attempt, matching the
+    single-run protocol of prior rounds (attempt 1 is the one whose
+    entry wait used the full MAX_WAIT_SEC budget)."""
+    assert bench.pick_suite_attempt([0.0, 0.0, 0.0]) == 0
+    assert bench.pick_suite_attempt([0.5, 0.2, 0.2]) == 1
 
 
 def test_contended_keys_on_entry_gate_or_end_load():
@@ -201,6 +210,40 @@ def test_wait_for_idle_blocks_on_steal(monkeypatch):
     assert waited == 5 + 15 + 5 + 15
     assert sleeps == [15, 15]
     assert timed_out is False
+
+
+def test_wait_for_idle_resamples_load_after_steal_window(monkeypatch):
+    """r10 advisor: the entry load reading is ~5 s stale once the steal
+    window has slept — a load spike arriving DURING the window must not
+    be blessed. Ordering is steal-then-load: the gate only passes when
+    a fresh post-window loadavg is still under MAX_LOAD."""
+    loads = iter([
+        (0.5, 0, 0),  # entry check: clean
+        (9.0, 0, 0),  # post-steal-window re-sample: spiked -> loop
+        (0.5, 0, 0),  # second entry check: clean
+        (0.5, 0, 0),  # second re-sample: still clean -> pass
+    ])
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: next(loads))
+    monkeypatch.setattr(bench, "_steal_window_pct", lambda seconds=5.0: 0.1)
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    waited, timed_out = bench._wait_for_idle()
+    assert timed_out is False
+    assert sleeps == [15]  # one backoff for the blocked first pass
+    assert waited == 5 + 15  # the dirty window plus its backoff
+
+
+def test_wait_for_idle_honors_retry_budget(monkeypatch):
+    """Retries between suite attempts use a shorter wait budget
+    (RETRY_WAIT_SEC) so three attempts stay near the old two-attempt
+    wall-clock; the cap is the max_wait argument, not MAX_WAIT_SEC."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(bench, "_steal_window_pct", lambda seconds=5.0: 9.9)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    waited, timed_out = bench._wait_for_idle(max_wait=40)
+    assert timed_out is True
+    assert waited >= 40
+    assert waited < bench.MAX_WAIT_SEC
 
 
 def test_wait_for_idle_gives_up_at_max_wait(monkeypatch):

@@ -21,12 +21,11 @@ def _duck_mid():
     import duckdb
 
     from test_dataengineer2026_spark import tables
+    from tests.conftest import duck_view_sql
 
     con = duckdb.connect()
     for t in tables.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_MID}/{t}.parquet')"
-        )
+        con.execute(duck_view_sql(t, SF_DIR_MID))
     return con
 
 
@@ -116,20 +115,85 @@ def test_registry_round_overflow_safe():
     luck cases too, and demands a decade of headroom: each rounded
     column must satisfy max|x| * 10^s * 10 <= 2^53 at sf0.01 (sums
     grow ~10x per SF decade). Fix sites by quantizing to integer
-    micro-units or emitting the unrounded deterministic double."""
+    micro-units or emitting the unrounded deterministic double.
+
+    Attribution (r10 advisor): every round() call in every oracle is
+    found by a balanced-paren scanner (not a fragile regex), including
+    single-arg round(x) (scale 0) and quoted aliases. A call is checked
+    via its output-column alias; an unaliased call whose normalized
+    text duplicates an aliased one (the WHERE/ORDER BY repeat pattern)
+    inherits that check. Anything else must appear in the audited
+    allowlist below or this test FAILS — no round() can silently escape
+    the magnitude guard."""
     import re
+
+    # Audited unattributable round() sites: (query, scale, expr prefix),
+    # each with a magnitude bound INDEPENDENT of scale factor (or
+    # logarithmic in it), so none can ever approach 2^53:
+    # - Cosine-similarity rounds (D5 pairs/WHERE, J12c/J12d assignment
+    #   `sc`, ML3 neighbor score): |cos| <= 1 by Cauchy-Schwarz, so
+    #   1 * 10^9 * 10 = 1e10 at any corpus size.
+    # - PQ subvector squared distances (J12e/J12f): embeddings are
+    #   L2-normalized, so each component is in [-1, 1], each squared
+    #   diff <= 4, and an 8-dim subvector sum <= 32 -> 3.2e11.
+    # - T5's idf term ln(n_docs/df) <= ln(n_docs): logarithmic growth;
+    #   even 1e15 docs gives ~34.5 -> 3.5e8 at scale 6.
+    # - W6's CDC change-feed rounds c_acctbal +/- a constant into
+    #   positionally-named UNION branches; c_acctbal is a per-row TPC-H
+    #   value bounded in [-999.99, 9999.99] at every SF -> ~1e7.
+    ALLOW = {
+        ("D5_embedding_neardup", 9, "list_sum(list_transform(generate_series(1,64)"),
+        ("J12c_ivf_ann", 9, "list_sum(list_transform(generate_series(1,64)"),
+        ("J12d_ivf_kmeans_ann", 9, "list_sum(list_transform(generate_series(1,64)"),
+        ("ML3_knn_classifier", 9, "list_sum(list_transform(generate_series(1,64)"),
+        ("J12e_pq_ann", 9, "list_sum(list_transform(generate_series(1,8)"),
+        ("J12f_pq_rerank_ann", 9, "list_sum(list_transform(generate_series(1,8)"),
+        ("T5_tfidf_top_term", 6, "ln(CAST(n.n_docs AS DOUBLE) / df.df)"),
+        ("W6_cdc_merge", 2, "c_acctbal + 100.0"),
+        ("W6_cdc_merge", 2, "c_acctbal + 200.0"),
+    }
+
+    def scan_rounds(body):
+        """Yield (normalized_expr, scale, alias|None) for every round()
+        call, via balanced-paren matching. Scale is the last top-level
+        integer argument, or 0 for single-arg round(x)."""
+        for m in re.finditer(r"\bround\s*\(", body, re.I):
+            i, depth = m.end(), 1
+            while i < len(body) and depth:
+                if body[i] == "(":
+                    depth += 1
+                elif body[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = body[m.end() : i - 1]
+            d, last = 0, None
+            for j, ch in enumerate(inner):
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    last = j
+            if last is not None and re.fullmatch(r"\s*\d+\s*", inner[last + 1 :]):
+                scale = int(inner[last + 1 :])
+                expr = inner[:last]
+            else:
+                scale = 0  # single-arg round(x) or non-literal scale
+                expr = inner
+            am = re.match(r'\s*AS\s+("([^"]+)"|\w+)', body[i:], re.I)
+            alias = (am.group(2) or am.group(1)) if am else None
+            yield re.sub(r"\s+", " ", expr.strip()), scale, alias
 
     con = _duck_mid()
     try:
         offenders = []
+        unattributed = []
         for name, spec in sorted(SPECS.items()):
             if spec.oracle is None:
                 continue
             body = spec.oracle.rstrip().rstrip(";")
-            rounded = re.findall(
-                r"round\([^;]*?,\s*(\d+)\)\s*AS\s+(\w+)", body, re.I | re.S
-            )
-            if not rounded:
+            calls = list(scan_rounds(body))
+            if not calls:
                 continue
             out_cols = {
                 r[0]
@@ -137,19 +201,32 @@ def test_registry_round_overflow_safe():
                     f"DESCRIBE SELECT * FROM ({body}) _q"
                 ).fetchall()
             }
-            for scale, col in rounded:
-                if col not in out_cols:
-                    # round() inside a CTE/subquery whose alias is not a
-                    # result column; its magnitude is checked indirectly
-                    # when the outer column it feeds is itself rounded,
-                    # and any divergence still fails the parity hash.
+            checked_exprs = set()  # (normalized_expr, scale) with a checked alias
+            deferred = []
+            for expr, scale, alias in calls:
+                if alias is not None and alias in out_cols:
+                    checked_exprs.add((expr, scale))
+                    mx = con.execute(
+                        f'SELECT MAX(ABS("{alias}")) FROM ({body}) _q'
+                    ).fetchone()[0]
+                    if mx is not None and float(mx) * 10**scale * 10 > 2**53:
+                        offenders.append((name, alias, scale, float(mx)))
+                else:
+                    deferred.append((expr, scale))
+            for expr, scale in deferred:
+                if (expr, scale) in checked_exprs:
+                    continue  # WHERE/ORDER BY duplicate of a checked column
+                if any(
+                    q == name and s == scale and expr.startswith(pfx)
+                    for q, s, pfx in ALLOW
+                ):
                     continue
-                row = con.execute(
-                    f'SELECT MAX(ABS("{col}")) FROM ({body}) _q'
-                ).fetchone()
-                mx = row[0]
-                if mx is not None and float(mx) * 10 ** int(scale) * 10 > 2**53:
-                    offenders.append((name, col, int(scale), float(mx)))
+                unattributed.append((name, scale, expr[:60]))
+        assert not unattributed, (
+            f"round() calls that no checked output column accounts for — "
+            f"audit each and either alias it into the output or add an "
+            f"ALLOW entry with a magnitude argument: {unattributed}"
+        )
         assert not offenders, (
             f"round() on doubles too large for DuckDB's round(x*10^s)/10^s "
             f"(needs 10x headroom under 2^53): {offenders}"
