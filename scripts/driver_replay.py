@@ -111,6 +111,15 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Robustness-probe knob: REPLAY_EXTRA_CONFS="k=v;k=v" perturbs the
+    # session (e.g. spark.sql.codegen.wholeStage=false to replay the
+    # whole registry on the interpreted path). Confs that queries pin
+    # themselves via apply_runtime_confs (timezone, AQE, ANSI) win over
+    # this knob by design — those are part of the queries' contract.
+    for kv in filter(None, os.environ.get("REPLAY_EXTRA_CONFS", "").split(";")):
+        k, v = kv.split("=", 1)
+        spark.conf.set(k.strip(), v.strip())
+        print(f"extra conf: {k.strip()}={v.strip()}")
 
     df = entry_mod.entry(spark)
     n = len(df.collect())
@@ -130,9 +139,14 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in tables.TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        # A fixture table may be a single parquet FILE (the driver's
+        # layout) or a DIRECTORY of part files (any real-scale layout,
+        # and the multi-file robustness probe). Spark reads both
+        # transparently; DuckDB needs the glob spelled out.
+        path = os.path.join(SF_DIR, f"{t}.parquet").replace("'", "''")
+        if os.path.isdir(os.path.join(SF_DIR, f"{t}.parquet")):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
     if shard:

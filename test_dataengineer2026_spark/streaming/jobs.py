@@ -40,8 +40,18 @@ _STAGE_ROOT = os.path.join(_REPO_ROOT, ".tmp", "stream_stage")
 def _source_fingerprint(sf_dir: str) -> str:
     """mtime+size of the source events parquet — staged feeds cache across
     runs, but the harness regenerates testdata between rounds; a stale
-    staged copy would silently diverge from the oracle's fresh view."""
+    staged copy would silently diverge from the oracle's fresh view.
+    The source may be a single file (the driver's layout) or a directory
+    of part files (any real-scale layout); fingerprint every part so
+    adding/removing/rewriting one invalidates the stage."""
     src = tables.table_path(sf_dir, "events")
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        return ";".join(
+            f"{f}:{st.st_mtime_ns}:{st.st_size}"
+            for f in parts
+            for st in (os.stat(os.path.join(src, f)),)
+        )
     st = os.stat(src)
     return f"{st.st_mtime_ns}:{st.st_size}"
 
@@ -55,20 +65,40 @@ def _stage_is_current(done_marker: str, sf_dir: str) -> bool:
 
 
 def stage_events_dir(sf_dir: str) -> str:
-    """File stream sources need a directory; stage the single events
-    parquet file into one (symlink, no copy)."""
+    """File stream sources need a directory of LEAF files; stage the
+    events parquet into one (symlinks, no copy).
+
+    The source may be a single file (the driver's fixture layout) or a
+    directory of part files (any real-scale layout — the round-11
+    multi-file probe caught the single-file assumption: a symlink to a
+    directory nests it under the stage, the file source lists no leaf
+    files, and every stream query dies with UNABLE_TO_INFER_SCHEMA).
+    Each part file is linked individually, and stale links from a prior
+    layout, a removed part, or a retargeted source are dropped first so
+    a leftover symlink can't poison this sf_dir's stream."""
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_STAGE_ROOT, tag)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
     src = tables.table_path(sf_dir, "events")
-    # re-link if missing, broken, or pointing at a stale target — a
-    # leftover symlink to a deleted/regenerated source would otherwise
-    # poison every later stream read of this sf_dir
-    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(src):
-        os.remove(link)
-    if not os.path.islink(link):
-        os.symlink(src, link)
+    if os.path.isdir(src):
+        targets = {
+            f"events_{f}": os.path.join(src, f)
+            for f in sorted(os.listdir(src))
+            if f.endswith(".parquet")
+        }
+    else:
+        targets = {"events.parquet": src}
+    for name in os.listdir(d):
+        p = os.path.join(d, name)
+        if not os.path.islink(p):
+            continue
+        want = targets.get(name)
+        if want is None or os.path.realpath(p) != os.path.realpath(want):
+            os.remove(p)
+    for name, target in targets.items():
+        link = os.path.join(d, name)
+        if not os.path.islink(link):
+            os.symlink(target, link)
     return d
 
 

@@ -379,3 +379,105 @@ def test_m15_resume_processes_only_the_new_file(spark, tmp_path):
     back = spark.read.parquet(sink)
     assert back.count() == total
     assert back.select("event_id").distinct().count() == total
+
+
+def test_stage_events_dir_handles_multifile_layout(tmp_path):
+    """The round-11 multi-file probe: when events.parquet is a DIRECTORY
+    of part files (any real-scale layout) the stage must link each leaf
+    file individually — a symlink to the directory nests it under the
+    stage, the file stream source lists no leaf files, and every stream
+    query dies with UNABLE_TO_INFER_SCHEMA. Also pins the stale-link
+    cleanup across layout transitions and part-file removal."""
+    import duckdb
+
+    from test_dataengineer2026_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    src_root = tmp_path / "sf"
+    src_root.mkdir()
+    con = duckdb.connect()
+
+    def stage_links():
+        d = jobs.stage_events_dir(str(src_root))
+        return d, sorted(
+            f for f in os.listdir(d) if os.path.islink(os.path.join(d, f))
+        )
+
+    # 1) single-file layout (the driver's fixture shape)
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet')) "
+        f"TO '{src_root}/events.parquet' (FORMAT PARQUET)"
+    )
+    d, links = stage_links()
+    assert links == ["events.parquet"]
+    assert not os.path.isdir(os.path.realpath(os.path.join(d, links[0])))
+
+    # 2) transition to a 2-part directory layout: the stale single-file
+    # link must vanish and each part must get its own leaf link
+    os.remove(src_root / "events.parquet")
+    part_dir = src_root / "events.parquet"
+    part_dir.mkdir()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet') "
+        f"WHERE event_id % 2 = 0) TO '{part_dir}/p0.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet') "
+        f"WHERE event_id % 2 = 1) TO '{part_dir}/p1.parquet' (FORMAT PARQUET)"
+    )
+    d, links = stage_links()
+    assert links == ["events_p0.parquet", "events_p1.parquet"]
+    assert all(
+        not os.path.isdir(os.path.realpath(os.path.join(d, f))) for f in links
+    )
+
+    # 3) a removed part's link must be dropped on restage
+    os.remove(part_dir / "p1.parquet")
+    _, links = stage_links()
+    assert links == ["events_p0.parquet"]
+
+    # 4) the fingerprint must differ between the layouts' content states
+    fp_dir = jobs._source_fingerprint(str(src_root))
+    assert "p0.parquet" in fp_dir
+    con.close()
+
+
+def test_stream_query_matches_oracle_on_multifile_layout(spark, duck, tmp_path):
+    """End-to-end pin for the probe's find: M2 (tumbling window over the
+    file stream source) must produce the SAME result whether events is a
+    single parquet file or a directory of part files. The oracle here is
+    the single-file fixture result itself, so the assertion is pure
+    layout-invariance."""
+    import duckdb
+
+    from test_dataengineer2026_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    sf2 = tmp_path / "mf_sf"
+    sf2.mkdir()
+    con = duckdb.connect()
+    from test_dataengineer2026_spark import tables as _tables
+
+    for t in _tables.TABLES:
+        dst = sf2 / f"{t}.parquet"
+        if t == "events":
+            dst.mkdir()
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') "
+                f"WHERE event_id % 2 = 0) TO '{dst}/p0.parquet' (FORMAT PARQUET)"
+            )
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') "
+                f"WHERE event_id % 2 = 1) TO '{dst}/p1.parquet' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+    con.close()
+
+    fn = all_specs()["M2_tumbling_window"].fn
+    single = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    multi = sorted(map(tuple, fn(spark, str(sf2)).collect()))
+    assert single == multi and len(single) > 0
