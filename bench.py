@@ -377,6 +377,13 @@ def main() -> None:
     # post-band cpu_steal_pct below spans warmup/retries/bands too.
     out["suite_steal_pct"] = suite_steal_pct
     out["suite_attempts"] = len(attempts)
+    if keep > 0:
+        # Retries reuse the session's warm JVM, so a kept retry's total
+        # is a WARM suite pass — not comparable to prior rounds' cold
+        # first-run records. Cross-round reads should use the variance
+        # bands (cold sample + minima) and this flag, never the raw
+        # value, when it is set.
+        out["kept_attempt_warm"] = True
     if len(attempts) > 1:
         out["suite_attempt_log"] = attempts
     if all(a["contended"] for a in attempts):
