@@ -60,6 +60,13 @@ MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
 #: while tripling the chances of landing a clean window.
 MAX_SUITE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SUITE_ATTEMPTS", "3"))
 RETRY_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_RETRY_WAIT_SEC", "300"))
+#: Hard wall-clock budget for the whole measurement (entry wait +
+#: attempts + retry waits), after which no further retry starts even if
+#: the last attempt was contended: an external runner that kills a
+#: too-long bench records NOTHING, which is strictly worse than a
+#: disclosed-dirty record. Sized so the worst honest case (600 s entry
+#: wait + three suites + two retry waits) still finishes bands.
+SUITE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SUITE_BUDGET_SEC", "1500"))
 #: Host-steal gate (round-9 postmortem): loadavg only sees THIS guest's
 #: runnable tasks, so a noisy microVM neighbor is invisible to the load
 #: gate while stretching the CPU-bound queries 2-4x (measured: D2 1.24 s
@@ -220,17 +227,25 @@ def is_contended(
 
 
 def should_retry_suite(
-    contended: bool, attempts_done: int, max_attempts: int = MAX_SUITE_ATTEMPTS
+    contended: bool,
+    attempts_done: int,
+    max_attempts: int = MAX_SUITE_ATTEMPTS,
+    elapsed_sec: float = 0.0,
+    budget_sec: float = SUITE_BUDGET_SEC,
 ) -> bool:
     """Retry decision after each suite attempt (r10 verdict order):
-    retry iff the attempt just finished was CONTENDED and the attempt
-    budget is not exhausted. Unlike the r4-r9 policy this does NOT look
-    at the total's deviation from prior rounds — a dirty window is worth
-    retrying even when the number happens to land plausibly, because
-    plausible-but-contaminated records poisoned two consecutive official
-    rounds (r9: 14.19 s, r10: 15.99 s at 5.44% steal). Pure so the
-    policy is unit-testable without Spark."""
-    return bool(contended and attempts_done < max_attempts)
+    retry iff the attempt just finished was CONTENDED, the attempt
+    budget is not exhausted, AND the wall-clock budget has room — an
+    external runner that kills an overlong bench records nothing, which
+    is worse than a disclosed-dirty record. Unlike the r4-r9 policy
+    this does NOT look at the total's deviation from prior rounds — a
+    dirty window is worth retrying even when the number happens to land
+    plausibly, because plausible-but-contaminated records poisoned two
+    consecutive official rounds (r9: 14.19 s, r10: 15.99 s at 5.44%
+    steal). Pure so the policy is unit-testable without Spark."""
+    return bool(
+        contended and attempts_done < max_attempts and elapsed_sec < budget_sec
+    )
 
 
 def pick_suite_attempt(steal_pcts: list[float]) -> int:
@@ -248,6 +263,7 @@ def pick_suite_attempt(steal_pcts: list[float]) -> int:
 
 
 def main() -> None:
+    t_main0 = time.monotonic()  # wall budget anchor for the retry policy
     load_waited_sec, gate_timed_out = _wait_for_idle()
     spark = get_session("bench", shuffle_partitions=max(CPUS, 16))
     qs = registry.queries()
@@ -309,7 +325,9 @@ def main() -> None:
             }
         )
         payloads.append((timings_a, cold_a, reran_a))
-        if not should_retry_suite(contended, len(attempts)):
+        if not should_retry_suite(
+            contended, len(attempts), elapsed_sec=time.monotonic() - t_main0
+        ):
             break
     keep = pick_suite_attempt([a["steal_pct"] for a in attempts])
     for i, a in enumerate(attempts):

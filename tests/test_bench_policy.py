@@ -25,6 +25,19 @@ def test_retry_fires_only_when_contended_with_budget():
     assert bench.MAX_SUITE_ATTEMPTS == 3
 
 
+def test_retry_respects_wall_clock_budget():
+    """An external runner that kills an overlong bench records NOTHING —
+    so a retry must not start once the measurement has already consumed
+    the wall budget, even on a contended attempt."""
+    assert bench.should_retry_suite(True, 1, elapsed_sec=100.0)
+    assert not bench.should_retry_suite(
+        True, 1, elapsed_sec=bench.SUITE_BUDGET_SEC
+    )
+    assert not bench.should_retry_suite(True, 1, elapsed_sec=99.0, budget_sec=99.0)
+    # the wall budget never FORCES a retry a clean attempt wouldn't take
+    assert not bench.should_retry_suite(False, 1, elapsed_sec=0.0)
+
+
 def test_pick_suite_attempt_selects_lowest_steal_never_fastest():
     """Selection is by steal only — the function never even receives
     the totals, so keeping-the-fastest-of-three (metric cherry-picking)
