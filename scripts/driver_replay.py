@@ -117,6 +117,11 @@ def main() -> int:
     # themselves via apply_runtime_confs (timezone, AQE, ANSI) win over
     # this knob by design — those are part of the queries' contract.
     for kv in filter(None, os.environ.get("REPLAY_EXTRA_CONFS", "").split(";")):
+        if "=" not in kv:
+            raise SystemExit(
+                f"REPLAY_EXTRA_CONFS entry {kv!r} has no '='; "
+                "expected 'key=value;key=value'"
+            )
         k, v = kv.split("=", 1)
         spark.conf.set(k.strip(), v.strip())
         print(f"extra conf: {k.strip()}={v.strip()}")

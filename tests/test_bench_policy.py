@@ -48,11 +48,30 @@ def test_pick_suite_attempt_selects_lowest_steal_never_fastest():
 
 
 def test_pick_suite_attempt_tie_keeps_earliest():
-    """Equal steal readings keep the EARLIEST attempt, matching the
-    single-run protocol of prior rounds (attempt 1 is the one whose
-    entry wait used the full MAX_WAIT_SEC budget)."""
+    """Equal (contended, steal) rankings keep the EARLIEST attempt,
+    matching the single-run protocol of prior rounds (attempt 1 is the
+    one whose entry wait used the full MAX_WAIT_SEC budget)."""
     assert bench.pick_suite_attempt([0.0, 0.0, 0.0]) == 0
     assert bench.pick_suite_attempt([0.5, 0.2, 0.2]) == 1
+    # ties within the same contended class also keep the earliest
+    assert (
+        bench.pick_suite_attempt([0.2, 0.2, 0.2], [True, False, False]) == 1
+    )
+
+
+def test_pick_suite_attempt_clean_beats_contended():
+    """r11 advisor (medium): contention can be load- or gate-timeout-
+    based with ~0% steal, and the loop only retries after a contended
+    attempt — so the clean attempt can only be the FINAL one. A
+    0.00%-steal load-dirty attempt 1 must lose to a clean retry even
+    when the retry's steal reading is higher."""
+    # the advisor's exact scenario: dirty 0.00 vs clean 0.1
+    assert bench.pick_suite_attempt([0.0, 0.1], [True, False]) == 1
+    assert bench.pick_suite_attempt([0.0, 0.0, 0.3], [True, True, False]) == 2
+    # all contended: fall back to lowest steal (the r10 behavior)
+    assert bench.pick_suite_attempt([5.44, 3.2, 0.9], [True, True, True]) == 2
+    # all clean (hypothetical): still lowest steal, earliest on ties
+    assert bench.pick_suite_attempt([0.4, 0.1], [False, False]) == 1
 
 
 def test_contended_keys_on_entry_gate_or_end_load():

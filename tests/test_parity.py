@@ -6,6 +6,8 @@ at sf0.001 by default for speed (set SPARK_GRAFT_TEST_SF_DIR to override).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from test_dataengineer2026_spark import registry
@@ -14,10 +16,10 @@ from tests.conftest import SF_DIR, SF_DIR_MID, assert_parity
 SPECS = registry.all_specs()
 
 
-def _duck_mid():
+def _duck_at(sf_dir):
     """Fresh DuckDB connection with every fixture table viewed at the
-    driver's grading scale (sf0.01) — shared by the registry-evidence
-    guards below. Caller closes."""
+    given scale dir — shared by the registry-evidence guards below.
+    Caller closes."""
     import duckdb
 
     from test_dataengineer2026_spark import tables
@@ -25,8 +27,13 @@ def _duck_mid():
 
     con = duckdb.connect()
     for t in tables.TABLES:
-        con.execute(duck_view_sql(t, SF_DIR_MID))
+        con.execute(duck_view_sql(t, sf_dir))
     return con
+
+
+def _duck_mid():
+    """_duck_at at the driver's grading scale (sf0.01)."""
+    return _duck_at(SF_DIR_MID)
 
 
 @pytest.mark.parametrize("name", sorted(SPECS))
@@ -61,6 +68,32 @@ def test_registry_nonvacuous():
             if n == 0:
                 vacuous.append(name)
         assert not vacuous, f"vacuous oracle evidence (0 rows at sf0.01): {vacuous}"
+    finally:
+        con.close()
+
+
+def test_registry_nonvacuous_at_sf01():
+    """Same guard one scale up: every oracle must also return > 0 rows
+    at sf0.1, the full-registry replay scale. The r11 judge found the
+    class this catches: SQL24's fixed Q11 fraction gave 248 rows at
+    sf0.01 but 0 at sf0.1, so the sf0.1 replay — the evidence layer
+    that caught TS6 — was empty-vs-empty for that one query, and at
+    100x the query was structurally empty. With this sweep the
+    scale-vacuous class is mechanically unrepresentable at BOTH grading
+    scales. Env override SPARK_GRAFT_TEST_SF_DIR_BIG matches the replay
+    tooling's layout flexibility."""
+    sf_big = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_BIG", "/root/testdata/sf0.1")
+    con = _duck_at(sf_big)
+    try:
+        vacuous = []
+        for name, spec in sorted(SPECS.items()):
+            if spec.oracle is None:
+                continue
+            body = spec.oracle.rstrip().rstrip(";")
+            n = con.execute(f"SELECT COUNT(*) FROM ({body}) _q").fetchone()[0]
+            if n == 0:
+                vacuous.append(name)
+        assert not vacuous, f"vacuous oracle evidence (0 rows at sf0.1): {vacuous}"
     finally:
         con.close()
 

@@ -442,12 +442,12 @@ def test_stage_events_dir_handles_multifile_layout(tmp_path):
     con.close()
 
 
-def test_stream_query_matches_oracle_on_multifile_layout(spark, duck, tmp_path):
+def test_stream_query_layout_invariant_on_multifile(spark, tmp_path):
     """End-to-end pin for the probe's find: M2 (tumbling window over the
     file stream source) must produce the SAME result whether events is a
     single parquet file or a directory of part files. The oracle here is
     the single-file fixture result itself, so the assertion is pure
-    layout-invariance."""
+    layout-invariance (not DuckDB parity — that lives in test_parity)."""
     import duckdb
 
     from test_dataengineer2026_spark.registry import all_specs
