@@ -37,20 +37,44 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__f
 _STAGE_ROOT = os.path.join(_REPO_ROOT, ".tmp", "stream_stage")
 
 
+def _events_leaves(src: str) -> dict[str, str]:
+    """stage-relative name -> absolute path for every leaf parquet under
+    the events source. Handles all three fixture layouts: a single file
+    (the driver's), a flat directory of part files (the r11 multi-file
+    probe; keeps that round's ``events_<part>`` naming so existing
+    stages stay current), and a Hive-partitioned directory of key=value
+    subdirectories (the r12 probe — every 100 TB lake table). For the
+    Hive case the RELATIVE path is preserved so the staged feed keeps
+    the key=value structure and the file stream source can reconstruct
+    the partition column the data files omit."""
+    if not os.path.isdir(src):
+        return {"events.parquet": src}
+    out: dict[str, str] = {}
+    for root, _dirs, files in os.walk(src):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), src)
+            key = f"events_{f}" if os.sep not in rel else rel
+            out[key] = os.path.join(root, f)
+    return out
+
+
 def _source_fingerprint(sf_dir: str) -> str:
     """mtime+size of the source events parquet — staged feeds cache across
     runs, but the harness regenerates testdata between rounds; a stale
     staged copy would silently diverge from the oracle's fresh view.
     The source may be a single file (the driver's layout) or a directory
-    of part files (any real-scale layout); fingerprint every part so
-    adding/removing/rewriting one invalidates the stage."""
+    of part files — flat or Hive-partitioned (any real-scale layout);
+    fingerprint every leaf so adding/removing/rewriting one invalidates
+    the stage."""
     src = tables.table_path(sf_dir, "events")
     if os.path.isdir(src):
-        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        leaves = _events_leaves(src)
         return ";".join(
-            f"{f}:{st.st_mtime_ns}:{st.st_size}"
-            for f in parts
-            for st in (os.stat(os.path.join(src, f)),)
+            f"{k}:{st.st_mtime_ns}:{st.st_size}"
+            for k in sorted(leaves)
+            for st in (os.stat(leaves[k]),)
         )
     st = os.stat(src)
     return f"{st.st_mtime_ns}:{st.st_size}"
@@ -80,23 +104,26 @@ def stage_events_dir(sf_dir: str) -> str:
     d = os.path.join(_STAGE_ROOT, tag)
     os.makedirs(d, exist_ok=True)
     src = tables.table_path(sf_dir, "events")
-    if os.path.isdir(src):
-        targets = {
-            f"events_{f}": os.path.join(src, f)
-            for f in sorted(os.listdir(src))
-            if f.endswith(".parquet")
-        }
-    else:
-        targets = {"events.parquet": src}
-    for name in os.listdir(d):
-        p = os.path.join(d, name)
-        if not os.path.islink(p):
-            continue
-        want = targets.get(name)
-        if want is None or os.path.realpath(p) != os.path.realpath(want):
-            os.remove(p)
+    targets = _events_leaves(src)
+    # GC stale links anywhere under the stage (a prior layout, a removed
+    # part, or a retargeted source), then drop subdirectories emptied by
+    # the GC — a leftover key=value dir from a prior Hive source would
+    # otherwise make Spark infer a phantom partition column.
+    for root, dirs, files in os.walk(d, topdown=False):
+        for name in files:
+            p = os.path.join(root, name)
+            if not os.path.islink(p):
+                continue
+            want = targets.get(os.path.relpath(p, d))
+            if want is None or os.path.realpath(p) != os.path.realpath(want):
+                os.remove(p)
+        for name in dirs:
+            p = os.path.join(root, name)
+            if not os.path.islink(p) and not os.listdir(p):
+                os.rmdir(p)
     for name, target in targets.items():
         link = os.path.join(d, name)
+        os.makedirs(os.path.dirname(link), exist_ok=True)
         if not os.path.islink(link):
             os.symlink(target, link)
     return d

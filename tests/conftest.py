@@ -31,9 +31,20 @@ SF_DIR_MID = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MID", "/root/testdata/sf0.0
 def duck_view_sql(table: str, sf_dir: str) -> str:
     """CREATE VIEW statement for one fixture table with the path
     single-quote-escaped (same pattern as scripts/data_profile.py) so a
-    relocated fixture root containing a quote can't break the SQL."""
-    path = os.path.join(sf_dir, f"{table}.parquet").replace("'", "''")
-    return f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}')"
+    relocated fixture root containing a quote can't break the SQL.
+    Layout-aware like driver_replay's views: a directory of part files
+    globs, a Hive-partitioned directory (key=value subdirs, round-12
+    probe) additionally reconstructs the partition column."""
+    raw = os.path.join(sf_dir, f"{table}.parquet")
+    path = raw.replace("'", "''")
+    opts = ""
+    if os.path.isdir(raw):
+        if any("=" in e for e in os.listdir(raw)):
+            path = f"{path}/*/*.parquet"
+            opts = ", hive_partitioning = true"
+        else:
+            path = f"{path}/*.parquet"
+    return f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}'{opts})"
 
 
 @pytest.fixture(scope="session")

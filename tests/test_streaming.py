@@ -481,3 +481,65 @@ def test_stream_query_layout_invariant_on_multifile(spark, tmp_path):
     single = sorted(map(tuple, fn(spark, SF_DIR).collect()))
     multi = sorted(map(tuple, fn(spark, str(sf2)).collect()))
     assert single == multi and len(single) > 0
+
+
+def test_stage_events_dir_handles_hive_layout(tmp_path):
+    """The round-12 Hive-layout probe: when events.parquet is a
+    Hive-partitioned directory (key=value subdirs, partition column
+    absent from the data files — every 100 TB lake table), the stage
+    must MIRROR the key=value structure with per-leaf links so the file
+    stream source can reconstruct the partition column; flat-linking
+    the leaves would silently DROP event_type from the stream. Also
+    pins the transition back to a flat layout: emptied key=value dirs
+    must be garbage-collected or Spark infers a phantom partition
+    column from the leftover directory name."""
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+
+    from test_dataengineer2026_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    src_root = tmp_path / "sf"
+    src_root.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+
+    # 1) hive layout: stage mirrors the key=value structure
+    pa_ds.write_dataset(
+        tbl,
+        str(src_root / "events.parquet"),
+        format="parquet",
+        partitioning=pa_ds.partitioning(
+            tbl.schema.empty_table().select(["event_type"]).schema,
+            flavor="hive",
+        ),
+        basename_template="part-{i}.parquet",
+    )
+    d = jobs.stage_events_dir(str(src_root))
+    staged = sorted(
+        os.path.relpath(os.path.join(root, f), d)
+        for root, _dirs, files in os.walk(d)
+        for f in files
+        if os.path.islink(os.path.join(root, f))
+    )
+    assert staged, "hive source staged nothing"
+    assert all(s.startswith("event_type=") and os.sep in s for s in staged)
+    # the partition column must be reconstructable from the staged tree
+    n_types = len({s.split(os.sep)[0] for s in staged})
+    assert n_types == 5
+    # fingerprint covers every hive leaf by relative path
+    fp = jobs._source_fingerprint(str(src_root))
+    assert all(s in fp for s in staged)
+
+    # 2) transition hive -> single file: every hive link AND the
+    # emptied key=value dirs must vanish
+    import shutil
+
+    shutil.rmtree(src_root / "events.parquet")
+    shutil.copyfile(f"{SF_DIR}/events.parquet", src_root / "events.parquet")
+    d = jobs.stage_events_dir(str(src_root))
+    leftover_dirs = [e for e in os.listdir(d) if os.path.isdir(os.path.join(d, e))]
+    assert leftover_dirs == [], f"phantom partition dirs survive: {leftover_dirs}"
+    links = sorted(
+        f for f in os.listdir(d) if os.path.islink(os.path.join(d, f))
+    )
+    assert links == ["events.parquet"]
