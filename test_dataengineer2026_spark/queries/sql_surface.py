@@ -846,9 +846,14 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-statistic form of the same idea and provably yields rows at
     both grading scales: 197 at sf0.01, 1925 at sf0.1. partsupp value
     is derived from shipped price*quantity. The threshold aggregate is
-    a 1-row cross join (Catalyst broadcasts it), computing SUM and
-    COUNT in ONE pass over ps instead of two scalar subqueries — two
-    aggregations over one shuffled base, never a rescan per part."""
+    a 1-row cross join (planned as BroadcastNestedLoopJoin with the
+    single-row side built). Catalyst INLINES the twice-referenced ps
+    CTE, but AQE's exchange reuse collapses the duplicate at runtime:
+    the executed plan carries a ReusedExchange over the per-part
+    partial-aggregate shuffle, so the lineitem join tree is scanned
+    and aggregated ONCE (plan-contract-pinned in tests/test_plans.py)
+    — never a rescan per part, never a second pass over the fact
+    table."""
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL24)

@@ -119,7 +119,14 @@ def stage_events_dir(sf_dir: str) -> str:
                 os.remove(p)
         for name in dirs:
             p = os.path.join(root, name)
-            if not os.path.islink(p) and not os.listdir(p):
+            if os.path.islink(p):
+                # a symlink that now resolves to a DIRECTORY (os.walk
+                # classes it under dirs): staging only ever links leaf
+                # FILES, so it is stale by construction — e.g. the
+                # source flipped from a single file to a directory at
+                # the same path and the old link silently retargeted
+                os.remove(p)
+            elif not os.listdir(p):
                 os.rmdir(p)
     for name, target in targets.items():
         link = os.path.join(d, name)

@@ -778,19 +778,33 @@ def test_sql23_q20_nested_semi_join_no_cartesian(spark):
     ), a
 
 
-def test_sql24_q11_threshold_is_uncorrelated_scalar(spark):
-    """SQL24 (TPC-H Q11): the fraction threshold plans as an
-    uncorrelated scalar Subquery — computed once, broadcast into the
-    filter — with every join a hash join; a correlated rewrite would
-    re-aggregate the corpus per part."""
+def test_sql24_q11_threshold_is_broadcast_and_scan_once(spark):
+    """SQL24 (TPC-H Q11, scale-aware threshold since r12): the 1-row
+    mean aggregate joins back as a broadcast nested-loop with the
+    SINGLE-ROW side built — never a CartesianProduct, and the base
+    hash joins stay hash joins. The stronger contract is scan-once:
+    the ps CTE is referenced twice (rows + total), Catalyst inlines
+    both, and it is AQE's exchange reuse that collapses them — the
+    executed plan must carry a ReusedExchange over the per-part
+    partial-aggregate shuffle, i.e. the lineitem join tree is computed
+    ONCE (at 100 TB a second scan of the fact table would dominate the
+    whole query)."""
     a = _audit(spark, "SQL24_tpch_q11")
-    p = plan_string(QS["SQL24_tpch_q11"](spark, SF_DIR_MID), "simple")
-    assert "Subquery" in p, p
+    df = QS["SQL24_tpch_q11"](spark, SF_DIR_MID)
+    p = plan_string(df, "simple")
     assert "CartesianProduct" not in p, p
-    assert a["joins"] and all(
+    hash_joins = [j for j in a["joins"] if j != "BroadcastNestedLoopJoin"]
+    assert hash_joins and all(
         j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-        for j in a["joins"]
+        for j in hash_joins
     ), a
+    assert "BroadcastNestedLoopJoin BuildRight" in p, p
+    # collect() (not a sink write) so THIS df's queryExecution is the
+    # one that runs — AQE finalizes the plan lazily at execution
+    assert len(df.collect()) > 0
+    final = df._jdf.queryExecution().executedPlan().treeString()
+    assert "isFinalPlan=true" in final, final[:300]
+    assert "ReusedExchange" in final, final[:2000]
 
 
 def test_cube_single_pass(spark):
