@@ -98,6 +98,29 @@ def test_registry_nonvacuous_at_sf01():
         con.close()
 
 
+def _sweep_uninformative(con) -> list:
+    """Names whose multi-row oracle result has NO column with more than
+    one distinct value on the connection's views — shared body for the
+    per-scale informative guards below."""
+    uninformative = []
+    for name, spec in sorted(SPECS.items()):
+        if spec.oracle is None:
+            continue
+        body = spec.oracle.rstrip().rstrip(";")
+        cols = [
+            d[0]
+            for d in con.execute(f"SELECT * FROM ({body}) _q LIMIT 0").description
+        ]
+        n = con.execute(f"SELECT COUNT(*) FROM ({body}) _q").fetchone()[0]
+        if n <= 1:
+            continue
+        exprs = ", ".join(f'COUNT(DISTINCT "{c}") AS "{c}"' for c in cols)
+        row = con.execute(f"SELECT {exprs} FROM ({body}) _q").fetchone()
+        if not any(v and v > 1 for v in row):
+            uninformative.append((name, n))
+    return uninformative
+
+
 def test_registry_informative():
     """Every multi-row oracle result must have >= 1 column with more than
     one distinct value at sf0.01 — the next weakness class below
@@ -111,24 +134,28 @@ def test_registry_informative():
     explicitly if an intentionally-constant exhibit ever appears."""
     con = _duck_mid()
     try:
-        uninformative = []
-        for name, spec in sorted(SPECS.items()):
-            if spec.oracle is None:
-                continue
-            body = spec.oracle.rstrip().rstrip(";")
-            cols = [
-                d[0]
-                for d in con.execute(f"SELECT * FROM ({body}) _q LIMIT 0").description
-            ]
-            n = con.execute(f"SELECT COUNT(*) FROM ({body}) _q").fetchone()[0]
-            if n <= 1:
-                continue
-            exprs = ", ".join(f'COUNT(DISTINCT "{c}") AS "{c}"' for c in cols)
-            row = con.execute(f"SELECT {exprs} FROM ({body}) _q").fetchone()
-            if not any(v and v > 1 for v in row):
-                uninformative.append((name, n))
+        uninformative = _sweep_uninformative(con)
         assert not uninformative, (
             f"constant-only oracle evidence (no varying column at sf0.01): "
+            f"{uninformative}"
+        )
+    finally:
+        con.close()
+
+
+def test_registry_informative_at_sf01():
+    """The informative guard one scale up, symmetric with the r12
+    nonvacuous sf0.1 extension: a result can keep varying columns at
+    sf0.01 yet collapse to constants at sf0.1 (the same growth
+    mechanics that emptied SQL24 can flatten a survivor column), and
+    the sf0.1 replay layer would then prove row counts but no values
+    for that query. DuckDB-only, ~40 s."""
+    sf_big = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_BIG", "/root/testdata/sf0.1")
+    con = _duck_at(sf_big)
+    try:
+        uninformative = _sweep_uninformative(con)
+        assert not uninformative, (
+            f"constant-only oracle evidence (no varying column at sf0.1): "
             f"{uninformative}"
         )
     finally:
