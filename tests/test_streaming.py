@@ -543,3 +543,60 @@ def test_stage_events_dir_handles_hive_layout(tmp_path):
         f for f in os.listdir(d) if os.path.islink(os.path.join(d, f))
     )
     assert links == ["events.parquet"]
+
+
+def test_queries_layout_invariant_on_hive(spark, tmp_path):
+    """End-to-end pin for the round-12 Hive probe: M2 (tumbling window
+    over the file stream source, exercises the hive-aware staging) and
+    T3 (batch scan of documents) must produce the SAME result whether
+    the tables are single parquet files or Hive-partitioned key=value
+    datasets with the partition column absent from the data files. The
+    oracle is the single-file fixture result itself — pure layout
+    invariance; DuckDB parity lives in test_parity and the replay
+    tooling."""
+    import shutil
+
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+
+    from test_dataengineer2026_spark import tables as _tables
+    from test_dataengineer2026_spark.registry import all_specs
+    from tests.conftest import SF_DIR
+
+    hive_cols = {"events": "event_type", "documents": "lang"}
+    sf2 = tmp_path / "hive_sf"
+    sf2.mkdir()
+    for t in _tables.TABLES:
+        dst = sf2 / f"{t}.parquet"
+        if t in hive_cols:
+            tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+            pa_ds.write_dataset(
+                tbl,
+                str(dst),
+                format="parquet",
+                partitioning=pa_ds.partitioning(
+                    tbl.schema.empty_table().select([hive_cols[t]]).schema,
+                    flavor="hive",
+                ),
+                basename_template="part-{i}.parquet",
+            )
+            # the probe is reconstruction: the column must NOT be in files
+            leaf = next(dst.glob("*/*.parquet"))
+            assert hive_cols[t] not in [
+                f.name for f in pq.ParquetFile(leaf).schema_arrow
+            ]
+        else:
+            shutil.copyfile(f"{SF_DIR}/{t}.parquet", dst)
+
+    specs = all_specs()
+    for name in ("M2_tumbling_window", "T3_quality_score"):
+        fn = specs[name].fn
+        single = sorted(
+            tuple(r[c] for c in sorted(r.asDict()))
+            for r in fn(spark, SF_DIR).collect()
+        )
+        hive = sorted(
+            tuple(r[c] for c in sorted(r.asDict()))
+            for r in fn(spark, str(sf2)).collect()
+        )
+        assert single == hive and len(single) > 0, name
