@@ -1127,3 +1127,67 @@ def test_ts6_seasonal_broadcast_baseline(spark):
     kinds = join_kinds(p)
     assert kinds == ["BroadcastHashJoin"], kinds
     assert "MapInPandas" not in p, p
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    """Round-12 Hive layout, the property that pays at 100 TB: a filter
+    on the partition column must be resolved from DIRECTORY NAMES at
+    planning time — PartitionFilters in the scan, zero per-row
+    DataFilters, non-matching key=value subtrees never opened (pinned
+    via inputFiles: only the matching partition's leaves are listed) —
+    and column pruning must still reach ReadSchema so the scan reads
+    exactly the projected data columns."""
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path / "events.parquet")
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    pa_ds.write_dataset(
+        tbl,
+        d,
+        format="parquet",
+        partitioning=pa_ds.partitioning(
+            tbl.schema.empty_table().select(["event_type"]).schema,
+            flavor="hive",
+        ),
+        basename_template="part-{i}.parquet",
+    )
+    df = (
+        spark.read.parquet(d)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "value")
+    )
+    scan = next(
+        ln
+        for ln in plan_string(df, "simple").splitlines()
+        if "FileScan" in ln
+    )
+    assert "(event_type" in scan.split("PartitionFilters: [")[1].split("]")[0], scan
+    assert "DataFilters: []" in scan, scan
+    assert "ReadSchema: struct<event_id:bigint,value:double>" in scan, scan
+    # inputFiles() is NOT the instrument — it lists the relation's
+    # unpruned FileIndex. Pruning is a runtime property: execute and
+    # read the scan's numFiles metric, which counts files actually
+    # planned into the scan AFTER partition pruning.
+    # collect(), not count(): count() builds a NEW query execution on
+    # top and df's own plan (whose metrics we read) would never run
+    assert len(df.collect()) > 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    num_files = None
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "FileSourceScanExec":
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    num_files = kv._2().value()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    n_click = len(list((tmp_path / "events.parquet").glob("event_type=click/*.parquet")))
+    n_total = len(list((tmp_path / "events.parquet").glob("event_type=*/*.parquet")))
+    assert n_click < n_total  # the layout actually has something to prune
+    assert num_files == n_click, (num_files, n_click, n_total)
