@@ -600,3 +600,64 @@ def test_queries_layout_invariant_on_hive(spark, tmp_path):
             for r in fn(spark, str(sf2)).collect()
         )
         assert single == hive and len(single) > 0, name
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Checkpoint recovery, the property a 100 TB feed lives on: a
+    RESTARTED query with the same checkpoint must resume from the file
+    source's commit log — files processed before the stop are never
+    reprocessed, files that landed after it are picked up, and the
+    final sink holds each input row exactly once. Simulated with two
+    availableNow runs sharing one checkpoint: run 1 sees only file 0,
+    run 2 starts after file 1 lands."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    halves = [
+        e.filter(F.col("ts") < cut),
+        e.filter(F.col("ts") >= cut),
+    ]
+    spool = tmp_path / "spool"
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+    parts0 = [
+        f for f in os.listdir(spool / "h0") if f.endswith(".parquet")
+    ]
+    shutil.copy(str(spool / "h0" / parts0[0]), str(stage / "batch_0.parquet"))
+
+    schema = spark.read.parquet(str(stage)).schema
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname):
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once("ckpt_run1")
+    n_after_1 = spark.read.parquet(out).count()
+    assert n_after_1 == halves[0].count()
+
+    # file 1 lands while the query is DOWN; the restart must process
+    # ONLY it — the commit log, not the directory listing, is truth
+    parts1 = [
+        f for f in os.listdir(spool / "h1") if f.endswith(".parquet")
+    ]
+    shutil.copy(str(spool / "h1" / parts1[0]), str(stage / "batch_1.parquet"))
+    run_once("ckpt_run2")
+
+    got = spark.read.parquet(out)
+    assert got.count() == e.count()  # every row exactly once, no dupes
+    assert got.select("event_id").distinct().count() == e.count()
