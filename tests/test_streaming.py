@@ -661,3 +661,63 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == e.count()  # every row exactly once, no dupes
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_checkpoint_restart_restores_aggregation_state(spark, tmp_path):
+    """State-store recovery: a restarted aggregation must fold NEW
+    input into state RESTORED from the checkpoint — not recount from
+    zero. Complete-mode per-type counts after the restart must equal
+    the whole-input batch answer even though the second run's only
+    unprocessed file is the second half."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname):
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        q = (
+            s.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            r["event_type"]: r["count"] for r in spark.table(qname).collect()
+        }
+
+    got1 = run_once("state_run1")
+    land(1)
+    got2 = run_once("state_run2")
+
+    want = {
+        r["event_type"]: r["count"]
+        for r in e.groupBy("event_type").count().collect()
+    }
+    assert got2 == want  # restored state + new half, not a recount
+    # and run 1 really was partial, so run 2's equality proves recovery
+    assert sum(got1.values()) < sum(want.values())
