@@ -721,3 +721,112 @@ def test_checkpoint_restart_restores_aggregation_state(spark, tmp_path):
     assert got2 == want  # restored state + new half, not a recount
     # and run 1 really was partial, so run 2's equality proves recovery
     assert sum(got1.values()) < sum(want.values())
+
+
+def test_checkpoint_restart_restores_custom_state(spark, tmp_path):
+    """applyInPandasWithState recovery: the CUSTOM state schema (M6's
+    funnel counters) must round-trip the checkpoint across a restart —
+    the restarted run folds the second half into per-user state built
+    from the first, so each user's final emission equals the
+    whole-stream answer. This is the recovery path for every custom
+    stateful operator in the engine, distinct from the built-in
+    aggregation state store."""
+    import shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        FUNNEL_OUT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        funnel_state_fn,
+    )
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once():
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        result = s.groupBy("user_id").applyInPandasWithState(
+            funnel_state_fn,
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+        def write_epoch(df, epoch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            result.writeStream.foreachBatch(write_epoch)
+            .outputMode("update")  # the writer must declare the
+            # stateful operator's mode; foreachBatch defaults to append
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    land(1)
+    run_once()
+
+    # final emission per user = the row with the largest running count
+    sink = spark.read.parquet(out)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    fp = (
+        ordered.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    expected = (
+        ordered.join(fp, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.max(
+                F.when(F.col("rn") == F.col("fp_rn"), F.col("event_id"))
+            ).alias("first_purchase_id"),
+            F.count(
+                F.when(
+                    F.col("fp_rn").isNotNull() & (F.col("rn") < F.col("fp_rn")), 1
+                )
+            ).alias("n_before_first_purchase"),
+        )
+    )
+    got = {r["user_id"]: r.asDict() for r in final.collect()}
+    want = {r["user_id"]: r.asDict() for r in expected.collect()}
+    assert got == want
