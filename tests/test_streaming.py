@@ -830,3 +830,69 @@ def test_checkpoint_restart_restores_custom_state(spark, tmp_path):
     got = {r["user_id"]: r.asDict() for r in final.collect()}
     want = {r["user_id"]: r.asDict() for r in expected.collect()}
     assert got == want
+
+
+def test_checkpoint_restart_restores_watermark(spark, tmp_path):
+    """Watermark persistence: the watermark survives the checkpoint, so
+    rows arriving AFTER a restart that are older than the restored
+    watermark are dropped — run 1 processes the feed's NEWER half
+    (advancing the watermark), run 2 feeds only OLDER rows; append-mode
+    output must not change, even though a fresh query given the same
+    old rows would emit windows for them (control asserted)."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    # NEWER half lands first, OLDER half after the restart
+    for i, h in enumerate(
+        (e.filter(F.col("ts") >= cut), e.filter(F.col("ts") < cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once(qname):
+        # memory sinks don't support checkpoint recovery ("This query
+        # does not support recovering from checkpoint location") — a
+        # restartable append stream needs a fault-tolerant sink
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        agg = (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    n1 = run_once("wm_restart_1")
+    assert n1 > 0
+    land(1)
+    n2 = run_once("wm_restart_2")
+    # the old rows are all below the restored watermark: dropped, no
+    # new finalized windows
+    assert n2 == n1, (n1, n2)
+    # control: those rows DO form windows when not late
+    assert e.filter(F.col("ts") < cut).count() > 0
