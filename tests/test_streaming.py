@@ -896,3 +896,61 @@ def test_checkpoint_restart_restores_watermark(spark, tmp_path):
     assert n2 == n1, (n1, n2)
     # control: those rows DO form windows when not late
     assert e.filter(F.col("ts") < cut).count() > 0
+
+
+def test_task_retry_is_idempotent_for_pandas_udf_path():
+    """Task-retry safety — the local stand-in for executor loss (the
+    one failure mode local mode CAN express): under master
+    local[4, 2] (maxFailures=2) a mapInPandas task that fails its
+    FIRST attempt on one partition must, after Spark's retry, yield
+    results identical to a clean run — no duplicated and no dropped
+    rows. This pins the contract every Arrow-batched UDF in the engine
+    (multimodal decode, V-family, grouped OLS) relies on at 100 TB:
+    UDFs are pure per-partition functions, so a re-executed task is
+    harmless. Runs in a subprocess because the retry master is a
+    per-JVM setting."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        from pyspark.sql import SparkSession
+        from pyspark import TaskContext
+        import pandas as pd
+
+        spark = (SparkSession.builder.master("local[4, 2]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).repartition(4, "event_id")
+
+        def transform(flaky):
+            def fn(batches):
+                tc = TaskContext.get()
+                if flaky and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+                    raise RuntimeError("injected first-attempt failure")
+                for b in batches:
+                    yield pd.DataFrame(
+                        {"event_id": b["event_id"], "v2": b["value"] * 2}
+                    )
+            return fn
+
+        sch = "event_id long, v2 double"
+        clean = sorted(map(tuple, df.mapInPandas(transform(False), sch).collect()))
+        flaky = sorted(map(tuple, df.mapInPandas(transform(True), sch).collect()))
+        if not clean:
+            raise SystemExit("empty result")
+        if clean != flaky:
+            raise SystemExit(
+                f"retry changed the result: {len(clean)} vs {len(flaky)} rows"
+            )
+        print("RETRY_IDEMPOTENT")
+        """
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=240
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "RETRY_IDEMPOTENT" in r.stdout, r.stdout[-500:]
