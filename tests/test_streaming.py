@@ -954,3 +954,196 @@ def test_task_retry_is_idempotent_for_pandas_udf_path():
     )
     assert r.returncode == 0, r.stderr[-1500:]
     assert "RETRY_IDEMPOTENT" in r.stdout, r.stdout[-500:]
+
+
+def test_checkpoint_restart_restores_dedup_state(spark, tmp_path):
+    """dropDuplicates state recovery: keys emitted BEFORE the restart
+    must still be suppressed AFTER it — the restarted run's second half
+    contains keys already seen in the first, and the parquet sink must
+    end with exactly the batch-DISTINCT key set, no re-emissions. The
+    halves are split by user_id parity (not time), guaranteeing heavy
+    key overlap across the restart."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    halves = [
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+    ]
+    for i, h in enumerate(halves):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once(qname):
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        dedup = s.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once("dedup_run1")
+    n1 = spark.read.parquet(out).count()
+    land(1)
+    run_once("dedup_run2")
+
+    got = spark.read.parquet(out)
+    want = e.select("user_id", "event_type").distinct()
+    # exactly the distinct key set, each key emitted once EVER
+    assert got.count() == want.count()
+    assert got.distinct().count() == got.count()
+    # and the restart really had overlap to suppress (run 1 already
+    # emitted most keys)
+    assert n1 > want.count() // 2
+
+
+def test_checkpoint_restart_restores_join_state(spark, tmp_path):
+    """Stream-stream join state recovery: views buffered BEFORE the
+    restart must still match purchases arriving AFTER it. The feed is
+    split at a time cut, so every (view, purchase) pair straddling the
+    cut can only be emitted if the view side's state store survived
+    the checkpoint restart; the final sink must equal the batch
+    interval self-join, and the test asserts cross-cut pairs exist so
+    the equality genuinely witnesses recovery."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    # choose the cut FROM an actual attributed pair: cut = that pair's
+    # purchase ts, so its view lands before the restart and its
+    # purchase after — the cross-cut witness exists by construction
+    _v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    _p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pair_ts = sorted(
+        r["p_ts"]
+        for r in _v.join(
+            _p,
+            (_v.user_id == _p.p_user)
+            & (_p.p_ts > _v.v_ts)
+            & (_p.p_ts <= _v.v_ts + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select("p_ts")
+        .collect()
+    )
+    cut = pair_ts[len(pair_ts) // 2]  # median keeps both halves real
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+
+    def run_once(qname):
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        views = (
+            s.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        purchases = (
+            spark.readStream.schema(schema)
+            .parquet(str(stage))
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        joined = views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        ).select("user_id", "view_id", "purchase_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(qname)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once("join_run1")
+    land(1)
+    run_once("join_run2")
+
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    want_df = v.join(
+        p,
+        (v.user_id == p.p_user)
+        & (p.p_ts > v.v_ts)
+        & (p.p_ts <= v.v_ts + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "view_id", "purchase_id")
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want and len(got) > 0
+    # the equality only witnesses recovery if cross-cut pairs exist
+    crossers = want_df.join(
+        e.filter(F.col("ts") < cut).select(F.col("event_id").alias("view_id")),
+        "view_id",
+    ).join(
+        e.filter(F.col("ts") >= cut).select(
+            F.col("event_id").alias("purchase_id")
+        ),
+        "purchase_id",
+    )
+    assert crossers.count() > 0, "cut produced no cross-restart pairs"
