@@ -204,6 +204,20 @@ def _run_suite(spark, qs) -> tuple[dict[str, float], dict[str, float], dict]:
 #: and survives selection.
 SELF_LOAD_ALLOWANCE = 2.0
 
+#: Tolerance on the suite-START loadavg before it arms contention: the
+#: entry gate samples until a reading <= MAX_LOAD, so the start reading
+#: taken moments later can sit a hair above the gate from pure sampling
+#: jitter without meaning anything. Sized at 0.05 — NOT the judge's
+#: illustrative 0.2, which would leave the motivating case itself
+#: (r12's 2.1 start over a 2.0 gate) counting clean; the order's done-
+#: criterion is "a loadavg-2.1-start/clean-end attempt retries", and
+#: loadavg is a slow 1-min EMA, so a >0.05 climb in the moments after
+#: a <=2.0 gate pass means load is genuinely RISING, not jitter. The
+#: start reading has NO self-load in it (the suite hasn't run yet),
+#: and over-arming is safe: a contended attempt spends one bounded
+#: retry and selection keeps the cleanest window either way.
+START_LOAD_EPSILON = 0.05
+
 
 def is_contended(
     gate_timed_out: bool,
@@ -212,16 +226,24 @@ def is_contended(
     self_allowance: float = SELF_LOAD_ALLOWANCE,
     steal_pct: float = 0.0,
     max_steal_pct: float = MAX_STEAL_PCT,
+    load_at_start: float = 0.0,
+    start_epsilon: float = START_LOAD_EPSILON,
 ) -> bool:
     """A round is contended if the entry gate gave up, OR the 1-min load
     right after the timed suite reads above gate + self-load allowance —
     the entry reading alone can bless a run that got noisy mid-suite
     (r5: the gate passed after a 120 s wait on a momentary dip) — OR
     host steal over the suite exceeded the gate (r9: a microVM neighbor
-    is invisible to loadavg but stretched D2 4x at entry load 1.93)."""
+    is invisible to loadavg but stretched D2 4x at entry load 1.93) —
+    OR the suite-START loadavg itself reads above the gate + a small
+    jitter epsilon (r12 judge finding: the gate can pass on a momentary
+    DIP and the suite then starts half-busy — r12's official record
+    started at loadavg 2.1 > the 2.0 gate yet counted clean because
+    end-load and steal were fine)."""
     return (
         gate_timed_out
         or load_at_end > max_load + self_allowance
+        or load_at_start > max_load + start_epsilon
         or steal_pct > max_steal_pct
     )
 
@@ -322,7 +344,12 @@ def main() -> None:
             if total_mid > total0
             else 0.0
         )
-        contended = is_contended(gate_timed_out, load_at_end, steal_pct=steal_a)
+        contended = is_contended(
+            gate_timed_out,
+            load_at_end,
+            steal_pct=steal_a,
+            load_at_start=load_at_start,
+        )
         attempts.append(
             {
                 "total_sec": round(sum(timings_a.values()), 3),
@@ -453,6 +480,19 @@ def main() -> None:
                 "delta_sec/delta_total_sec suppressed: kept attempt is a "
                 "warm retry — compare variance-band minima instead"
             )
+        elif prev.get("kept_attempt_warm"):
+            # Symmetric with the kept-retry case above, on the OTHER
+            # side of the comparison (r12 judge finding #2): the prior
+            # record itself was a warm kept-retry, so its totals are
+            # biased low and a raw delta against them misleads exactly
+            # when the retry armor worked. _latest_prior_bench already
+            # prefers clean comparators; this fires only when every
+            # prior record is warm.
+            out["delta_note"] = (
+                f"delta_sec/delta_total_sec suppressed: comparator "
+                f"BENCH_r{prev['round']} kept a warm retry — compare "
+                f"variance-band minima instead"
+            )
         else:
             out["delta_sec"] = {
                 q: round(timings[q] - prev["queries"][q], 3)
@@ -518,17 +558,24 @@ def _compact(out: dict) -> dict:
     return line
 
 
-def _latest_prior_bench() -> dict | None:
+def _latest_prior_bench(records_dir: str | None = None) -> dict | None:
     """Best (lowest-total) BENCH_r{N}.json next to this script, parsed,
     with its round number. Deltas compare against the *best* prior run,
     not the newest: a round benched on a loaded box (r2: loadavg 7.5,
     +19% across the board) would otherwise poison every later delta
-    with a flattering baseline."""
+    with a flattering baseline. Records whose kept attempt was a WARM
+    retry rank behind every clean record (r12 judge finding #2): their
+    totals are biased low — exactly the property that made them win the
+    lowest-total pick — so a warm record is only ever the comparator
+    when no clean prior exists, and the delta block then suppresses the
+    raw deltas."""
     import glob
     import re
 
-    best: tuple[int, dict] | None = None
-    for path in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")):
+    if records_dir is None:
+        records_dir = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[tuple[bool, float], int, dict] | None = None
+    for path in glob.glob(os.path.join(records_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
             continue
@@ -543,11 +590,12 @@ def _latest_prior_bench() -> dict | None:
         if "value" not in data or "queries" not in data:
             continue
         n = int(m.group(1))
-        if best is None or data["value"] < best[1]["value"]:
-            best = (n, data)
+        rank = (bool(data.get("kept_attempt_warm")), data["value"])
+        if best is None or rank < best[0]:
+            best = (rank, n, data)
     if best is None:
         return None
-    return {"round": best[0], **best[1]}
+    return {"round": best[1], **best[2]}
 
 
 if __name__ == "__main__":

@@ -144,26 +144,10 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in tables.TABLES:
-        # A fixture table may be a single parquet FILE (the driver's
-        # layout), a DIRECTORY of part files (any real-scale layout,
-        # and the multi-file robustness probe), or a HIVE-PARTITIONED
-        # directory of key=value subdirectories (the round-12 probe;
-        # what every 100 TB lake table looks like). Spark reads all
-        # three transparently; DuckDB needs the glob spelled out and
-        # hive_partitioning enabled to reconstruct the partition column
-        # the data files deliberately omit.
-        raw = os.path.join(SF_DIR, f"{t}.parquet")
-        path = raw.replace("'", "''")
-        opts = ""
-        if os.path.isdir(raw):
-            if any("=" in e for e in os.listdir(raw)):
-                path = f"{path}/*/*.parquet"
-                opts = ", hive_partitioning = true"
-            else:
-                path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}'{opts})"
-        )
+        # Layout-aware view (file / multi-file dir / hive-partitioned dir)
+        # via the shared helper in tables.py — single implementation for
+        # this script and tests/conftest.py (r12 advisor finding).
+        con.execute(tables.duck_view_sql(t, SF_DIR))
 
     names = [n for n in sorted(qs) if not prefixes or n.startswith(prefixes)]
     if shard:

@@ -131,8 +131,21 @@ def stage_events_dir(sf_dir: str) -> str:
     for name, target in targets.items():
         link = os.path.join(d, name)
         os.makedirs(os.path.dirname(link), exist_ok=True)
-        if not os.path.islink(link):
-            os.symlink(target, link)
+        if os.path.islink(link):
+            continue  # GC above already verified it points at `target`
+        if os.path.exists(link):
+            # A REGULAR file or directory squatting on the link path
+            # (e.g. a stage dir polluted by a crashed foreign writer):
+            # the GC only removes symlinks, so clear the blocker here
+            # or os.symlink raises FileExistsError forever after
+            # (r12 advisor finding).
+            if os.path.isdir(link):
+                import shutil
+
+                shutil.rmtree(link)
+            else:
+                os.remove(link)
+        os.symlink(target, link)
     return d
 
 

@@ -93,6 +93,48 @@ def parallelize(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(n, F.col(key)) if key else df.repartition(n)
 
 
+def duck_view_sql(table: str, sf_dir: str) -> str:
+    """CREATE VIEW statement registering one fixture table in a DuckDB
+    oracle connection — the single shared implementation for
+    scripts/driver_replay.py and tests/conftest.py (r12 advisor: the two
+    copies had drifted-prone, fragile layout detection).
+
+    Layout-aware: a fixture table may be a single parquet FILE (the
+    driver's layout), a DIRECTORY of part files at any nesting depth
+    (multi-file probe, real-scale layouts), or a HIVE-PARTITIONED
+    directory of key=value subdirectories (round-12 probe; what every
+    100 TB lake table looks like). Spark reads all three transparently;
+    DuckDB needs the glob spelled out. One recursive ``**/*.parquet``
+    glob covers flat, nested, and multi-level-partitioned directories
+    (DuckDB's ``**`` matches zero or more path segments — probed).
+    Hive detection requires the ``key=value`` entry to be a directory,
+    so a flat part FILE whose name contains '=' cannot mis-trigger
+    partition reconstruction — and because DuckDB AUTO-detects hive
+    layout by default (it even parses '=' out of a FILENAME into a
+    phantom partition column — probed), the option is pinned explicitly
+    BOTH ways for directory reads. A genuinely mixed flat+partitioned
+    directory fails loudly in DuckDB ("Hive partition mismatch") rather
+    than silently dropping top-level files, which is the correct
+    behavior for a corrupt layout.
+
+    The path is single-quote-escaped (same pattern as
+    scripts/data_profile.py) so a relocated fixture root containing a
+    quote can't break the SQL."""
+    import os
+
+    raw = os.path.join(sf_dir, f"{table}.parquet")
+    path = raw.replace("'", "''")
+    opts = ""
+    if os.path.isdir(raw):
+        path = f"{path}/**/*.parquet"
+        hive = any(
+            "=" in e and os.path.isdir(os.path.join(raw, e))
+            for e in os.listdir(raw)
+        )
+        opts = f", hive_partitioning = {'true' if hive else 'false'}"
+    return f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}'{opts})"
+
+
 #: Session-conf marker recording which sf_dir's views are registered.
 _VIEWS_MARKER = "spark.graft.registered_views_sf_dir"
 

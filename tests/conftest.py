@@ -28,23 +28,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_MID = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MID", "/root/testdata/sf0.01")
 
 
-def duck_view_sql(table: str, sf_dir: str) -> str:
-    """CREATE VIEW statement for one fixture table with the path
-    single-quote-escaped (same pattern as scripts/data_profile.py) so a
-    relocated fixture root containing a quote can't break the SQL.
-    Layout-aware like driver_replay's views: a directory of part files
-    globs, a Hive-partitioned directory (key=value subdirs, round-12
-    probe) additionally reconstructs the partition column."""
-    raw = os.path.join(sf_dir, f"{table}.parquet")
-    path = raw.replace("'", "''")
-    opts = ""
-    if os.path.isdir(raw):
-        if any("=" in e for e in os.listdir(raw)):
-            path = f"{path}/*/*.parquet"
-            opts = ", hive_partitioning = true"
-        else:
-            path = f"{path}/*.parquet"
-    return f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}'{opts})"
+# Single shared layout-aware implementation (r12 advisor: the copy here
+# and the one in scripts/driver_replay.py had drifted-prone detection).
+duck_view_sql = tables.duck_view_sql
 
 
 @pytest.fixture(scope="session")

@@ -104,24 +104,61 @@ def test_contended_keys_on_host_steal():
     assert bench.is_contended(False, 1.9, max_load=2.0, steal_pct=0.51)
 
 
-def test_latest_prior_bench_picks_best_total():
+def test_contended_keys_on_start_load():
+    """r12 judge finding #1: the entry gate samples until a reading
+    <= MAX_LOAD, so it can pass on a momentary DIP and the suite then
+    starts half-busy — r12's official record started at loadavg 2.1
+    (above the 2.0 gate) yet counted clean because end-load and steal
+    were fine. A start reading above gate + a small jitter epsilon must
+    arm contention on its own."""
+    # the r12 official record's exact shape: dip-pass start 2.1,
+    # clean end 1.86, clean steal 0.12% -> must now read contended
+    # (epsilon is 0.05, NOT the judge's illustrative 0.2, which would
+    # leave this exact case clean — see START_LOAD_EPSILON's comment)
+    assert bench.is_contended(
+        False, 1.86, max_load=2.0, steal_pct=0.12, load_at_start=2.1
+    )
+    # jitter band: start within gate + epsilon stays clean
+    assert not bench.is_contended(
+        False, 1.86, max_load=2.0, steal_pct=0.12, load_at_start=2.05
+    )
+    assert bench.is_contended(
+        False, 1.86, max_load=2.0, steal_pct=0.12, load_at_start=2.06
+    )
+    # a genuinely idle start (the common case) stays clean
+    assert not bench.is_contended(
+        False, 1.36, max_load=2.0, steal_pct=0.0, load_at_start=0.4
+    )
+
+
+def test_latest_prior_bench_picks_best_clean_total():
     """Deltas anchor to the BEST prior round, so a loaded-box round
-    can't poison later comparisons with a flattering baseline."""
+    can't poison later comparisons with a flattering baseline — and a
+    record whose kept attempt was a WARM retry ranks behind every
+    clean record (r12 judge finding #2: warm totals are biased low,
+    exactly the property that made r11's 11.51 win the pick and turn
+    r12's delta misleading)."""
     prev = bench._latest_prior_bench()
     assert prev is not None and "value" in prev and "queries" in prev
     import glob
     import json
     import os
 
-    totals = []
+    clean_totals, all_totals = [], []
     for path in glob.glob(os.path.join(os.path.dirname(bench.__file__), "BENCH_r*.json")):
         with open(path) as f:
             data = json.load(f)
         if "parsed" in data and isinstance(data["parsed"], dict):
             data = data["parsed"]
-        if "value" in data:
-            totals.append(data["value"])
-    assert prev["value"] == min(totals)
+        if "value" in data and data["value"] is not None:
+            all_totals.append(data["value"])
+            if not data.get("kept_attempt_warm"):
+                clean_totals.append(data["value"])
+    assert prev["value"] == min(clean_totals)
+    # the repo's own history IS the regression fixture: r11's warm
+    # 11.512 is the global minimum and must NOT be the comparator
+    assert min(all_totals) < min(clean_totals)
+    assert not prev.get("kept_attempt_warm")
 
 
 def test_compact_line_fits_driver_tail_capture(tmp_path, monkeypatch):
@@ -290,3 +327,27 @@ def test_wait_for_idle_gives_up_at_max_wait(monkeypatch):
     # the flag — not a loadavg re-sample — must report the timeout:
     # persistent steal leaves load clean, so load alone can't (r9 advisor)
     assert timed_out is True
+
+
+def test_latest_prior_bench_warm_only_fallback(tmp_path):
+    """When EVERY prior record is a warm kept-retry, the loader still
+    returns the best of them (a suppressed-delta comparator beats no
+    comparator), flagged so main()'s delta block suppresses the raw
+    deltas with a note naming the round."""
+    import json
+
+    recs = {
+        "BENCH_r03.json": {"value": 11.5, "queries": {"q": 1.0}, "kept_attempt_warm": True},
+        "BENCH_r05.json": {"value": 12.5, "queries": {"q": 1.1}, "kept_attempt_warm": True},
+    }
+    for name, rec in recs.items():
+        (tmp_path / name).write_text(json.dumps({"parsed": rec}))
+    prev = bench._latest_prior_bench(str(tmp_path))
+    assert prev["round"] == 3 and prev["kept_attempt_warm"] is True
+
+    # ... and one clean record, even slower, displaces both warm ones
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"value": 14.0, "queries": {"q": 1.3}}})
+    )
+    prev = bench._latest_prior_bench(str(tmp_path))
+    assert prev["round"] == 4 and not prev.get("kept_attempt_warm")

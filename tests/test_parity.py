@@ -72,7 +72,19 @@ def test_registry_nonvacuous():
         con.close()
 
 
-def test_registry_nonvacuous_at_sf01():
+def _sf_big_or_skip() -> str:
+    """The sf0.1 fixture root for the two big-scale guards, or a pytest
+    skip when the machine lacks it (r12 advisor: hardcoding the default
+    made view creation ERROR rather than skip on fixture-less boxes).
+    Named `_sf0_1` in the test names below to disambiguate from
+    SF_DIR_MID (sf0.01)."""
+    sf_big = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_BIG", "/root/testdata/sf0.1")
+    if not os.path.exists(sf_big):
+        pytest.skip(f"sf0.1 fixture dir absent: {sf_big}")
+    return sf_big
+
+
+def test_registry_nonvacuous_at_sf0_1():
     """Same guard one scale up: every oracle must also return > 0 rows
     at sf0.1, the full-registry replay scale. The r11 judge found the
     class this catches: SQL24's fixed Q11 fraction gave 248 rows at
@@ -82,8 +94,7 @@ def test_registry_nonvacuous_at_sf01():
     scale-vacuous class is mechanically unrepresentable at BOTH grading
     scales. Env override SPARK_GRAFT_TEST_SF_DIR_BIG matches the replay
     tooling's layout flexibility."""
-    sf_big = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_BIG", "/root/testdata/sf0.1")
-    con = _duck_at(sf_big)
+    con = _duck_at(_sf_big_or_skip())
     try:
         vacuous = []
         for name, spec in sorted(SPECS.items()):
@@ -143,15 +154,14 @@ def test_registry_informative():
         con.close()
 
 
-def test_registry_informative_at_sf01():
+def test_registry_informative_at_sf0_1():
     """The informative guard one scale up, symmetric with the r12
     nonvacuous sf0.1 extension: a result can keep varying columns at
     sf0.01 yet collapse to constants at sf0.1 (the same growth
     mechanics that emptied SQL24 can flatten a survivor column), and
     the sf0.1 replay layer would then prove row counts but no values
     for that query. DuckDB-only, ~40 s."""
-    sf_big = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_BIG", "/root/testdata/sf0.1")
-    con = _duck_at(sf_big)
+    con = _duck_at(_sf_big_or_skip())
     try:
         uninformative = _sweep_uninformative(con)
         assert not uninformative, (

@@ -545,6 +545,44 @@ def test_stage_events_dir_handles_hive_layout(tmp_path):
     assert links == ["events.parquet"]
 
 
+def test_stage_events_dir_clears_non_symlink_blockers(tmp_path):
+    """r12 advisor pin: a REGULAR file or directory squatting on a link
+    path (a stage dir polluted by a crashed foreign writer) used to
+    raise FileExistsError from os.symlink forever — the GC only removes
+    symlinks, so the blocker was never cleared. stage_events_dir must
+    now remove the squatter and stage the link."""
+    import duckdb
+
+    from test_dataengineer2026_spark.streaming import jobs
+    from tests.conftest import SF_DIR
+
+    src_root = tmp_path / "sf"
+    src_root.mkdir()
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM read_parquet('{SF_DIR}/events.parquet')) "
+        f"TO '{src_root}/events.parquet' (FORMAT PARQUET)"
+    )
+    # First stage to learn the stage dir, then pollute the link path —
+    # once with a regular FILE, once with a non-empty DIRECTORY.
+    d = jobs.stage_events_dir(str(src_root))
+    link = os.path.join(d, "events.parquet")
+    for pollute in ("file", "dir"):
+        os.remove(link)
+        if pollute == "file":
+            with open(link, "w") as fh:
+                fh.write("crashed-writer droppings")
+        else:
+            os.makedirs(os.path.join(link, "nested"))
+            with open(os.path.join(link, "nested", "junk"), "w") as fh:
+                fh.write("x")
+        d2 = jobs.stage_events_dir(str(src_root))
+        assert d2 == d
+        assert os.path.islink(link), f"{pollute} blocker not cleared"
+        assert os.path.realpath(link) == os.path.realpath(
+            str(src_root / "events.parquet")
+        )
+
+
 def test_queries_layout_invariant_on_hive(spark, tmp_path):
     """End-to-end pin for the round-12 Hive probe: M2 (tumbling window
     over the file stream source, exercises the hive-aware staging) and

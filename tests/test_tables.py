@@ -52,3 +52,48 @@ def test_load_memoizes_and_clear_cache_resets(spark):
     assert b.count() == a.count()
     # clear_cache on a session that never loaded anything is a no-op
     tables.clear_cache(spark)
+
+
+def test_duck_view_sql_layouts(tmp_path):
+    """r12 advisor pin for the now-shared layout detector: (1) a flat
+    part FILE whose name contains '=' must NOT trigger hive
+    reconstruction; (2) multi-level key=value partitioning must
+    reconstruct ALL partition columns; (3) a nested non-hive directory
+    must still find its leaves (recursive glob, not single-level)."""
+    import duckdb
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    t = pa.table({"x": [1, 2]})
+
+    # flat dir containing a file with '=' in its name
+    d1 = tmp_path / "s1" / "region.parquet"
+    d1.mkdir(parents=True)
+    pq.write_table(t, d1 / "run=7-part-0.parquet")
+    sql = tables.duck_view_sql("region", str(tmp_path / "s1"))
+    assert "hive_partitioning = false" in sql, sql
+    con.execute(sql)
+    assert con.execute("SELECT count(*) FROM region").fetchone()[0] == 2
+    cols = [r[0] for r in con.execute("DESCRIBE region").fetchall()]
+    assert cols == ["x"], f"phantom hive column: {cols}"
+
+    # multi-level hive partitioning
+    d2 = tmp_path / "s2" / "nation.parquet" / "k=a" / "j=b"
+    d2.mkdir(parents=True)
+    pq.write_table(t, d2 / "part-0.parquet")
+    sql = tables.duck_view_sql("nation", str(tmp_path / "s2"))
+    assert "hive_partitioning = true" in sql, sql
+    con.execute(sql)
+    cols = [r[0] for r in con.execute("DESCRIBE nation").fetchall()]
+    assert sorted(cols) == ["j", "k"] + ["x"], cols
+
+    # nested NON-hive directory (leaves one level down, no '=' anywhere)
+    d3 = tmp_path / "s3" / "part.parquet" / "batch1"
+    d3.mkdir(parents=True)
+    pq.write_table(t, d3 / "part-0.parquet")
+    sql = tables.duck_view_sql("part", str(tmp_path / "s3"))
+    assert "hive_partitioning = false" in sql, sql
+    con.execute(sql)
+    assert con.execute("SELECT count(*) FROM part").fetchone()[0] == 2
