@@ -96,84 +96,84 @@ _MODULES = (
     "sources_q",
     "timeseries_q",
     "quality_q",
+    "nested_q",
 )
 
-# ROUND-12 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r11
-# (last-green-round histogram entering r12: r7=31, r8=50, r9=50,
-# r10=50, r11=50), with ONE judge-ordered substitution (the F2/J6
-# precedent): SQL24_tpch_q11 — de-vacuated at scale this round —
-# displaces the newest stale name (M11_chained_window_agg, the 19th-
-# oldest r8 slot) so its changed threshold earns a fresh driver
-# green. The 31 r7-vintage names clear the r7 backlog completely;
-# the remaining slots take the 18 oldest r8 names.
+# ROUND-13 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r12
+# (last-green-round histogram entering r13: r8=32, r9=50, r10=49,
+# r11=50, r12=50), with a judge-SANCTIONED substitution (r12 verdict
+# items #5a/#7): the three NEW nested-parquet exhibits N1-N3 — born
+# this round, so they must be driver-green in their birth round —
+# displace the three newest stale names (U5_unpivot_melt,
+# U6_except_all, F3_datetime_funcs — the 16th-18th-oldest r9 slots;
+# the F2/J6/SQL24 precedent). The 32 r8-vintage names clear the r8
+# backlog completely; the remaining slots take the 15 oldest r9 names.
 #
-# ROUND-13 QUEUE: assuming this window goes green, the oldest
-# vintage left is r8 (32 names, incl. the displaced M11) — run
-# `python scripts/next_window.py --stale` next round; it prints
-# those 32 plus the 18 oldest r9 names, in paste-ready order.
+# ROUND-14 QUEUE: assuming this window goes green, the oldest vintage
+# left is r9 (35 names, incl. the three displaced) — run
+# `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
-    # --- r7-vintage (31): theta/cross/self/salted joins, windows,
-    #     sorts, sets, scalar funcs, dedup, text, streaming windows ---
-    "J8_theta_join",
-    "J11_cross_join",
-    "J13_self_join",
-    "J1b_salted_skew_join",
-    "W2_lag_lead",
-    "W3_running_agg",
-    "W4_ntile_percent",
-    "O1_sort",
-    "O2_sort_within_partitions",
-    "O3_limit_topk",
-    "U1_union_all",
-    "U2_union_distinct",
-    "U3_intersect",
-    "U4_except",
-    "F1_string_funcs",
-    "F4_math_funcs",
-    "F5_conditional_funcs",
-    "F6_cast_funcs",
-    "F7_array_funcs",
-    "F8_map_funcs",
-    "F11_hash_funcs",
-    "J9_range_join",
-    "D3_ngram_jaccard",
-    "D4_simhash",
-    "D6_neardup_clusters",
-    "D7_containment_dedup",
-    "T3_quality_score",
-    "T4_fingerprint",
-    "M2_tumbling_window",
-    "M3_sliding_window",
-    "M7_stream_static_join",
-    # --- r8-vintage (18 oldest): ML, SCD2, ANN ladder, curation,
-    #     events, stream sources/sinks/policies ---
-    "ML2_grouped_ols",
-    "J14_bloom_pruned_join",
-    "W7_scd2_dimension",
-    "J12b_srp_lsh_ann",
-    "J12d_ivf_kmeans_ann",
-    "D8_paragraph_dedup",
-    "D9_canonical_selection",
-    "C3_mixture_weights",
-    "C7_quota_sample",
-    "C8_length_percentiles",
-    "C9_shuffle_shards",
-    "C11_temperature_sample",
-    "E1_batch_sessionize",
-    "E3_cohort_retention",
-    "S9_stream_file_source",
-    "S10_foreach_batch_sink",
-    "M8_late_data_policy",
-    "M9_trigger_control",
-    # --- judge-ordered substitution (r11 verdict item #2): scale-aware
-    #     Q11 threshold must earn a fresh driver green ---
-    "SQL24_tpch_q11",
+    # --- r8-vintage (32): windowed-agg chain, V-family UDF surface,
+    #     SQL CTE/TPC-H cohort, X-family extraction, sources, TS ---
+    "M11_chained_window_agg",
+    "V5_mm_binary_features",
+    "V1_scalar_pandas_udf",
+    "V2_grouped_map_udf",
+    "V3_grouped_agg_udaf",
+    "SQL3_cte_window",
+    "V6_sql_udf_registration",
+    "SQL5_tpch_q10",
+    "SQL7_tpch_q14",
+    "SQL8_tpch_q17",
+    "SQL9_tpch_q19",
+    "SQL10_tpch_q22",
+    "X3_extract_metadata",
+    "X4_extract_resources",
+    "X5_extract_reserves",
+    "X2_extract_table_cells",
+    "X8_null_fill_contract",
+    "X9_validate_extraction",
+    "X6_extract_economics",
+    "X7_normalize_numeric",
+    "S8_partitioned_parquet_roundtrip",
+    "S1_binary_file_scan",
+    "S5_text_scan",
+    "S6_json_sink_roundtrip",
+    "S7_csv_sink_roundtrip",
+    "S3_csv_roundtrip",
+    "S4_json_roundtrip",
+    "S11_bucketed_join",
+    "S12_dynamic_partition_backfill",
+    "S13_zorder_layout",
+    "S14_compact_small_files",
+    "TS2_linear_interpolation",
+    # --- r9-vintage (15 oldest): aggs, graph, joins, windows ---
+    "A1_group_agg",
+    "A6_grouping_sets_rollup",
+    "A14_cube",
+    "A15_grouped_percentiles",
+    "A16_heavy_hitters",
+    "GR4_bfs_levels",
+    "J1_inner_equi_join",
+    "J7_broadcast_join",
+    "J16_null_safe_join",
+    "W1_rank_topn",
+    "W4b_ntile_global",
+    "W5_dedup_keep_latest",
+    "W6_cdc_merge",
+    "W8_activity_streaks",
+    "W9_trailing_time_window",
+    # --- judge-sanctioned births (r12 verdict #5a): the nested-parquet
+    #     axis exhibits must earn a driver green in their birth round ---
+    "N1_nested_struct_roundtrip",
+    "N2_nested_list_explode",
+    "N3_nested_map_roundtrip",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 231
+EXPECTED_MIN_QUERIES = 234
 
 _loaded = False
 

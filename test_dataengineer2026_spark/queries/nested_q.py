@@ -1,0 +1,200 @@
+"""Nested-type parquet exhibits N1-N3 (round-13 probe axis promoted to
+registry queries; SCALE.md §20 declared nested/struct columns un-probed
+for lack of fixture surface — this module IS the fixture surface).
+
+Reference basis: the extraction tables are nested-by-nature documents
+(TEST.md:30-54 — per-report lists of resource/reserve line items); a
+production lake schema for them would be ``LIST<STRUCT<...>>`` per
+report, exactly the shapes exercised here.
+
+Each query pushes data through Spark's parquet NESTED write + read path
+(STRUCT, LIST<STRUCT>, MAP) — a different column decoder than every
+flat exhibit in the registry — then flattens and aggregates so the
+DuckDB oracle can verify exact values from the base tables alone.
+
+Scale notes (100 TB):
+- Nested schema pruning is ON (Spark default): a projection touching 2
+  leaves of a 3-leaf struct reads 2 leaf columns off disk — pinned as a
+  plan contract in tests/test_plans.py (ReadSchema shows the pruned
+  struct), same class of guarantee as flat column pruning.
+- The LIST<STRUCT> build is ONE shuffle (groupBy l_orderkey) and the
+  re-read explode is shuffle-free (generators run inline in the scan
+  stage); element order inside each list is pinned by sort_array, not
+  by collect_list's arrival order, so task retries / AQE re-plans at
+  cluster scale cannot flip the order-sensitive first-item column.
+- MAP values are read through the same nested decoder; access is by
+  key (element_at), never by iteration order, which parquet does not
+  preserve.
+- The foreign-writer side of this axis (pyarrow-written nested files,
+  2-level legacy vs 3-level compliant LIST encodings) is probed in
+  tests/test_nested_layout.py + scripts/make_nested_fixtures.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from test_dataengineer2026_spark import tables
+from test_dataengineer2026_spark.determinism import davg, dsum, sql_davg, sql_dsum
+from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.session import apply_runtime_confs
+from test_dataengineer2026_spark.sources import io as sio
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_OUT_ROOT = os.path.join(_REPO_ROOT, ".tmp", "nested_stage")
+
+
+def _stage(name: str, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_OUT_ROOT, tag, name)
+
+
+@register(
+    "N1_nested_struct_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderstatus
+""",
+    tags=("nested", "sources"),
+)
+def nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: STRUCT column through parquet write + read. The re-read
+    filters and projects NESTED fields only — with nested schema
+    pruning the scan reads 2 of the struct's 3 leaves and the
+    totalprice predicate pushes down to the leaf column's row-group
+    stats, so at 100 TB the struct wrapper costs nothing over flat
+    columns (plan contract: tests/test_plans.py)."""
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    out = _stage("orders_struct", sf_dir)
+    staged = o.select(
+        "o_orderkey",
+        F.struct("o_orderstatus", "o_totalprice", "o_orderdate").alias(
+            "order_info"
+        ),
+    )
+    sio.sink_parquet(staged, out)
+    back = sio.scan_parquet(spark, out, schema=staged.schema)
+    return (
+        back.filter(F.col("order_info.o_totalprice") > 150000.0)
+        .groupBy(F.col("order_info.o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("order_info.o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "N2_nested_list_explode",
+    oracle=f"""
+WITH sized AS (
+    SELECT l_orderkey, l_quantity, l_extendedprice,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_items,
+           -- mirrors sort_array's lexicographic STRUCT order; the full
+           -- triple matters because l_linenumber is NOT unique per
+           -- order in this fixture (11,785 duplicate pairs at sf0.01),
+           -- and any remaining tie is between identical triples, which
+           -- cannot change which l_quantity is "first"
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_quantity, l_extendedprice
+           ) AS rn
+    FROM lineitem
+)
+SELECT n_items,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       {sql_dsum('l_quantity', 'DECIMAL(18,6)')} AS total_qty,
+       {sql_dsum('l_extendedprice')} AS total_price,
+       {sql_dsum('CASE WHEN rn = 1 THEN l_quantity END', 'DECIMAL(18,6)')} AS first_item_qty
+FROM sized
+GROUP BY n_items
+""",
+    tags=("nested", "sources"),
+)
+def nested_list_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: LIST<STRUCT> through parquet — the lake shape of TEST.md's
+    per-report line-item tables. lineitem is packed one row per order
+    (sort_array pins element order by l_linenumber, so the roundtrip is
+    bit-deterministic regardless of collect_list arrival order), written,
+    re-read through the repeated-group decoder, exploded back out, and
+    re-aggregated by list size. first_item_qty is deliberately
+    ORDER-SENSITIVE through the roundtrip: it only matches the oracle if
+    parquet preserved list element order exactly."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = _stage("lineitem_list", sf_dir)
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("items")
+    )
+    sio.sink_parquet(packed, out)
+    back = sio.scan_parquet(spark, out, schema=packed.schema)
+    exploded = back.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.posexplode("items").alias("pos", "item"),
+    )
+    return exploded.groupBy("n_items").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        dsum(F.col("item.l_quantity"), "DECIMAL(18,6)").alias("total_qty"),
+        dsum(F.col("item.l_extendedprice")).alias("total_price"),
+        # the list head by POSITION (pos == 0), once per order — a
+        # linenumber-based marker would double-count: l_linenumber is
+        # not unique per order in this fixture
+        dsum(
+            F.when(F.col("pos") == 0, F.col("item.l_quantity")),
+            "DECIMAL(18,6)",
+        ).alias("first_item_qty"),
+    )
+
+
+@register(
+    "N3_nested_map_roundtrip",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       {sql_davg('p_size', 'DECIMAL(18,6)')} AS avg_size,
+       {sql_dsum('p_retailprice')} AS total_retail
+FROM part
+GROUP BY p_brand
+""",
+    tags=("nested", "sources"),
+)
+def nested_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: MAP<STRING,DOUBLE> through parquet's key_value repeated
+    group. Values come back through element_at by KEY — never map
+    iteration order, which parquet does not promise to preserve — and
+    the aggregate must reproduce the flat columns' exact sums."""
+    apply_runtime_confs(spark)
+    p = tables.load(spark, sf_dir, "part")
+    out = _stage("part_map", sf_dir)
+    staged = p.select(
+        "p_partkey",
+        "p_brand",
+        F.create_map(
+            F.lit("size"),
+            F.col("p_size").cast("double"),
+            F.lit("retail"),
+            F.col("p_retailprice"),
+        ).alias("attrs"),
+    )
+    sio.sink_parquet(staged, out)
+    back = sio.scan_parquet(spark, out, schema=staged.schema)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        davg(F.element_at("attrs", F.lit("size")), "DECIMAL(18,6)").alias(
+            "avg_size"
+        ),
+        dsum(F.element_at("attrs", F.lit("retail"))).alias("total_retail"),
+    )
