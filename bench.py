@@ -60,6 +60,12 @@ MAX_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "600"))
 #: while tripling the chances of landing a clean window.
 MAX_SUITE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SUITE_ATTEMPTS", "3"))
 RETRY_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_RETRY_WAIT_SEC", "300"))
+#: Budget for the post-warmup settle: the untimed warmup saturates all
+#: CPUS and pushes the 1-min loadavg to ~2.3-2.7; it decays back under
+#: the 2.0 gate in ~60-120 s on an idle box. Generous enough to cover
+#: that, bounded so persistent external load times out (and arms
+#: contention) rather than stalling the bench.
+POST_WARMUP_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_POST_WARMUP_WAIT_SEC", "240"))
 #: Hard wall-clock budget for the whole measurement (entry wait +
 #: attempts + retry waits), after which no further retry starts even if
 #: the last attempt was contended: an external runner that kills a
@@ -319,6 +325,20 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     canary_before = _canary_sec()
     prev = _latest_prior_bench()
+    # Post-warmup settle (round 13): the warmup above saturates all
+    # CPUS for ~30-60 s, which drives the 1-min loadavg to ~2.3-2.7 —
+    # so a start-of-suite reading taken immediately after it carries
+    # bench's OWN self-load and the start-load contention check (r12
+    # judge finding #1) would arm on essentially every first attempt,
+    # turning every record into a warm kept-retry and destroying cold
+    # anchors (observed live on this check's first two outings:
+    # load_start 2.32 and 2.73 on an otherwise idle box). Re-gating
+    # here lets the warmup load decay so attempt 1's start reading
+    # measures the HOST again; a timeout arms contention like the
+    # entry gate's.
+    settle_waited, settle_timed_out = _wait_for_idle(POST_WARMUP_WAIT_SEC)
+    load_waited_sec += settle_waited
+    gate_timed_out = gate_timed_out or settle_timed_out
     # Steal-gated attempt loop (r10 verdict order): up to
     # MAX_SUITE_ATTEMPTS timed runs, stopping at the first clean one;
     # the kept record is the LOWEST-STEAL attempt, never the fastest.
