@@ -116,3 +116,35 @@ def test_nested_schema_pruning_plan_contract(spark, struct_store):
     assert "o_totalprice" in pushed, scan
     # and the result is actually nonempty (the contract isn't vacuous)
     assert df.count() > 0
+
+
+def test_nested_tiny_rowgroups_and_pages(spark, tmp_path):
+    """Repetition/definition levels across page boundaries: rewrite the
+    nested fixture with ~50-row row groups and ~256-byte pages so list
+    elements SPAN data pages and row groups — the decoder state machine
+    path a single-page file never touches (the flat row-group-extremes
+    probe of r12 covered primitives; this is the nested analogue). Both
+    engines must still reproduce the exact flat truth, including
+    element order."""
+    import pyarrow.parquet as pq
+
+    import make_nested_fixtures as mnf
+
+    paths = mnf.build(SF_DIR, str(tmp_path))
+    duck_file = paths[0]
+    tiny = str(tmp_path / "nested_tiny.parquet")
+    pq.write_table(
+        pq.read_table(duck_file),
+        tiny,
+        row_group_size=50,
+        data_page_size=256,
+        use_dictionary=False,
+    )
+    md = pq.ParquetFile(tiny).metadata
+    assert md.num_row_groups > 10, md.num_row_groups
+    con = duckdb.connect()
+    truth = con.execute(
+        mnf.DUCK_FLAT_TRUTH.format(src=os.path.join(SF_DIR, "lineitem.parquet"))
+    ).fetchone()
+    assert con.execute(mnf.DUCK_NESTED_AGG.format(path=tiny)).fetchone() == tuple(truth)
+    assert mnf.spark_nested_agg(spark, tiny) == tuple(truth)
