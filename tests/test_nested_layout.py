@@ -148,3 +148,140 @@ def test_nested_tiny_rowgroups_and_pages(spark, tmp_path):
     ).fetchone()
     assert con.execute(mnf.DUCK_NESTED_AGG.format(path=tiny)).fetchone() == tuple(truth)
     assert mnf.spark_nested_agg(spark, tiny) == tuple(truth)
+
+
+def test_nested_null_semantics_roundtrip(spark, tmp_path):
+    """The nested-null minefield, pinned: NULL list vs EMPTY list, a
+    NULL element inside a list, all-NULL struct fields, NULL vs EMPTY
+    map, and a NULL map value must each survive the parquet roundtrip
+    DISTINCTLY (def-levels encode the difference; a decoder that
+    conflates them corrupts silently) — through BOTH Spark writers
+    (modern 3-level and writeLegacyFormat bag/array), read back by both
+    Spark and DuckDB. Probed 2026-08: full agreement; this pin keeps it
+    that way."""
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("ln", T.IntegerType()),
+                            T.StructField("qty", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("attrs", T.MapType(T.StringType(), T.DoubleType())),
+        ]
+    )
+    rows = [
+        (1, None, None),                                # null list / null map
+        (2, [], {}),                                    # empty list / empty map
+        (3, [None, {"ln": 1, "qty": 2.0}], {"a": None}),  # null element / null value
+        (4, [{"ln": None, "qty": None}], {"a": 1.5}),   # null struct fields
+    ]
+    df = spark.createDataFrame(rows, schema)
+    stores = {}
+    for legacy in ("false", "true"):
+        path = str(tmp_path / f"nulls_legacy_{legacy}.parquet")
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", legacy)
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        stores[legacy] = path
+
+    def spark_norm(path):
+        out = []
+        for r in spark.read.parquet(path).orderBy("k").collect():
+            items = (
+                None
+                if r.items is None
+                else [None if e is None else (e.ln, e.qty) for e in r.items]
+            )
+            attrs = None if r.attrs is None else sorted(r.attrs.items())
+            out.append((r.k, items, attrs))
+        return out
+
+    want = [
+        (1, None, None),
+        (2, [], []),
+        (3, [None, (1, 2.0)], [("a", None)]),
+        (4, [(None, None)], [("a", 1.5)]),
+    ]
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    for legacy, path in stores.items():
+        assert spark_norm(path) == want, (legacy, spark_norm(path))
+        part = _glob.glob(os.path.join(path, "part-*.parquet"))[0]
+        got = con.execute(
+            f"""
+SELECT k,
+       items IS NULL AS list_null,
+       len(items) AS n_items,
+       CASE WHEN items IS NULL THEN NULL
+            ELSE (SELECT COUNT(*) FROM UNNEST(items) AS t(x) WHERE x IS NULL)
+       END AS null_elems,
+       attrs IS NULL AS map_null,
+       CASE WHEN attrs IS NULL THEN NULL ELSE cardinality(attrs) END AS n_keys,
+       attrs['a'][1] AS a_val
+FROM read_parquet('{part}') ORDER BY k
+"""
+        ).fetchall()
+        assert got == [
+            (1, True, None, None, True, None, None),
+            (2, False, 0, 0, False, 0, None),
+            (3, False, 2, 1, False, 1, None),
+            (4, False, 1, 0, False, 1, 1.5),
+        ], (legacy, got)
+
+
+def test_nested_schema_evolution_contract(spark, tmp_path):
+    """A struct that GAINS a leaf across files (the normal life of a
+    lake schema): Spark with mergeSchema=true unions the struct and
+    fills the missing leaf with NULL — pinned exact. Without
+    mergeSchema, Spark silently picks one footer's schema (which one
+    depends on file listing order), so evolving nested stores MUST be
+    read with mergeSchema — that hazard is the reason this pin exists.
+    DuckDB's union_by_name cannot cast structs of different size
+    (probed: "Cannot cast STRUCTs of different size"), so nested
+    evolution is a Spark-side capability with no DuckDB oracle — the
+    pin asserts Spark's exact values instead."""
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    old = spark.createDataFrame(
+        [(1, (10, 1.5))], "k long, info struct<a:int, b:double>"
+    )
+    new = spark.createDataFrame(
+        [(2, (20, 2.5, "x"))], "k long, info struct<a:int, b:double, c:string>"
+    )
+    root = str(tmp_path / "t")
+    old.coalesce(1).write.parquet(f"{root}/p=1")
+    new.coalesce(1).write.parquet(f"{root}/p=2")
+    got = [
+        (r.k, r.info.asDict())
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(root)
+        .orderBy("k")
+        .collect()
+    ]
+    assert got == [
+        (1, {"a": 10, "b": 1.5, "c": None}),
+        (2, {"a": 20, "b": 2.5, "c": "x"}),
+    ], got
+    import glob as _glob
+
+    parts = sorted(_glob.glob(f"{root}/*/part-*.parquet"))
+    con = _duckdb.connect()
+    with _pytest.raises(_duckdb.Error, match="STRUCT"):
+        con.execute(
+            f"SELECT k, info FROM read_parquet({parts!r}, union_by_name=true)"
+        ).fetchall()
