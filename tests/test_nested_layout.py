@@ -285,3 +285,115 @@ def test_nested_schema_evolution_contract(spark, tmp_path):
         con.execute(
             f"SELECT k, info FROM read_parquet({parts!r}, union_by_name=true)"
         ).fetchall()
+
+
+def test_nested_through_streaming_file_source(spark, tmp_path):
+    """Nested types through the STREAMING file source (a distinct
+    schema/decoder path from the batch scan): a LIST<STRUCT> dataset
+    read with readStream.schema(...).parquet, exploded and aggregated
+    under availableNow, must equal the exact flat truth."""
+    from pyspark.sql import functions as F
+
+    import make_nested_fixtures as mnf
+
+    paths = mnf.build(SF_DIR, str(tmp_path))
+    duck_file = paths[0]
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    os.symlink(duck_file, stream_dir / "00.parquet")
+    schema = spark.read.parquet(duck_file).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .parquet(str(stream_dir))
+        .select(F.explode("items").alias("item"))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("item.qty").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+    )
+    sink = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("nested_stream_pin")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert sink.awaitTermination(120), "stream did not finish"
+    got = spark.sql("SELECT n, s FROM nested_stream_pin").collect()
+    import duckdb as _duckdb
+
+    truth = _duckdb.connect().execute(
+        "SELECT COUNT(*), CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) "
+        f"FROM read_parquet('{os.path.join(SF_DIR, 'lineitem.parquet')}')"
+    ).fetchone()
+    assert len(got) == 1 and (got[0].n, got[0].s) == truth, (got, truth)
+
+
+def test_nested_hive_partitioned_combined(spark, tmp_path):
+    """The two round-12/13 axes COMBINED: a hive-partitioned dataset
+    whose data columns are LIST<STRUCT>, written by pyarrow (foreign
+    writer, partition column absent from the files), must aggregate
+    identically in Spark (native partition discovery) and DuckDB
+    (hive_partitioning=true) against the flat truth."""
+    import duckdb as _duckdb
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    con = _duckdb.connect()
+    li = os.path.join(SF_DIR, "lineitem.parquet")
+    src = str(tmp_path / "src.parquet")
+    con.execute(
+        f"""
+COPY (SELECT l_orderkey, l_returnflag AS flag,
+             LIST(STRUCT_PACK(ln := l_linenumber, qty := l_quantity)
+                  ORDER BY l_linenumber, l_quantity) AS items
+      FROM read_parquet('{li}')
+      GROUP BY l_orderkey, l_returnflag) TO '{src}' (FORMAT PARQUET)
+"""
+    )
+    tbl = pq.read_table(src)
+    root = str(tmp_path / "hive_nested.parquet")
+    pa_ds.write_dataset(
+        tbl,
+        root,
+        format="parquet",
+        partitioning=pa_ds.partitioning(
+            tbl.schema.empty_table().select(["flag"]).schema, flavor="hive"
+        ),
+        basename_template="part-{i}.parquet",
+    )
+    truth = con.execute(
+        f"""SELECT l_returnflag, COUNT(*),
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+            FROM read_parquet('{li}') GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    got_spark = [
+        (r.flag, r.n, r.s)
+        for r in spark.read.parquet(root)
+        .select("flag", F.explode("items").alias("item"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("item.qty").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .orderBy("flag")
+        .collect()
+    ]
+    got_duck = con.execute(
+        f"""
+SELECT flag, CAST(SUM(len(items)) AS BIGINT), CAST(SUM(q.s) AS DOUBLE)
+FROM read_parquet('{root}/**/*.parquet', hive_partitioning=true),
+     LATERAL (SELECT SUM(CAST(x.qty AS DECIMAL(18,6))) AS s
+              FROM UNNEST(items) AS t(x)) q
+GROUP BY flag ORDER BY flag"""
+    ).fetchall()
+    assert got_spark == [tuple(t) for t in truth], (got_spark, truth)
+    assert got_duck == [tuple(t) for t in truth], (got_duck, truth)
