@@ -145,9 +145,14 @@ COPY (
     for p in (spark_path, legacy_path):
         shutil.rmtree(p, ignore_errors=True)
     df.write.parquet(spark_path)
+    # try/finally: a failed legacy write must not leave the conf stuck
+    # on true in a SHARED session (the test suite passes its fixture
+    # session into this function via getOrCreate)
     spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
-    df.write.parquet(legacy_path)
-    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    try:
+        df.write.parquet(legacy_path)
+    finally:
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
     return [duck_path, pa_path, spark_path, legacy_path]
 
 

@@ -6,6 +6,8 @@ documents embeddings — one parquet file each under an sf directory.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -120,8 +122,6 @@ def duck_view_sql(table: str, sf_dir: str) -> str:
     The path is single-quote-escaped (same pattern as
     scripts/data_profile.py) so a relocated fixture root containing a
     quote can't break the SQL."""
-    import os
-
     raw = os.path.join(sf_dir, f"{table}.parquet")
     path = raw.replace("'", "''")
     opts = ""
