@@ -101,6 +101,25 @@ FROM ordered
 """
 
 
+def _get_session():
+    """Reuse the caller's active SparkSession when one exists (the test
+    suite invokes ``build`` under its shared fixture session); only when
+    running standalone build a fresh one WITH configs. Calling
+    ``builder.config(...).getOrCreate()`` unconditionally would silently
+    set non-static confs on the SHARED session (r13 advisor)."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+
+
 def build(src_sf_dir: str, dst_dir: str) -> list[str]:
     """Write the four nested fixture files; returns their paths."""
     os.makedirs(dst_dir, exist_ok=True)
@@ -131,14 +150,7 @@ COPY (
     pa_path = os.path.join(dst_dir, "nested_pa.parquet")
     pq.write_table(pq.read_table(duck_path), pa_path)
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    spark = _get_session()
     df = spark.read.parquet(duck_path)
     spark_path = os.path.join(dst_dir, "nested_spark.parquet")
     legacy_path = os.path.join(dst_dir, "nested_spark_legacy.parquet")
@@ -198,14 +210,7 @@ def main() -> int:
     truth = con.execute(DUCK_FLAT_TRUTH.format(src=src)).fetchone()
     print(f"flat truth from {src}: {truth}")
 
-    from pyspark.sql import SparkSession
-
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "8")
-        .getOrCreate()
-    )
+    spark = _get_session()
     fails = []
     for p in paths:
         glob_p = os.path.join(p, "*.parquet") if os.path.isdir(p) else p

@@ -114,7 +114,10 @@ def duck_view_sql(table: str, sf_dir: str) -> str:
     partition reconstruction — and because DuckDB AUTO-detects hive
     layout by default (it even parses '=' out of a FILENAME into a
     phantom partition column — probed), the option is pinned explicitly
-    BOTH ways for directory reads. A genuinely mixed flat+partitioned
+    in ALL THREE layouts, including the single-file branch: a fixture
+    root relocated under some ``key=value/`` ancestor directory would
+    otherwise inject a phantom partition column into every single-file
+    view (r13 advisor). A genuinely mixed flat+partitioned
     directory fails loudly in DuckDB ("Hive partition mismatch") rather
     than silently dropping top-level files, which is the correct
     behavior for a corrupt layout.
@@ -124,14 +127,14 @@ def duck_view_sql(table: str, sf_dir: str) -> str:
     quote can't break the SQL."""
     raw = os.path.join(sf_dir, f"{table}.parquet")
     path = raw.replace("'", "''")
-    opts = ""
+    hive = False
     if os.path.isdir(raw):
         path = f"{path}/**/*.parquet"
         hive = any(
             "=" in e and os.path.isdir(os.path.join(raw, e))
             for e in os.listdir(raw)
         )
-        opts = f", hive_partitioning = {'true' if hive else 'false'}"
+    opts = f", hive_partitioning = {'true' if hive else 'false'}"
     return f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}'{opts})"
 
 

@@ -144,20 +144,43 @@ def test_latest_prior_bench_picks_best_clean_total():
     import json
     import os
 
-    clean_totals, all_totals = [], []
+    clean_totals = []
     for path in glob.glob(os.path.join(os.path.dirname(bench.__file__), "BENCH_r*.json")):
         with open(path) as f:
             data = json.load(f)
         if "parsed" in data and isinstance(data["parsed"], dict):
             data = data["parsed"]
         if "value" in data and data["value"] is not None:
-            all_totals.append(data["value"])
             if not data.get("kept_attempt_warm"):
                 clean_totals.append(data["value"])
     assert prev["value"] == min(clean_totals)
-    # the repo's own history IS the regression fixture: r11's warm
-    # 11.512 is the global minimum and must NOT be the comparator
-    assert min(all_totals) < min(clean_totals)
+    # NOTE (r13 advisor): the live-history check stops here — asserting
+    # min(all_totals) < min(clean_totals) on the repo's evolving
+    # BENCH_r*.json would fail CI the first time a future round records
+    # a genuinely-faster CLEAN total below the warm minima. The
+    # warm-min-never-beats-clean ordering is pinned as a tmp_path
+    # FIXTURE in test_latest_prior_bench_warm_min_never_beats_clean.
+    assert not prev.get("kept_attempt_warm")
+
+
+def test_latest_prior_bench_warm_min_never_beats_clean(tmp_path):
+    """The r11-shape regression as a FIXTURE (r13 advisor: don't pin it
+    on evolving live history): a warm kept-retry holding the global
+    minimum total must lose the comparator pick to a slower clean
+    record."""
+    import json
+
+    recs = {
+        # warm global minimum — the r11 11.512 shape
+        "BENCH_r11.json": {"value": 11.512, "queries": {"q": 1.0},
+                           "kept_attempt_warm": True},
+        # slower but clean — must win
+        "BENCH_r08.json": {"value": 12.179, "queries": {"q": 1.2}},
+    }
+    for name, rec in recs.items():
+        (tmp_path / name).write_text(json.dumps({"parsed": rec}))
+    prev = bench._latest_prior_bench(str(tmp_path))
+    assert prev["round"] == 8 and prev["value"] == 12.179
     assert not prev.get("kept_attempt_warm")
 
 

@@ -97,3 +97,16 @@ def test_duck_view_sql_layouts(tmp_path):
     assert "hive_partitioning = false" in sql, sql
     con.execute(sql)
     assert con.execute("SELECT count(*) FROM part").fetchone()[0] == 2
+
+    # r13 advisor: a single parquet FILE whose fixture root sits under a
+    # key=value ANCESTOR directory — DuckDB's auto-detection would parse
+    # the ancestor segment into a phantom partition column unless the
+    # single-file branch pins hive_partitioning = false too.
+    d4 = tmp_path / "run=42" / "s4"
+    d4.mkdir(parents=True)
+    pq.write_table(t, d4 / "supplier.parquet")
+    sql = tables.duck_view_sql("supplier", str(d4))
+    assert "hive_partitioning = false" in sql, sql
+    con.execute(sql)
+    cols = [r[0] for r in con.execute("DESCRIBE supplier").fetchall()]
+    assert cols == ["x"], f"phantom hive column from ancestor dir: {cols}"
