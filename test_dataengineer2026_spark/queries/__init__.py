@@ -99,81 +99,84 @@ _MODULES = (
     "nested_q",
 )
 
-# ROUND-13 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r12
-# (last-green-round histogram entering r13: r8=32, r9=50, r10=49,
-# r11=50, r12=50), with a judge-SANCTIONED substitution (r12 verdict
-# items #5a/#7): the three NEW nested-parquet exhibits N1-N3 — born
-# this round, so they must be driver-green in their birth round —
-# displace the three newest stale names (U5_unpivot_melt,
-# U6_except_all, F3_datetime_funcs — the 16th-18th-oldest r9 slots;
-# the F2/J6/SQL24 precedent). The 32 r8-vintage names clear the r8
-# backlog completely; the remaining slots take the 15 oldest r9 names.
+# ROUND-14 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r13
+# (last-green-round histogram entering r14: r9=35, r10=49, r11=50,
+# r12=50, r13=50), with a judge-SANCTIONED substitution (r13 verdict
+# items #3/#5): the NEW depth-2 nested exhibit N4_nested_map_of_lists
+# — born this round, so it must be driver-green in its birth round —
+# displaces the single newest stale name (F2_regex_funcs, the
+# 15th-oldest r10 slot; the F2/J6/SQL24/N1-N3 precedent). The 35
+# r9-vintage names (including U5/U6/F3, displaced last round by the
+# N1-N3 births) clear the r9 backlog completely; the remaining slots
+# take the 14 oldest r10 names.
 #
-# ROUND-14 QUEUE: assuming this window goes green, the oldest vintage
-# left is r9 (35 names, incl. the three displaced) — run
+# ROUND-15 QUEUE: assuming this window goes green, the oldest vintage
+# left is r10 (35 names, incl. the displaced F2_regex_funcs) — run
 # `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
-    # --- r8-vintage (32): windowed-agg chain, V-family UDF surface,
-    #     SQL CTE/TPC-H cohort, X-family extraction, sources, TS ---
-    "M11_chained_window_agg",
-    "V5_mm_binary_features",
-    "V1_scalar_pandas_udf",
-    "V2_grouped_map_udf",
-    "V3_grouped_agg_udaf",
-    "SQL3_cte_window",
-    "V6_sql_udf_registration",
-    "SQL5_tpch_q10",
-    "SQL7_tpch_q14",
-    "SQL8_tpch_q17",
-    "SQL9_tpch_q19",
-    "SQL10_tpch_q22",
-    "X3_extract_metadata",
-    "X4_extract_resources",
-    "X5_extract_reserves",
-    "X2_extract_table_cells",
-    "X8_null_fill_contract",
-    "X9_validate_extraction",
-    "X6_extract_economics",
-    "X7_normalize_numeric",
-    "S8_partitioned_parquet_roundtrip",
-    "S1_binary_file_scan",
-    "S5_text_scan",
-    "S6_json_sink_roundtrip",
-    "S7_csv_sink_roundtrip",
-    "S3_csv_roundtrip",
-    "S4_json_roundtrip",
-    "S11_bucketed_join",
-    "S12_dynamic_partition_backfill",
-    "S13_zorder_layout",
-    "S14_compact_small_files",
-    "TS2_linear_interpolation",
-    # --- r9-vintage (15 oldest): aggs, graph, joins, windows ---
-    "A1_group_agg",
-    "A6_grouping_sets_rollup",
-    "A14_cube",
-    "A15_grouped_percentiles",
-    "A16_heavy_hitters",
-    "GR4_bfs_levels",
-    "J1_inner_equi_join",
-    "J7_broadcast_join",
-    "J16_null_safe_join",
-    "W1_rank_topn",
-    "W4b_ntile_global",
-    "W5_dedup_keep_latest",
-    "W6_cdc_merge",
-    "W8_activity_streaks",
-    "W9_trailing_time_window",
-    # --- judge-sanctioned births (r12 verdict #5a): the nested-parquet
-    #     axis exhibits must earn a driver green in their birth round ---
-    "N1_nested_struct_roundtrip",
-    "N2_nested_list_explode",
-    "N3_nested_map_roundtrip",
+    # --- r9-vintage (35): sets, scalar funcs, asof/interval joins,
+    #     ANN PQ ladder, T-family text analysis, SQL TPC-H cohort,
+    #     X-family extraction, streaming observability ---
+    "U5_unpivot_melt",
+    "U6_except_all",
+    "F3_datetime_funcs",
+    "F13_url_funcs",
+    "J10_asof_join",
+    "J15_interval_overlap_join",
+    "J12e_pq_ann",
+    "J12f_pq_rerank_ann",
+    "T7_repetition_signals",
+    "T6_winnowing_fingerprint",
+    "T8_pii_redaction",
+    "T9_text_normalization",
+    "T10_quality_classifier",
+    "T11_unigram_surprisal",
+    "T12_bpe_pair_stats",
+    "T13_bigram_surprisal",
+    "C13_curriculum_order",
+    "F9b_json_event_rollup",
+    "E5_first_touch_attribution",
+    "M12_stream_observability",
+    "M14_dedup_within_watermark",
+    "V8_cogrouped_pandas",
+    "SQL11_tpch_q1",
+    "SQL12_tpch_q4",
+    "SQL13_tpch_q6",
+    "SQL14_tpch_q7",
+    "SQL15_tpch_q8",
+    "SQL19_tpch_q15",
+    "SQL20_tpch_q16",
+    "X10_llm_extract",
+    "X2b_positional_cells",
+    "X11_entity_resolution",
+    "X9b_text_layer_check",
+    "X12_reserves_economics_join",
+    "S15_schema_evolution",
+    # --- r10-vintage (14 oldest): hypertable rollups, sketches,
+    #     ML loops, graph algorithms, anti join ---
+    "H1_hypertable_rollup",
+    "H2_incremental_rollup_refresh",
+    "A13_histogram_quantiles",
+    "A17_sliding_distinct",
+    "A11_countmin_sketch",
+    "A12_hll_sketch",
+    "ML1_ols_regression",
+    "ML3_knn_classifier",
+    "ML4_kmeans_lloyd",
+    "ML5_perceptron",
+    "GR1_pagerank",
+    "GR2_triangle_count",
+    "GR3_connected_components",
+    "J6_left_anti_join",
+    # --- judge-sanctioned birth (r13 verdict #3): the depth-2 nested
+    #     exhibit must earn a driver green in its birth round ---
+    "N4_nested_map_of_lists",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 234
+EXPECTED_MIN_QUERIES = 235
 
 _loaded = False
 

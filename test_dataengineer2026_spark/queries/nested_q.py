@@ -198,3 +198,107 @@ def nested_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dsum(F.element_at("attrs", F.lit("retail"))).alias("total_retail"),
     )
+
+
+@register(
+    "N4_nested_map_of_lists",
+    oracle=f"""
+WITH ordered AS (
+    SELECT l_orderkey, l_returnflag, l_quantity, l_extendedprice,
+           -- mirrors the Spark side's per-flag element order: sort_array
+           -- on struct(flag, ln, qty, price) orders each flag's slice by
+           -- (ln, qty, price); remaining ties are identical triples and
+           -- cannot change which l_quantity is "first"
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_returnflag
+               ORDER BY l_linenumber, l_quantity, l_extendedprice
+           ) AS rn
+    FROM lineitem
+)
+SELECT l_returnflag AS flag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_quantity', 'DECIMAL(18,6)')} AS total_qty,
+       {sql_dsum('l_extendedprice')} AS total_price,
+       {sql_dsum('CASE WHEN rn = 1 THEN l_quantity END', 'DECIMAL(18,6)')} AS first_item_qty
+FROM ordered
+GROUP BY l_returnflag
+""",
+    tags=("nested", "sources"),
+)
+def nested_map_of_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: MAP<STRING, LIST<STRUCT>> — one nesting level DEEPER than
+    N1-N3 (r13 verdict item #3): each order's line items grouped by
+    return flag into a map whose VALUES are lists of structs, so the
+    parquet write/read path carries repetition level 2 (the map's
+    key_value repeated group CONTAINING the list's repeated group) and
+    definition levels >= 4 on the leaf columns. TEST.md:38-48's
+    per-report line items nest exactly this way in a production lake
+    (report -> category -> line items).
+
+    Scale notes (100 TB): the build is ONE shuffle (groupBy
+    l_orderkey); the per-flag regrouping happens INSIDE each packed row
+    with JVM higher-order functions (transform/filter over the sorted
+    item array — flags per order are bounded by the domain, <= 3 here),
+    not a second groupBy, so no extra exchange. Element order inside
+    each flag's list is pinned by the outer sort_array (lexicographic
+    on (flag, ln, qty, price)), making the roundtrip deterministic
+    under task retries. The re-read explodes BOTH nesting levels
+    (map entries, then list positions) through the nested decoder and
+    re-aggregates; first_item_qty is ORDER-SENSITIVE through both
+    levels — it only matches the oracle if parquet preserved each
+    inner list's element order exactly.
+    """
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = _stage("lineitem_map_of_lists", sf_dir)
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_returnflag",
+                    "l_linenumber",
+                    "l_quantity",
+                    "l_extendedprice",
+                )
+            )
+        ).alias("all_items")
+    )
+    staged = packed.select(
+        "l_orderkey",
+        F.expr(
+            """
+            map_from_entries(transform(
+                array_sort(array_distinct(
+                    transform(all_items, x -> x.l_returnflag))),
+                k -> struct(
+                    k,
+                    transform(
+                        filter(all_items, x -> x.l_returnflag = k),
+                        x -> struct(x.l_linenumber AS l_linenumber,
+                                    x.l_quantity AS l_quantity,
+                                    x.l_extendedprice AS l_extendedprice))
+                )
+            ))
+            """
+        ).alias("by_flag"),
+    )
+    sio.sink_parquet(staged, out)
+    back = sio.scan_parquet(spark, out, schema=staged.schema)
+    entries = back.select(
+        "l_orderkey", F.explode("by_flag").alias("flag", "items")
+    )
+    exploded = entries.select(
+        "l_orderkey", "flag", F.posexplode("items").alias("pos", "item")
+    )
+    return exploded.groupBy("flag").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("item.l_quantity"), "DECIMAL(18,6)").alias("total_qty"),
+        dsum(F.col("item.l_extendedprice")).alias("total_price"),
+        # each inner list's head by POSITION, once per (order, flag)
+        dsum(
+            F.when(F.col("pos") == 0, F.col("item.l_quantity")),
+            "DECIMAL(18,6)",
+        ).alias("first_item_qty"),
+    )

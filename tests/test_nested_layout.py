@@ -150,6 +150,127 @@ def test_nested_tiny_rowgroups_and_pages(spark, tmp_path):
     assert mnf.spark_nested_agg(spark, tiny) == tuple(truth)
 
 
+def test_depth2_map_of_lists_tiny_rowgroups(spark, tmp_path):
+    """The r14 depth-2 shape (N4's MAP<STRING, LIST<STRUCT>>) crossed
+    with the tiny-page rewrite (r13 verdict item #3): repetition level
+    2 — the map's key_value repeated group CONTAINING the list's
+    repeated group — forced across ~50-row row groups and ~256-byte
+    data pages, so inner-list elements span page and row-group
+    boundaries at BOTH repetition levels. The rewritten file must
+    reproduce the exact flat truth in both engines, including the
+    order-sensitive per-(order, flag) first-element column."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from test_dataengineer2026_spark import tables
+
+    li = tables.load(spark, SF_DIR, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_returnflag", "l_linenumber", "l_quantity")
+            )
+        ).alias("all_items")
+    )
+    staged = packed.select(
+        "l_orderkey",
+        F.expr(
+            """
+            map_from_entries(transform(
+                array_sort(array_distinct(
+                    transform(all_items, x -> x.l_returnflag))),
+                k -> struct(
+                    k,
+                    transform(
+                        filter(all_items, x -> x.l_returnflag = k),
+                        x -> struct(x.l_linenumber AS ln,
+                                    x.l_quantity AS qty))
+                )
+            )) AS by_flag
+            """
+        ),
+    )
+    src = str(tmp_path / "map_of_lists_src.parquet")
+    staged.coalesce(1).write.parquet(src)
+    import glob as _glob
+
+    part = _glob.glob(os.path.join(src, "part-*.parquet"))[0]
+    tiny = str(tmp_path / "map_of_lists_tiny.parquet")
+    pq.write_table(
+        pq.read_table(part),
+        tiny,
+        row_group_size=50,
+        data_page_size=256,
+        use_dictionary=False,
+    )
+    md = pq.ParquetFile(tiny).metadata
+    assert md.num_row_groups > 10, md.num_row_groups
+
+    con = duckdb.connect()
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+    truth = con.execute(
+        f"""
+WITH ordered AS (
+    SELECT l_orderkey, l_returnflag, l_quantity,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_returnflag
+               ORDER BY l_linenumber, l_quantity
+           ) AS rn
+    FROM read_parquet('{li_path}')
+)
+SELECT l_returnflag,
+       COUNT(*),
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE),
+       CAST(SUM(CASE WHEN rn = 1
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+FROM ordered GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert len(truth) > 0 and truth[0][1] > 0
+
+    # DuckDB readback of the tiny-page depth-2 file: unnest map entries,
+    # then unnest each entry's inner list; the order-sensitive head is
+    # fetched by POSITION (items[1] — DuckDB has no WITH ORDINALITY)
+    got_duck = con.execute(
+        f"""
+WITH entries AS (
+    SELECT e.key AS flag, e.value AS items
+    FROM read_parquet('{tiny}'),
+         UNNEST(map_entries(by_flag)) AS t(e)
+)
+SELECT a.flag, a.n, a.tq, h.fq
+FROM (SELECT flag, COUNT(*) AS n,
+             CAST(SUM(CAST(x.qty AS DECIMAL(18,6))) AS DOUBLE) AS tq
+      FROM entries, UNNEST(items) AS u(x) GROUP BY 1) a
+JOIN (SELECT flag,
+             CAST(SUM(CAST(items[1].qty AS DECIMAL(18,6))) AS DOUBLE) AS fq
+      FROM entries GROUP BY 1) h USING (flag)
+ORDER BY a.flag"""
+    ).fetchall()
+    assert got_duck == truth, (got_duck, truth)
+
+    back = spark.read.parquet(tiny)
+    ex = back.select(F.explode("by_flag").alias("flag", "items")).select(
+        "flag", F.posexplode("items").alias("pos", "item")
+    )
+    got_spark = [
+        tuple(r)
+        for r in ex.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("item.qty").cast("decimal(18,6)")).cast("double"),
+            F.sum(
+                F.when(F.col("pos") == 0, F.col("item.qty")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double"),
+        )
+        .orderBy("flag")
+        .collect()
+    ]
+    assert got_spark == [tuple(t) for t in truth], (got_spark, truth)
+
+
 def test_nested_null_semantics_roundtrip(spark, tmp_path):
     """The nested-null minefield, pinned: NULL list vs EMPTY list, a
     NULL element inside a list, all-NULL struct fields, NULL vs EMPTY
