@@ -9,13 +9,19 @@ table is Hive-partitioned — `table/key=value/part-*.parquet` with the
 partition column ABSENT from the data files and reconstructed from the
 directory names at read time. The driver's single-file fixtures never
 exercise that reconstruction (or partition pruning over it), so this
-tool rewrites the four tables with a natural low-cardinality string
-column as Hive datasets and leaves the rest byte-identical:
+tool rewrites five tables with natural low-cardinality string columns
+as Hive datasets and leaves the rest byte-identical:
 
-    events    PARTITION BY event_type    (5 values)
-    documents PARTITION BY lang          (5 values)
-    orders    PARTITION BY o_orderstatus (3 values)
-    customer  PARTITION BY c_mktsegment  (5 values)
+    events    PARTITION BY event_type                  (5 values)
+    documents PARTITION BY lang, source                (5 x 20, TWO levels)
+    orders    PARTITION BY o_orderstatus               (3 values)
+    customer  PARTITION BY c_mktsegment                (5 values)
+    lineitem  PARTITION BY l_returnflag, l_linestatus  (TWO levels)
+
+documents and lineitem are MULTI-LEVEL (r13 verdict item #2): real
+lakes nest partitions (region/date, type/day), reconstruction must
+recover BOTH columns from path segments in order, and the registry had
+only been glob-probed — never fully replayed — against that shape.
 
 Partition values must be free of characters the Hive convention
 URL-escapes: pyarrow writes `o_orderpriority=4-NOT%20SPECIFIED` for a
@@ -60,15 +66,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from test_dataengineer2026_spark import tables
 
-#: table -> (partition column, max rows per data file). The row cap
+#: table -> (partition columns, max rows per data file). The row cap
 #: gives the big tables SEVERAL files per partition directory (the
 #: realistic shape: a partition is a directory of parts, not one file);
-#: 0 = single file per partition (small dims).
+#: 0 = single file per partition (small dims). documents and lineitem
+#: are MULTI-LEVEL (r13 verdict item #2: the shared view helper's
+#: ``**/*.parquet`` glob and DuckDB's zero-or-more-segment semantics
+#: were probed in isolation in r12/r13, but no full-registry replay had
+#: run against a two-level ``table/k1=a/k2=b/part-*.parquet`` layout —
+#: the shape of every date-partitioned production lake). Partition
+#: values stay URL-escape-free strings (the r12 %20 finding).
 _HIVE = {
-    "events": ("event_type", 1024),
-    "documents": ("lang", 64),
-    "orders": ("o_orderstatus", 4096),
-    "customer": ("c_mktsegment", 0),
+    "events": (("event_type",), 1024),
+    "documents": (("lang", "source"), 64),
+    "orders": (("o_orderstatus",), 4096),
+    "customer": (("c_mktsegment",), 0),
+    "lineitem": (("l_returnflag", "l_linestatus"), 8192),
 }
 
 
@@ -88,7 +101,7 @@ def main() -> int:
                 shutil.rmtree(d)
             shutil.copyfile(s, d)
             continue
-        col, max_rows = _HIVE[t]
+        cols_part, max_rows = _HIVE[t]
         if os.path.isdir(d):
             shutil.rmtree(d)
         elif os.path.exists(d):
@@ -105,21 +118,36 @@ def main() -> int:
             d,
             format="parquet",
             partitioning=pa_ds.partitioning(
-                tbl.schema.empty_table().select([col]).schema, flavor="hive"
+                tbl.schema.empty_table().select(list(cols_part)).schema,
+                flavor="hive",
             ),
             basename_template="part-{i}.parquet",
             **kwargs,
         )
         # --- verification gates: raise, not assert (python -O) ---
-        leaf = glob.glob(os.path.join(d, "*", "*.parquet"))
+        # leaf files sit exactly len(cols_part) key=value levels down;
+        # verify BOTH that they exist there and that no leaf landed at
+        # the wrong depth (a mixed-depth layout fails loudly in DuckDB)
+        depth_glob = os.path.join(d, *(["*"] * len(cols_part)), "*.parquet")
+        leaf = glob.glob(depth_glob)
         if not leaf:
             raise SystemExit(f"{t}: no hive leaf files written under {d}")
-        leaf_cols = [f.name for f in pq.ParquetFile(leaf[0]).schema_arrow]
-        if col in leaf_cols:
+        all_leaves = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        if sorted(all_leaves) != sorted(leaf):
             raise SystemExit(
-                f"{t}: partition column {col!r} leaked into data files — "
-                "the probe must exercise RECONSTRUCTION, not a stored copy"
+                f"{t}: leaf files at mixed partition depths under {d}"
             )
+        # every directory level carries its key= prefix in order
+        rel = os.path.relpath(leaf[0], d).split(os.sep)[:-1]
+        if [seg.split("=")[0] for seg in rel] != list(cols_part):
+            raise SystemExit(f"{t}: partition dir order drift: {rel}")
+        leaf_cols = [f.name for f in pq.ParquetFile(leaf[0]).schema_arrow]
+        for col in cols_part:
+            if col in leaf_cols:
+                raise SystemExit(
+                    f"{t}: partition column {col!r} leaked into data files — "
+                    "the probe must exercise RECONSTRUCTION, not a stored copy"
+                )
         src_ts = [
             (f.name, str(f.type))
             for f in pq.ParquetFile(s).schema_arrow
@@ -146,12 +174,17 @@ def main() -> int:
         ).fetchone()
         h1, n1 = con.execute(
             f"SELECT SUM(hash(({cols}))), COUNT(*) FROM read_parquet("
-            f"'{q(d)}/*/*.parquet', hive_partitioning = true)"
+            f"'{q(d)}/**/*.parquet', hive_partitioning = true)"
         ).fetchone()
         if (h0, n0) != (h1, n1):
             raise SystemExit(f"{t}: value drift ({n0} rows {h0} != {n1} rows {h1})")
-        parts = len(glob.glob(os.path.join(d, "*")))
-        print(f"{t}: {parts} partitions ({col}), {len(leaf)} files, {n1} rows")
+        parts = len(
+            {os.path.dirname(os.path.relpath(f, d)) for f in leaf}
+        )
+        print(
+            f"{t}: {parts} leaf partitions ({'/'.join(cols_part)}), "
+            f"{len(leaf)} files, {n1} rows"
+        )
     print(f"DONE: {dst}")
     return 0
 

@@ -1206,3 +1206,86 @@ def test_hive_partition_pruning(spark, tmp_path):
     n_total = len(list((tmp_path / "events.parquet").glob("event_type=*/*.parquet")))
     assert n_click < n_total  # the layout actually has something to prune
     assert num_files == n_click, (num_files, n_click, n_total)
+
+
+def _executed_scan_num_files(df) -> int:
+    """Run df (collect — the only execution whose metrics df's own
+    QueryExecution carries) and return the FileSourceScanExec numFiles
+    metric, descending AQE wrappers."""
+    assert len(df.collect()) > 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    num_files = None
+    while stack:
+        node = stack.pop()
+        kind = node.getClass().getSimpleName()
+        if kind == "FileSourceScanExec":
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    num_files = kv._2().value()
+        elif kind == "AdaptiveSparkPlanExec":
+            stack.append(node.finalPhysicalPlan())
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    assert num_files is not None, "no FileSourceScanExec in executedPlan"
+    return num_files
+
+
+def test_multilevel_hive_partition_pruning(spark, tmp_path):
+    """Round-14 two-level Hive layout (r13 verdict item #2): with
+    table/k1=a/k2=b/part-*.parquet, (1) a filter on BOTH partition
+    columns prunes to exactly the one leaf directory's files, and (2) a
+    filter on ONLY the SECOND (non-prefix) column still prunes — the
+    directory tree is not an index with prefix-only semantics; every
+    k1 subtree is listed but only matching k2 leaves are planned. That
+    second property is what makes date-under-type layouts viable at
+    100 TB without reordering partition columns per query."""
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path / "lineitem.parquet")
+    tbl = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    pa_ds.write_dataset(
+        tbl,
+        d,
+        format="parquet",
+        partitioning=pa_ds.partitioning(
+            tbl.schema.empty_table()
+            .select(["l_returnflag", "l_linestatus"])
+            .schema,
+            flavor="hive",
+        ),
+        basename_template="part-{i}.parquet",
+    )
+    root = tmp_path / "lineitem.parquet"
+    n_total = len(list(root.glob("*/*/*.parquet")))
+
+    both = (
+        spark.read.parquet(d)
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .select("l_orderkey", "l_quantity")
+    )
+    scan = next(
+        ln for ln in plan_string(both, "simple").splitlines() if "FileScan" in ln
+    )
+    assert "PartitionFilters: [" in scan, scan
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "l_returnflag" in pf and "l_linestatus" in pf, scan
+    assert "DataFilters: []" in scan, scan
+    n_rf = len(list(root.glob("l_returnflag=R/l_linestatus=F/*.parquet")))
+    assert 0 < n_rf < n_total
+    assert _executed_scan_num_files(both) == n_rf
+
+    # non-prefix pruning: filter only the SECOND partition column
+    second = (
+        spark.read.parquet(d)
+        .filter(F.col("l_linestatus") == "O")
+        .select("l_orderkey", "l_quantity")
+    )
+    n_o = len(list(root.glob("l_returnflag=*/l_linestatus=O/*.parquet")))
+    assert 0 < n_o < n_total
+    assert _executed_scan_num_files(second) == n_o
