@@ -692,3 +692,74 @@ def test_depth3_struct_pruning_pushdown(spark, tmp_path):
     assert "o_totalprice" in pushed, scan
     # the contract isn't vacuous
     assert df.count() > 0
+
+
+def test_type_widening_evolution_contract(spark, tmp_path):
+    """FLAT type-widening evolution (the sibling of the nested
+    added-leaf pin above, and of S15's added-column exhibit): a column
+    whose physical type WIDENS across producer generations (int32 ->
+    int64, float -> double — the two legal parquet widenings a lake
+    accrues when a counter outgrows INT or a metric gains precision).
+    Probed 2026-08 on Spark 4.1.2 and pinned:
+
+    1. ``mergeSchema=true`` fails LOUDLY (CANNOT_MERGE_SCHEMAS) for
+       BOTH widenings — Spark's footer merge refuses numeric
+       promotion, so the S15 pattern alone does not survive a type
+       widening. Never silent truncation.
+    2. The mitigation is DECLARING the widened union schema: the
+       reader upcasts each file's narrower physical type per
+       row-group, exact values for both widenings (including a value
+       > 2^32 that would corrupt under any int32 reinterpretation).
+    3. DuckDB ``union_by_name`` widens automatically and exactly —
+       a cross-engine asymmetry worth knowing when the oracle and the
+       engine read the same evolved directory.
+    If a Spark upgrade teaches mergeSchema numeric promotion,
+    assertion (1) flips and this pin should be RELAXED to parity."""
+    import glob as _glob
+
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    old_i = spark.createDataFrame([(1, 10), (2, 20)], "k long, v int")
+    new_i = spark.createDataFrame([(3, 2**40)], "k long, v long")
+    root_i = str(tmp_path / "widen_int")
+    old_i.coalesce(1).write.parquet(f"{root_i}/g=1")
+    new_i.coalesce(1).write.parquet(f"{root_i}/g=2")
+
+    old_f = spark.createDataFrame([(1, 1.5)], "k long, v float")
+    new_f = spark.createDataFrame([(2, 2.5)], "k long, v double")
+    root_f = str(tmp_path / "widen_float")
+    old_f.coalesce(1).write.parquet(f"{root_f}/g=1")
+    new_f.coalesce(1).write.parquet(f"{root_f}/g=2")
+
+    # (1) loud refusal, both widenings
+    for root in (root_i, root_f):
+        with _pytest.raises(Exception, match="CANNOT_MERGE_SCHEMAS"):
+            spark.read.option("mergeSchema", "true").parquet(root).schema
+
+    # (2) declared union schema: exact per-file upcast
+    got_i = [
+        (r.k, r.v)
+        for r in spark.read.schema("k long, v long, g int")
+        .parquet(root_i)
+        .orderBy("k")
+        .collect()
+    ]
+    assert got_i == [(1, 10), (2, 20), (3, 2**40)], got_i
+    got_f = [
+        (r.k, r.v)
+        for r in spark.read.schema("k long, v double, g int")
+        .parquet(root_f)
+        .orderBy("k")
+        .collect()
+    ]
+    assert got_f == [(1, 1.5), (2, 2.5)], got_f
+
+    # (3) DuckDB widens by itself
+    files = sorted(_glob.glob(f"{root_i}/*/part-*.parquet"))
+    con = _duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT k, v FROM read_parquet({files!r}, union_by_name=true) "
+        f"ORDER BY k"
+    ).fetchall()
+    assert got_duck == [(1, 10), (2, 20), (3, 2**40)], got_duck
