@@ -1,0 +1,240 @@
+"""Round-14 physical-type pins: legacy and edge-value parquet
+spellings that a 100 TB lake accumulates from a decade of writers,
+each verified value-exact across Spark, DuckDB (and pyarrow where it
+adds a third reader).
+
+Three families:
+1. INT96 timestamps — the deprecated-but-everywhere spelling of every
+   Hive/Impala/old-Spark era file (Spark still WRITES it behind
+   spark.sql.parquet.outputTimestampType=INT96).
+2. Decimal physical spellings — the same logical DECIMAL(p,s) lands as
+   INT32 (p<=9), INT64 (p<=18) or FIXED_LEN_BYTE_ARRAY depending on
+   writer generation and precision; Spark's writeLegacyFormat flips
+   the integer spellings to minimal-width FLBA.
+3. Float edge values — NaN / +-Inf / -0.0 through filters AND
+   stats-based row-group pruning, where writers disagree about what
+   stats to record (Spark's parquet-mr records max=NaN; pyarrow omits
+   min/max for NaN-only row groups) and a reader that trusts the
+   wrong convention silently drops rows.
+
+All pins are PARITY pins (everything here decodes exactly in this
+stack — probed 2026-08); they exist so a Spark/DuckDB upgrade that
+breaks one of these decoders fails a named test instead of a random
+registry query.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _physical_lines(path: str, *needles: str) -> list[str]:
+    return [
+        ln.strip()
+        for ln in str(pq.ParquetFile(path).schema).splitlines()
+        if any(n in ln for n in needles)
+    ]
+
+
+def test_int96_timestamp_cross_engine(spark, tmp_path):
+    """INT96 write + read: microsecond-exact in Spark, DuckDB and
+    pyarrow, including a PRE-EPOCH timestamp (negative nanos-of-day
+    handling is where INT96 decoders historically diverge)."""
+    from test_dataengineer2026_spark.session import apply_runtime_confs
+
+    apply_runtime_confs(spark)  # UTC session
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    out = str(tmp_path / "int96")
+    try:
+        spark.createDataFrame(
+            [
+                (1, "2024-03-01 12:34:56.789012"),
+                (2, "1969-12-31 23:59:59.000001"),
+            ],
+            "k long, s string",
+        ).selectExpr("k", "CAST(s AS TIMESTAMP) AS ts").coalesce(1).write.parquet(out)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    f = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+    assert any("int96" in ln for ln in _physical_lines(f, "ts")), _physical_lines(f, "ts")
+    want = [
+        (1, "2024-03-01 12:34:56.789012"),
+        (2, "1969-12-31 23:59:59.000001"),
+    ]
+    got_spark = [
+        (r.k, str(r.ts)) for r in spark.read.parquet(f).orderBy("k").collect()
+    ]
+    assert got_spark == want, got_spark
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT k, CAST(ts AS VARCHAR) FROM read_parquet('{f}') ORDER BY k"
+    ).fetchall()
+    assert got_duck == want, got_duck
+    got_pa = [(r["k"], str(r["ts"])) for r in pq.read_table(f).to_pylist()]
+    assert sorted(got_pa) == want, got_pa
+
+
+def test_decimal_physical_spellings_cross_engine(spark, tmp_path):
+    """One logical row of DECIMAL(7,2)/DECIMAL(15,3)/DECIMAL(23,4)
+    written three ways — Spark modern (INT32/INT64/FLBA by precision),
+    Spark legacy (minimal-width FLBA for all three), pyarrow (FLBA) —
+    must decode to identical exact strings in both engines."""
+    want = ("12345.67", "123456789012.345", "-9876543210987654321.0123")
+    df = spark.createDataFrame([(1,)], "k long").selectExpr(
+        "k",
+        f"CAST({want[0]} AS DECIMAL(7,2)) AS d7",
+        f"CAST({want[1]} AS DECIMAL(15,3)) AS d15",
+        f"CAST({want[2]} AS DECIMAL(23,4)) AS d23",
+    )
+    con = duckdb.connect()
+
+    def check(f: str) -> None:
+        got_duck = con.execute(
+            "SELECT CAST(d7 AS VARCHAR), CAST(d15 AS VARCHAR), "
+            f"CAST(d23 AS VARCHAR) FROM read_parquet('{f}')"
+        ).fetchone()
+        assert got_duck == want, (f, got_duck)
+        r = spark.read.parquet(f).collect()[0]
+        assert (str(r.d7), str(r.d15), str(r.d23)) == want, (f, r)
+
+    # Spark modern: integer spellings below 19 digits
+    prev = spark.conf.get("spark.sql.parquet.writeLegacyFormat")
+    out_m = str(tmp_path / "dec_modern")
+    out_l = str(tmp_path / "dec_legacy")
+    try:
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+        df.coalesce(1).write.parquet(out_m)
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+        df.coalesce(1).write.parquet(out_l)
+    finally:
+        spark.conf.set("spark.sql.parquet.writeLegacyFormat", prev)
+    f_m = glob.glob(os.path.join(out_m, "part-*.parquet"))[0]
+    lines = _physical_lines(f_m, "d7", "d15", "d23")
+    assert any("int32" in ln and "d7" in ln for ln in lines), lines
+    assert any("int64" in ln and "d15" in ln for ln in lines), lines
+    assert any("fixed_len_byte_array(10)" in ln and "d23" in ln for ln in lines), lines
+    check(f_m)
+    # Spark legacy: minimal-width FLBA for every precision
+    f_l = glob.glob(os.path.join(out_l, "part-*.parquet"))[0]
+    lines_l = _physical_lines(f_l, "d7", "d15", "d23")
+    assert all("fixed_len_byte_array" in ln for ln in lines_l), lines_l
+    assert any("fixed_len_byte_array(4)" in ln and "d7" in ln for ln in lines_l), lines_l
+    check(f_l)
+    # pyarrow: FLBA (decimal128) — the arrow-native writer's spelling
+    import decimal
+
+    f_pa = str(tmp_path / "dec_pa.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": [1],
+                "d7": pa.array([decimal.Decimal(want[0])], pa.decimal128(7, 2)),
+                "d15": pa.array([decimal.Decimal(want[1])], pa.decimal128(15, 3)),
+                "d23": pa.array([decimal.Decimal(want[2])], pa.decimal128(23, 4)),
+            }
+        ),
+        f_pa,
+    )
+    check(f_pa)
+
+
+def test_float_edge_values_pruning_parity(spark, tmp_path):
+    """NaN / +-Inf / -0.0 through filters and row-group pruning.
+
+    Writer asymmetry on stats (probed): pyarrow OMITS min/max for a
+    NaN-only row group and excludes NaN otherwise; Spark's parquet-mr
+    records max=NaN. Reader contract pinned here:
+    1. a NaN-only row group without min/max stats is NOT pruned — the
+       predicate v > 100 must still surface the NaN rows in BOTH
+       engines (both order NaN above +Inf, matching each other);
+    2. -0.0 equals 0.0 under equality in both engines;
+    3. -Inf stays below every finite value (v < 1.5 returns only the
+       true smalls, never pruned wrongly).
+    A reader that trusts max=NaN as an orderable bound, or prunes
+    stats-less row groups, silently drops rows — invisible until a
+    quality filter starts passing NaN-scored documents at 100 TB."""
+    from pyspark.sql import functions as F
+
+    nan, inf = float("nan"), float("inf")
+    con = duckdb.connect()
+
+    # --- multi-row-group pyarrow file: [1,2] [nan,nan] [500,600] ---
+    f_rg = str(tmp_path / "nan_rg.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": list(range(6)),
+                "v": pa.array([1.0, 2.0, nan, nan, 500.0, 600.0], pa.float64()),
+            }
+        ),
+        f_rg,
+        row_group_size=2,
+    )
+    md = pq.ParquetFile(f_rg).metadata
+    assert md.num_row_groups == 3
+    st_nan = md.row_group(1).column(1).statistics
+    assert st_nan is None or not st_nan.has_min_max  # NaN-only rg: no stats
+    got_spark = sorted(
+        r.k for r in spark.read.parquet(f_rg).filter(F.col("v") > 100.0).collect()
+    )
+    got_duck = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT k FROM read_parquet('{f_rg}') WHERE v > 100"
+        ).fetchall()
+    )
+    # NaN rows (2,3) surface alongside the true larges (4,5) in BOTH
+    assert got_spark == [2, 3, 4, 5], got_spark
+    assert got_duck == [2, 3, 4, 5], got_duck
+    # the small row group still prunes/filters correctly
+    assert sorted(
+        r.k for r in spark.read.parquet(f_rg).filter(F.col("v") < 1.5).collect()
+    ) == [0]
+    assert con.execute(
+        f"SELECT k FROM read_parquet('{f_rg}') WHERE v < 1.5"
+    ).fetchall() == [(0,)]
+
+    # --- single file with the full edge set, both writers ---
+    vals = [1.0, 2.0, nan, -inf, inf, -0.0, 0.0, 3.5]
+    f_pa = str(tmp_path / "edges_pa.parquet")
+    pq.write_table(
+        pa.table({"k": list(range(8)), "v": pa.array(vals, pa.float64())}), f_pa
+    )
+    out_sw = str(tmp_path / "edges_spark")
+    spark.createDataFrame(
+        list(zip(range(8), vals)), "k long, v double"
+    ).coalesce(1).write.parquet(out_sw)
+    f_sw = glob.glob(os.path.join(out_sw, "part-*.parquet"))[0]
+    # the writer-stats asymmetry this pin documents
+    st_pa = pq.ParquetFile(f_pa).metadata.row_group(0).column(1).statistics
+    assert st_pa.has_min_max and st_pa.min == -inf and st_pa.max == inf
+    st_sw = pq.ParquetFile(f_sw).metadata.row_group(0).column(1).statistics
+    assert st_sw.has_min_max and math.isnan(st_sw.max), (st_sw.min, st_sw.max)
+
+    for f in (f_pa, f_sw):
+        sdf = spark.read.parquet(f)
+        duck = lambda w: sorted(  # noqa: E731
+            r[0]
+            for r in con.execute(
+                f"SELECT k FROM read_parquet('{f}') WHERE {w}"
+            ).fetchall()
+        )
+        # NaN above +Inf: > 2.5 picks NaN(2), +Inf(4), 3.5(7)
+        assert sorted(r.k for r in sdf.filter(F.col("v") > 2.5).collect()) == [2, 4, 7]
+        assert duck("v > 2.5") == [2, 4, 7]
+        # -0.0 == 0.0
+        assert sorted(r.k for r in sdf.filter(F.col("v") == 0.0).collect()) == [5, 6]
+        assert duck("v = 0.0") == [5, 6]
+        # -Inf below everything finite; -0.0 is NOT < 0
+        assert sorted(r.k for r in sdf.filter(F.col("v") < 0.0).collect()) == [3]
+        assert duck("v < 0.0") == [3]
+        # NaN addressable directly
+        assert sorted(r.k for r in sdf.filter(F.isnan("v")).collect()) == [2]
+        assert duck("isnan(v)") == [2]
