@@ -763,3 +763,110 @@ def test_type_widening_evolution_contract(spark, tmp_path):
         f"ORDER BY k"
     ).fetchall()
     assert got_duck == [(1, 10), (2, 20), (3, 2**40)], got_duck
+
+
+def test_depth2_null_semantics_roundtrip(spark, tmp_path):
+    """The nested-null minefield at DEPTH 2 (the r14 deep shapes' null
+    cases, extending the depth-1 pin above): inside LIST<LIST<DOUBLE>>
+    the definition-level chain distinguishes FOUR states per inner
+    slot — outer-null, outer-empty, inner-null, inner-empty — plus a
+    null SCALAR inside a present inner list; inside
+    MAP<STRING, LIST<STRUCT>> a null map VALUE vs an empty list value.
+    A decoder that collapses any pair corrupts silently and the error
+    is invisible to flat tests by construction. Both Spark writers
+    are exercised where legal (writeLegacyFormat applies to lists),
+    read back by Spark AND DuckDB, exact."""
+    import glob as _glob
+
+    import pyspark.sql.types as T
+
+    ll = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("vs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+    rows = [
+        (0, None),                        # outer list NULL
+        (1, []),                          # outer list EMPTY
+        (2, [None]),                      # inner list NULL
+        (3, [[]]),                        # inner list EMPTY
+        (4, [[None]]),                    # scalar NULL inside inner
+        (5, [[1.5], None, [], [2.5, None]]),  # mixed
+    ]
+    want = {k: v for k, v in rows}
+
+    for legacy in ("false", "true"):
+        prev = spark.conf.get("spark.sql.parquet.writeLegacyFormat")
+        out = str(tmp_path / f"ll_{legacy}")
+        try:
+            spark.conf.set("spark.sql.parquet.writeLegacyFormat", legacy)
+            spark.createDataFrame(rows, ll).coalesce(1).write.parquet(out)
+        finally:
+            spark.conf.set("spark.sql.parquet.writeLegacyFormat", prev)
+        # normalize Spark rows: inner lists arrive as lists of floats
+        got = {
+            r.k: None
+            if r.vs is None
+            else [None if x is None else list(x) for x in r.vs]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, (legacy, got)
+        part = _glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        got_duck = {
+            k: v
+            for k, v in duckdb.connect()
+            .execute(f"SELECT k, vs FROM read_parquet('{part}')")
+            .fetchall()
+        }
+        assert got_duck == want, (legacy, got_duck)
+
+    # MAP<STRING, LIST<STRUCT>>: null value vs empty-list value
+    ml = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "m",
+                T.MapType(
+                    T.StringType(),
+                    T.ArrayType(
+                        T.StructType([T.StructField("q", T.DoubleType())])
+                    ),
+                ),
+            ),
+        ]
+    )
+    mrows = [
+        (0, {"a": None}),                  # null list VALUE
+        (1, {"a": []}),                    # empty list value
+        (2, {"a": [(1.5,)], "b": None}),   # mixed per key
+    ]
+    out_m = str(tmp_path / "ml")
+    spark.createDataFrame(mrows, ml).coalesce(1).write.parquet(out_m)
+    got_m = {
+        r.k: None
+        if r.m is None
+        else {
+            mk: None if mv is None else [tuple(x) for x in mv]
+            for mk, mv in r.m.items()
+        }
+        for r in spark.read.parquet(out_m).collect()
+    }
+    assert got_m == {
+        0: {"a": None},
+        1: {"a": []},
+        2: {"a": [(1.5,)], "b": None},
+    }, got_m
+    part_m = _glob.glob(os.path.join(out_m, "part-*.parquet"))[0]
+    duck_m = {
+        k: v
+        for k, v in duckdb.connect()
+        .execute(
+            f"SELECT k, CAST(m AS VARCHAR) FROM read_parquet('{part_m}')"
+        )
+        .fetchall()
+    }
+    # DuckDB renders the same distinctions textually: NULL vs [] survive
+    assert duck_m[0] == "{a=NULL}", duck_m
+    assert duck_m[1] == "{a=[]}", duck_m
+    assert "b=NULL" in duck_m[2] and "{'q': 1.5}" in duck_m[2], duck_m
