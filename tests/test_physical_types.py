@@ -301,3 +301,134 @@ def test_page_index_selective_read_exact(spark, tmp_path):
     # and the file genuinely has page indexes to skip with
     pf = pq.ParquetFile(tiny)
     assert pf.metadata.row_group(0).column(0).statistics is not None
+
+
+def test_unsigned_int_logical_types_cross_engine(spark, tmp_path):
+    """Arrow-native writers emit UINT_8/16/32/64 logical types that
+    have no signed-engine native home. Pinned mapping (probed
+    2026-08): Spark WIDENS each to the next signed type (u8->short,
+    u16->int, u32->long) and u64 -> DECIMAL(20,0); DuckDB keeps native
+    unsigned columns. Values exact in both, including the u64
+    maximum, which corrupts to -1 under any reinterpret-as-signed
+    shortcut."""
+    u64max = 18446744073709551615
+    f = str(tmp_path / "uints.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "u8": pa.array([0, 255], pa.uint8()),
+                "u16": pa.array([0, 65535], pa.uint16()),
+                "u32": pa.array([0, 4294967295], pa.uint32()),
+                "u64": pa.array([0, u64max], pa.uint64()),
+            }
+        ),
+        f,
+    )
+    df = spark.read.parquet(f)
+    got_types = {fl.name: str(fl.dataType) for fl in df.schema.fields}
+    assert got_types == {
+        "u8": "ShortType()",
+        "u16": "IntegerType()",
+        "u32": "LongType()",
+        "u64": "DecimalType(20,0)",
+    }, got_types
+    hi = df.orderBy("u8").collect()[1]
+    assert (hi.u8, hi.u16, hi.u32, int(hi.u64)) == (
+        255,
+        65535,
+        4294967295,
+        u64max,
+    ), hi
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT u8, u16, u32, u64 FROM read_parquet('{f}') ORDER BY u8"
+    ).fetchall() == [(0, 0, 0, 0), (255, 65535, 4294967295, u64max)]
+
+
+def test_nanosecond_timestamp_boundary(spark, tmp_path):
+    """TIMESTAMP(NANOS) parquet (pyarrow timestamp[ns] — arrow-native
+    feeds emit it by default) is a cross-engine BOUNDARY, probed
+    2026-08 and pinned both ways:
+    1. Spark 4.1.2 REFUSES it loudly (PARQUET_TYPE_ILLEGAL) — never a
+       silent truncation — and the documented lossless escape is
+       spark.sql.legacy.parquet.nanosAsLong=true, which surfaces the
+       raw epoch-nanos as LongType exactly.
+    2. DuckDB maps it to its microsecond TIMESTAMP and SILENTLY drops
+       the sub-microsecond digits (epoch_ns(...789012345) comes back
+       ...789012000) — so DuckDB cannot oracle ns-precision columns,
+       and a lake keeping ns precision must carry it as INT64.
+    If a Spark upgrade adds native ns reads, assertion (1) flips —
+    RELAX to a precision-parity pin then."""
+    import pytest
+
+    ns_vals = [1709295296789012345, -1001]
+    f = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table({"k": [1, 2], "ts": pa.array(ns_vals, pa.timestamp("ns"))}),
+        f,
+    )
+    # (1a) loud refusal under default config
+    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+        spark.read.parquet(f).collect()
+    # (1b) lossless nanosAsLong escape
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        got = {
+            r.k: r.ts for r in spark.read.parquet(f).orderBy("k").collect()
+        }
+        assert got == {1: ns_vals[0], 2: ns_vals[1]}, got
+        assert (
+            str(spark.read.parquet(f).schema["ts"].dataType) == "LongType()"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # (2) DuckDB: silent truncation to microseconds
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT k, CAST(epoch_ns(ts) AS VARCHAR) FROM read_parquet('{f}') "
+        f"ORDER BY k"
+    ).fetchall()
+    assert got_duck == [(1, "1709295296789012000"), (2, "-1000")], got_duck
+
+
+def test_string_binary_edge_values_cross_engine(spark, tmp_path):
+    """String/binary edge values through dictionary-encoded pages:
+    empty string vs NULL (def-levels, not sentinel values), an
+    embedded NUL byte inside a string, 4-byte unicode, the empty
+    binary vs NULL binary, and non-UTF8 bytes in a BINARY column.
+    Exact in both engines — a reader that C-string-terminates or
+    UTF8-validates binary corrupts each of these differently."""
+    f = str(tmp_path / "stredge.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": [0, 1, 2, 3],
+                "s": pa.array(["", None, "a\x00b", "日本語🎌"], pa.string()),
+                "b": pa.array([b"", None, b"\x00\xff\xfe", b"ok"], pa.binary()),
+            }
+        ),
+        f,
+    )
+    want = [
+        (0, "", ""),
+        (1, None, None),
+        (2, "a\x00b", "00fffe"),
+        (3, "日本語🎌", "6f6b"),
+    ]
+    got_spark = [
+        (r.k, r.s, r.b.hex() if r.b is not None else None)
+        for r in spark.read.parquet(f).orderBy("k").collect()
+    ]
+    assert got_spark == want, got_spark
+    con = duckdb.connect()
+    got_duck = [
+        (k, s, b.hex() if b is not None else None)
+        for k, s, b in con.execute(
+            f"SELECT k, s, b FROM read_parquet('{f}') ORDER BY k"
+        ).fetchall()
+    ]
+    assert got_duck == want, got_duck
