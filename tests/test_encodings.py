@@ -359,3 +359,44 @@ print("NODICT", read({f_nodict!r}))
     assert f"MITIGATED {truth}" in out, (truth, out)
     # (3) dictionary-free LZ4_RAW needs no mitigation
     assert f"NODICT {truth}" in out, (truth, out)
+
+
+def test_delta_encoding_zstd_codec_composition(spark, tmp_path):
+    """Encodings and codecs COMPOSE (a page is encoded, then the page
+    buffer is compressed): the r13 encoding axis ran on snappy pages
+    and the r14 codec axis on PLAIN/dictionary encodings, so the
+    cross term — DELTA_BINARY_PACKED + DELTA_BYTE_ARRAY under zstd v2
+    pages — was on neither tested path. Both engines must decode the
+    composition to the exact PLAIN-source values."""
+    src = os.path.join(SF_DIR, "lineitem.parquet")
+    dst = str(tmp_path / "delta_zstd.parquet")
+    pq.write_table(
+        pq.read_table(src),
+        dst,
+        use_dictionary=False,
+        version="2.6",
+        data_page_version="2.0",
+        compression="zstd",
+        column_encoding={
+            "l_orderkey": "DELTA_BINARY_PACKED",
+            "l_returnflag": "DELTA_BYTE_ARRAY",
+        },
+    )
+    con = duckdb.connect()
+    got_codec = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT compression FROM parquet_metadata('{dst}')"
+        ).fetchall()
+    }
+    assert got_codec == {"ZSTD"}, got_codec
+    md = pq.ParquetFile(dst).metadata
+    encs = {
+        md.schema.column(i).name: md.row_group(0).column(i).encodings
+        for i in range(md.num_columns)
+    }
+    assert "DELTA_BINARY_PACKED" in encs["l_orderkey"], encs
+    assert "DELTA_BYTE_ARRAY" in encs["l_returnflag"], encs
+    truth = _duck_lineitem_agg(con, src)
+    assert _duck_lineitem_agg(con, dst) == truth
+    assert _spark_lineitem_agg(spark, dst) == truth

@@ -432,3 +432,36 @@ def test_string_binary_edge_values_cross_engine(spark, tmp_path):
         ).fetchall()
     ]
     assert got_duck == want, got_duck
+
+
+def test_cross_file_column_order_by_name(spark, tmp_path):
+    """Files in one directory with the SAME columns in DIFFERENT
+    physical order (a writer refactor reorders its projection — no
+    schema change, just layout). Both engines must resolve columns by
+    NAME, not ordinal: a positional reader would swap b/c values on
+    the reordered file. Pinned exact, with types that would corrupt
+    loudly-or-silently in different ways if swapped (long vs string
+    vs double)."""
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"a": [1], "b": ["x"], "c": [1.5]}), str(d / "f1.parquet")
+    )
+    pq.write_table(
+        pa.table({"c": [2.5], "a": [2], "b": ["y"]}), str(d / "f2.parquet")
+    )
+    want = [(1, "x", 1.5), (2, "y", 2.5)]
+    got_spark = sorted(
+        (r.a, r.b, r.c) for r in spark.read.parquet(str(d)).collect()
+    )
+    assert got_spark == want, got_spark
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT a, b, c FROM read_parquet('{d}/*.parquet') ORDER BY a"
+    ).fetchall()
+    assert got_duck == want, got_duck
+    # SELECT * must also land name-aligned, not position-aligned
+    got_star = con.execute(
+        f"SELECT * FROM read_parquet('{d}/*.parquet') ORDER BY a"
+    ).fetchall()
+    assert got_star == want, got_star
