@@ -124,11 +124,33 @@ def duck_view_sql(table: str, sf_dir: str) -> str:
 
     The path is single-quote-escaped (same pattern as
     scripts/data_profile.py) so a relocated fixture root containing a
-    quote can't break the SQL."""
+    quote can't break the SQL.
+
+    Partial-write guard (r14): Spark readers SKIP files under ``_``/
+    ``.``-prefixed path segments (``_temporary`` task attempts from a
+    crashed writer, ``.staging``), but DuckDB's recursive glob does
+    NOT — probed: a leftover ``_temporary/0/task_1/part-*.parquet``
+    makes the oracle silently count every row twice while Spark reads
+    it once. A directory layout containing parquet files under hidden
+    segments therefore fails LOUDLY here instead of silently
+    diverging the oracle; the fix is cleaning the crashed writer's
+    leftovers, which is what a production lake janitor does."""
     raw = os.path.join(sf_dir, f"{table}.parquet")
     path = raw.replace("'", "''")
     hive = False
     if os.path.isdir(raw):
+        for dirpath, dirnames, filenames in os.walk(raw):
+            rel = os.path.relpath(dirpath, raw)
+            segs = [] if rel == "." else rel.split(os.sep)
+            if any(s[:1] in ("_", ".") for s in segs) and any(
+                f.endswith(".parquet") for f in filenames
+            ):
+                raise ValueError(
+                    f"{raw}: parquet files under hidden segment(s) "
+                    f"{segs!r} — Spark skips them but the DuckDB glob "
+                    f"would read them (silent row double-count); clean "
+                    f"the partial-write leftovers first"
+                )
         path = f"{path}/**/*.parquet"
         hive = any(
             "=" in e and os.path.isdir(os.path.join(raw, e))

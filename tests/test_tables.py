@@ -110,3 +110,48 @@ def test_duck_view_sql_layouts(tmp_path):
     con.execute(sql)
     cols = [r[0] for r in con.execute("DESCRIBE supplier").fetchall()]
     assert cols == ["x"], f"phantom hive column from ancestor dir: {cols}"
+
+
+def test_duck_view_sql_rejects_partial_write_leftovers(spark, tmp_path):
+    """r14 partial-write guard: Spark readers skip files under _/. path
+    segments (a crashed writer's ``_temporary`` task attempts) but
+    DuckDB's recursive glob reads them — probed: one leftover attempt
+    file makes the oracle count every row TWICE while Spark stays
+    correct. duck_view_sql must fail LOUDLY on such a layout instead of
+    silently diverging, and keep accepting the same layout once the
+    leftovers are cleaned."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    from test_dataengineer2026_spark import tables
+
+    root = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k long"
+    ).coalesce(1).write.parquet(root)
+
+    # the raw asymmetry this guard exists for
+    leftover_dir = os.path.join(root, "_temporary", "0", "task_1")
+    os.makedirs(leftover_dir)
+    part = _glob.glob(os.path.join(root, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(leftover_dir, "part-99999.parquet"))
+    assert spark.read.parquet(root).count() == 10  # Spark skips _temporary
+    con = _duckdb.connect()
+    assert (
+        con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{root}/**/*.parquet')"
+        ).fetchone()[0]
+        == 20  # the silent double-count the guard turns loud
+    )
+
+    with _pytest.raises(ValueError, match="_temporary"):
+        tables.duck_view_sql("orders", str(tmp_path))
+
+    shutil.rmtree(os.path.join(root, "_temporary"))
+    sql = tables.duck_view_sql("orders", str(tmp_path))
+    con.execute(sql)
+    assert con.execute("SELECT COUNT(*) FROM orders").fetchone()[0] == 10
