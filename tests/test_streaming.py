@@ -1185,3 +1185,79 @@ def test_checkpoint_restart_restores_join_state(spark, tmp_path):
         "purchase_id",
     )
     assert crossers.count() > 0, "cut produced no cross-restart pairs"
+
+
+def test_checkpoint_restart_survives_shuffle_partition_change(spark, tmp_path):
+    """State RESCALING hazard, pinned: Structured Streaming writes
+    spark.sql.shuffle.partitions into the checkpoint's offset log at
+    query birth and state is physically sharded by that number
+    forever. An operator who later tunes the session conf (the obvious
+    cluster-resize move) must get a query that (a) keeps producing
+    EXACT results and (b) keeps its state at the ORIGINAL shard count
+    — NOT a half-rescaled state store reading the wrong shards. At
+    100 TB this is the difference between a conf tweak and silent
+    state loss on restart."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"b{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname):
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        q = (
+            s.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            r["event_type"]: r["count"] for r in spark.table(qname).collect()
+        }
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    born_with = int(prev)
+    run_once("rescale_run1")
+    land(1)
+    try:
+        # the cluster-resize move: restart under a DIFFERENT width
+        spark.conf.set("spark.sql.shuffle.partitions", str(born_with + 5))
+        got2 = run_once("rescale_run2")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    want = {
+        r["event_type"]: r["count"]
+        for r in e.groupBy("event_type").count().collect()
+    }
+    assert got2 == want, (got2, want)  # exact despite the conf change
+    # state stayed sharded at the BIRTH width, ignoring the new conf
+    state_dirs = [
+        d
+        for d in os.listdir(os.path.join(ckpt, "state", "0"))
+        if d.isdigit()
+    ]
+    assert len(state_dirs) == born_with, (len(state_dirs), born_with)
