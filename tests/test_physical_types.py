@@ -367,13 +367,20 @@ def test_nanosecond_timestamp_boundary(spark, tmp_path):
         pa.table({"k": [1, 2], "ts": pa.array(ns_vals, pa.timestamp("ns"))}),
         f,
     )
-    # (1a) loud refusal under default config
-    with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
-        spark.read.parquet(f).collect()
-    # (1b) lossless nanosAsLong escape
+    # The conf is pinned EXPLICITLY both ways rather than assumed: this
+    # engine's own tables.load("events") sets nanosAsLong=true
+    # session-wide (events.ts is ns-typed in the fixtures; pkg:tables.py
+    # converts the raw longs to micros), so "Spark's default" is not a
+    # stable premise inside a shared session — an earlier suite test
+    # loading events flips it (caught by the full-suite run).
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
+        # (1a) loud refusal when the escape hatch is off (stock Spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+            spark.read.parquet(f).collect()
+        # (1b) lossless nanosAsLong escape
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         got = {
             r.k: r.ts for r in spark.read.parquet(f).orderBy("k").collect()
         }
