@@ -472,3 +472,103 @@ def test_cross_file_column_order_by_name(spark, tmp_path):
         f"SELECT * FROM read_parquet('{d}/*.parquet') ORDER BY a"
     ).fetchall()
     assert got_star == want, got_star
+
+
+def test_bitrot_detection_boundary(spark, tmp_path):
+    """Bitrot (storage-level byte corruption) detection, probed 2026-08
+    and pinned as a three-way boundary:
+    1. UNCOMPRESSED pages: page CRCs are WRITTEN (write_page_checksum)
+       but NEITHER engine verifies them by default — a flipped byte in
+       a PLAIN double page comes back as a silently different value in
+       BOTH Spark and DuckDB (identical wrong bytes, identical wrong
+       sum). This is the dangerous layout: nothing structural catches
+       the flip.
+    2. The parquet-mr kill switch parquet.page.verify-checksum.enabled
+       =true turns the same read into a loud FAILED_READ_FILE for
+       Spark. (DuckDB has no equivalent; its read stays silently
+       wrong.)
+    3. COMPRESSION IS NOT AN INTEGRITY MECHANISM (the common
+       misconception this pin exists to kill): a flip deep in snappy
+       LITERAL content decodes fine and returns the SAME silently
+       wrong sum in both engines; only a flip that happens to land in
+       snappy FRAMING (length preamble / tag bytes) fails
+       decompression loudly. Whether bitrot is detected depends on
+       WHICH byte rots.
+    Operational consequence at 100 TB: parquet-level integrity
+    requires the verify flag (Spark-side) or storage-level checksums
+    (object-store ETags, ZFS) — compressed codecs only catch the
+    subset of flips that corrupt framing."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    rows = 1000
+    truth = float(sum(range(rows)))
+    t = pa.table(
+        {"k": list(range(rows)), "v": [float(i) for i in range(rows)]}
+    )
+
+    def corrupt(src: str, dst: str) -> None:
+        md = pq.ParquetFile(src).metadata.row_group(0).column(1)
+        pos = md.data_page_offset + 200  # inside the v data page values
+        data = bytearray(open(src, "rb").read())
+        assert pos < len(data) - 8  # never the footer
+        data[pos] ^= 0xFF
+        open(dst, "wb").write(bytes(data))
+
+    # --- (1) + (2): uncompressed, CRCs written ---
+    src_u = str(tmp_path / "plain.parquet")
+    bad_u = str(tmp_path / "plain_bad.parquet")
+    pq.write_table(
+        t, src_u, compression=None, use_dictionary=False,
+        write_page_checksum=True,
+    )
+    corrupt(src_u, bad_u)
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT SUM(v) FROM read_parquet('{bad_u}')"
+    ).fetchone()[0]
+    got_spark = spark.read.parquet(bad_u).agg(F.sum("v")).first()[0]
+    assert got_duck != truth  # silent corruption, DuckDB
+    assert got_spark != truth  # silent corruption, Spark default
+    assert got_duck == got_spark  # same wrong bytes, same wrong value
+    # the verify flag turns it loud (Spark/parquet-mr only)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hc.get("parquet.page.verify-checksum.enabled")
+    hc.set("parquet.page.verify-checksum.enabled", "true")
+    try:
+        with pytest.raises(Exception, match="FAILED_READ_FILE"):
+            spark.read.parquet(bad_u).agg(F.sum("v")).collect()
+    finally:
+        if prev is None:
+            hc.unset("parquet.page.verify-checksum.enabled")
+        else:
+            hc.set("parquet.page.verify-checksum.enabled", prev)
+
+    # --- (3): snappy, no CRCs — detection depends on WHICH byte rots
+    src_s = str(tmp_path / "snappy.parquet")
+    pq.write_table(
+        t, src_s, compression="snappy", use_dictionary=False,
+        write_page_checksum=False,
+    )
+    # (3a) literal-content flip: valid snappy stream, silently wrong
+    # identical values in both engines
+    bad_content = str(tmp_path / "snappy_content.parquet")
+    corrupt(src_s, bad_content)
+    got_duck_s = con.execute(
+        f"SELECT SUM(v) FROM read_parquet('{bad_content}')"
+    ).fetchone()[0]
+    got_spark_s = spark.read.parquet(bad_content).agg(F.sum("v")).first()[0]
+    assert got_duck_s != truth and got_spark_s == got_duck_s
+    # (3b) framing flip (file midpoint lands in a length/tag byte for
+    # this deterministic content): loud decompression failure, both
+    bad_frame = str(tmp_path / "snappy_frame.parquet")
+    data = bytearray(open(src_s, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(bad_frame, "wb").write(bytes(data))
+    with pytest.raises(duckdb.Error, match="[Ss]nappy|decompress"):
+        con.execute(
+            f"SELECT SUM(v) FROM read_parquet('{bad_frame}')"
+        ).fetchone()
+    with pytest.raises(Exception, match="FAILED_READ_FILE"):
+        spark.read.parquet(bad_frame).agg(F.sum("v")).collect()
