@@ -572,3 +572,72 @@ def test_bitrot_detection_boundary(spark, tmp_path):
         ).fetchone()
     with pytest.raises(Exception, match="FAILED_READ_FILE"):
         spark.read.parquet(bad_frame).agg(F.sum("v")).collect()
+
+
+def test_zero_row_file_in_directory_scan(spark, tmp_path):
+    """A 0-row parquet file inside a multi-file directory (an
+    incremental job flushing an empty batch writes these constantly):
+    both engines must scan past it — a reader choking on an empty
+    row-group list kills the whole table for one empty flush."""
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    pq.write_table(pa.table({"k": [1, 2]}), str(d / "a.parquet"))
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64())}), str(d / "empty.parquet")
+    )
+    assert spark.read.parquet(str(d)).count() == 2
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')"
+    ).fetchone() == (2,)
+
+
+def test_depth8_struct_roundtrip(spark, tmp_path):
+    """Struct nesting depth 8 (well past the N6 exhibit's 3): the
+    definition-level chain and both engines' recursive schema
+    converters at a depth real document lakes reach with enveloped
+    JSON. Leaf access exact in both engines."""
+    typ, val = pa.float64(), 1.5
+    for i in range(8):
+        typ = pa.struct([pa.field(f"f{i}", typ)])
+        val = {f"f{i}": val}
+    f = str(tmp_path / "deep8.parquet")
+    pq.write_table(pa.table({"k": [1], "s": pa.array([val], typ)}), f)
+    leaf = ".".join(f"f{i}" for i in reversed(range(8)))
+    assert (
+        spark.read.parquet(f).selectExpr(f"s.{leaf} AS leaf").first()[0]
+        == 1.5
+    )
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT s.{leaf} FROM read_parquet('{f}')"
+    ).fetchone() == (1.5,)
+
+
+def test_hostile_column_names_cross_engine(spark, tmp_path):
+    """Column names with a dot, a space, non-ASCII, and a double quote
+    (arrow-native writers impose no identifier rules): both engines
+    must read them — Spark via backtick quoting (the dot would
+    otherwise parse as a struct path), DuckDB via doubled double
+    quotes. Values exact."""
+    f = str(tmp_path / "names.parquet")
+    pq.write_table(
+        pa.table(
+            {"a.b": [1], "with space": [2], "日本": [3], 'qu"ote': [4]}
+        ),
+        f,
+    )
+    df = spark.read.parquet(f)
+    assert [fl.name for fl in df.schema.fields] == [
+        "a.b",
+        "with space",
+        "日本",
+        'qu"ote',
+    ]
+    r = df.selectExpr("`a.b`", "`with space`", "`日本`").first()
+    assert tuple(r) == (1, 2, 3)
+    con = duckdb.connect()
+    assert con.execute(
+        'SELECT "a.b", "with space", "日本", "qu""ote" '
+        f"FROM read_parquet('{f}')"
+    ).fetchone() == (1, 2, 3, 4)
