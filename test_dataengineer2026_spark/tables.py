@@ -134,7 +134,11 @@ def duck_view_sql(table: str, sf_dir: str) -> str:
     it once. A directory layout containing parquet files under hidden
     segments therefore fails LOUDLY here instead of silently
     diverging the oracle; the fix is cleaning the crashed writer's
-    leftovers, which is what a production lake janitor does."""
+    leftovers, which is what a production lake janitor does. Spark's
+    pathname filter also skips hidden-prefixed FILE names (e.g. a
+    stray ``_backup.parquet`` or ``.part-0.parquet.crc``-style
+    sibling) while DuckDB's ``*.parquet`` glob reads them (probed —
+    r14 advisor), so those fail loudly too."""
     raw = os.path.join(sf_dir, f"{table}.parquet")
     path = raw.replace("'", "''")
     hive = False
@@ -150,6 +154,18 @@ def duck_view_sql(table: str, sf_dir: str) -> str:
                     f"{segs!r} — Spark skips them but the DuckDB glob "
                     f"would read them (silent row double-count); clean "
                     f"the partial-write leftovers first"
+                )
+            hidden_files = [
+                f
+                for f in filenames
+                if f.endswith(".parquet") and f[:1] in ("_", ".")
+            ]
+            if hidden_files:
+                raise ValueError(
+                    f"{dirpath}: hidden-prefixed parquet file(s) "
+                    f"{hidden_files!r} — Spark's pathname filter skips "
+                    f"them but the DuckDB glob would read them (silent "
+                    f"row double-count); remove or rename them first"
                 )
         path = f"{path}/**/*.parquet"
         hive = any(

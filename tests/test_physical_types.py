@@ -28,6 +28,7 @@ from __future__ import annotations
 import glob
 import math
 import os
+import re
 
 import duckdb
 import pyarrow as pa
@@ -560,16 +561,37 @@ def test_bitrot_detection_boundary(spark, tmp_path):
     ).fetchone()[0]
     got_spark_s = spark.read.parquet(bad_content).agg(F.sum("v")).first()[0]
     assert got_duck_s != truth and got_spark_s == got_duck_s
-    # (3b) framing flip (file midpoint lands in a length/tag byte for
-    # this deterministic content): loud decompression failure, both
+    # (3b) framing flip: loud decompression failure in BOTH engines.
+    # Which byte offsets land in snappy framing (length varint / copy
+    # tags) vs literal content is data- and writer-layout-dependent (a
+    # pyarrow/snappy bump can shift it — r14 advisor), so instead of
+    # assuming the file midpoint, SEARCH outward from it for an offset
+    # whose flip DuckDB rejects as a snappy/decompress error. The
+    # search establishes "this flip corrupts framing"; the assertion
+    # that matters — the cross-engine contract — is that the SAME
+    # corrupted file is loud in Spark too, which stays independent.
     bad_frame = str(tmp_path / "snappy_frame.parquet")
     data = bytearray(open(src_s, "rb").read())
-    data[len(data) // 2] ^= 0xFF
-    open(bad_frame, "wb").write(bytes(data))
-    with pytest.raises(duckdb.Error, match="[Ss]nappy|decompress"):
-        con.execute(
-            f"SELECT SUM(v) FROM read_parquet('{bad_frame}')"
-        ).fetchone()
+    frame_off = None
+    for delta in range(0, 256):
+        off = len(data) // 2 + delta
+        if off >= len(data):
+            break
+        trial = bytearray(data)
+        trial[off] ^= 0xFF
+        open(bad_frame, "wb").write(bytes(trial))
+        try:
+            con.execute(
+                f"SELECT SUM(v) FROM read_parquet('{bad_frame}')"
+            ).fetchone()
+        except duckdb.Error as e:
+            if re.search(r"[Ss]nappy|decompress", str(e)):
+                frame_off = off
+                break
+    assert frame_off is not None, (
+        "no framing byte within 256 of the midpoint — layout shifted "
+        "far more than a codec bump should; re-derive the fixture"
+    )
     with pytest.raises(Exception, match="FAILED_READ_FILE"):
         spark.read.parquet(bad_frame).agg(F.sum("v")).collect()
 

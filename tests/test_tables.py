@@ -155,3 +155,44 @@ def test_duck_view_sql_rejects_partial_write_leftovers(spark, tmp_path):
     sql = tables.duck_view_sql("orders", str(tmp_path))
     con.execute(sql)
     assert con.execute("SELECT COUNT(*) FROM orders").fetchone()[0] == 10
+
+
+def test_duck_view_sql_rejects_hidden_prefixed_files(spark, tmp_path):
+    """r14 advisor: the segment guard alone misses a parquet FILE whose
+    own name starts with '_' or '.' (e.g. a stray ``_backup.parquet``
+    dropped next to the real slices). Spark's pathname filter skips it;
+    DuckDB's ``**/*.parquet`` glob reads it — probed below: the oracle
+    silently double-counts. duck_view_sql must reject the layout loudly
+    and accept it again once the stray file is removed."""
+    import glob as _glob
+    import os
+    import shutil
+
+    import duckdb as _duckdb
+    import pytest as _pytest
+
+    from test_dataengineer2026_spark import tables
+
+    root = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "k long"
+    ).coalesce(1).write.parquet(root)
+
+    part = _glob.glob(os.path.join(root, "part-*.parquet"))[0]
+    shutil.copy(part, os.path.join(root, "_backup.parquet"))
+    assert spark.read.parquet(root).count() == 10  # Spark skips _backup
+    con = _duckdb.connect()
+    assert (
+        con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{root}/**/*.parquet')"
+        ).fetchone()[0]
+        == 20  # the silent double-count the guard turns loud
+    )
+
+    with _pytest.raises(ValueError, match="_backup.parquet"):
+        tables.duck_view_sql("orders", str(tmp_path))
+
+    os.remove(os.path.join(root, "_backup.parquet"))
+    sql = tables.duck_view_sql("orders", str(tmp_path))
+    con.execute(sql)
+    assert con.execute("SELECT COUNT(*) FROM orders").fetchone()[0] == 10
