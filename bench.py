@@ -78,8 +78,14 @@ SUITE_BUDGET_SEC = int(os.environ.get("SPARK_GRAFT_SUITE_BUDGET_SEC", "1500"))
 #: gate while stretching the CPU-bound queries 2-4x (measured: D2 1.24 s
 #: at steal 0.0 -> 5.05 s at suite steal 3.27%, with entry load 1.93
 #: UNDER the gate). Idle steal on this box measures 0.0-0.03%; the bad
-#: runs read 0.58-3.27% — 0.5% cleanly separates them.
-MAX_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "0.5"))
+#: runs read 0.58-3.27%. Tightened 0.5 -> 0.25 in r15: the r14 ~20%
+#: cold-band drift bisected to a neighbor at 0.28-0.44% suite steal —
+#: under the old gate yet 4-40x the idle floor (ABAB experiment,
+#: SCALE.md §23: both r13 and r14 HEADs draw 13.1-14.7 s at steal
+#: <=0.1%, and r14 HEAD reproduces the 15.7-18.2 s band at steal
+#: >=1%). 0.25% separates the clean (0.01-0.07%) and drift (0.28%+)
+#: populations with margin on both sides.
+MAX_STEAL_PCT = float(os.environ.get("SPARK_GRAFT_MAX_STEAL_PCT", "0.25"))
 
 
 def _steal_window_pct(seconds: float = 5.0) -> float:
