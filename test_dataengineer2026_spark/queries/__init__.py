@@ -99,92 +99,87 @@ _MODULES = (
     "nested_q",
 )
 
-# ROUND-14 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r13
-# (last-green-round histogram entering r14: r9=35, r10=49, r11=50,
-# r12=50, r13=50), with a judge-SANCTIONED substitution (r13 verdict
-# items #3/#5): the NEW depth-2 nested exhibit N4_nested_map_of_lists
-# — born this round, so it must be driver-green in its birth round —
-# displaces the single newest stale name (F2_regex_funcs, the
-# 15th-oldest r10 slot; the F2/J6/SQL24/N1-N3 precedent). Later in
-# the round the OTHER two deep-nested gaps the r13 verdict named were
-# closed as N5_nested_list_of_lists (LIST<LIST>) and
-# N6_nested_struct_depth3 (3-level STRUCT), displacing the next two
-# newest stale r10 slots (GR3_connected_components, J6_left_anti_join)
-# under the same birth-round rule. The 35 r9-vintage names (including
-# U5/U6/F3, displaced last round by the N1-N3 births) clear the r9
-# backlog completely; the remaining slots take the 12 oldest r10
-# names.
+# ROUND-15 WINDOW: the 50 stalest greens, computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r14
+# (last-green-round histogram entering r15: r10=37, r11=50, r12=50,
+# r13=50, r14=50 — exactly the queue the r14 verdict prescribed:
+# 37 r10-vintage + the 13 oldest r11 names), with two judge-SANCTIONED
+# substitutions (r14 verdict items #4/#5): the NEW exhibits
+# F9d_variant_props (events.props stored as Spark 4 VARIANT through a
+# parquet round-trip) and M6b_transform_with_state_funnel (M6's funnel
+# on the transformWithStateInPandas successor API) — born this round,
+# so they must be driver-green in their birth round — displace the two
+# NEWEST stale names (P4_filter_like_regex, P5_distinct, the newest
+# r11 slots; the F2/J6/SQL24/N4-N6 precedent). The 37 r10 names clear
+# the r10 backlog completely.
 #
-# ROUND-15 QUEUE: assuming this window goes green, the oldest vintage
-# left is r10 (37 names, incl. the displaced F2_regex_funcs, GR3 and
-# J6) — run `python scripts/next_window.py --stale` next round.
+# ROUND-16 QUEUE: assuming this window goes green, the oldest vintage
+# left is r11 (39 names, incl. the displaced P4/P5) — run
+# `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
-    # --- r9-vintage (35): sets, scalar funcs, asof/interval joins,
-    #     ANN PQ ladder, T-family text analysis, SQL TPC-H cohort,
-    #     X-family extraction, streaming observability ---
-    "U5_unpivot_melt",
-    "U6_except_all",
-    "F3_datetime_funcs",
-    "F13_url_funcs",
-    "J10_asof_join",
-    "J15_interval_overlap_join",
-    "J12e_pq_ann",
-    "J12f_pq_rerank_ann",
-    "T7_repetition_signals",
-    "T6_winnowing_fingerprint",
-    "T8_pii_redaction",
-    "T9_text_normalization",
-    "T10_quality_classifier",
-    "T11_unigram_surprisal",
-    "T12_bpe_pair_stats",
-    "T13_bigram_surprisal",
-    "C13_curriculum_order",
-    "F9b_json_event_rollup",
-    "E5_first_touch_attribution",
-    "M12_stream_observability",
-    "M14_dedup_within_watermark",
-    "V8_cogrouped_pandas",
-    "SQL11_tpch_q1",
-    "SQL12_tpch_q4",
-    "SQL13_tpch_q6",
-    "SQL14_tpch_q7",
-    "SQL15_tpch_q8",
-    "SQL19_tpch_q15",
-    "SQL20_tpch_q16",
-    "X10_llm_extract",
-    "X2b_positional_cells",
-    "X11_entity_resolution",
-    "X9b_text_layer_check",
-    "X12_reserves_economics_join",
-    "S15_schema_evolution",
-    # --- r10-vintage (14 oldest): hypertable rollups, sketches,
-    #     ML loops, graph algorithms, anti join ---
-    "H1_hypertable_rollup",
-    "H2_incremental_rollup_refresh",
-    "A13_histogram_quantiles",
-    "A17_sliding_distinct",
-    "A11_countmin_sketch",
-    "A12_hll_sketch",
-    "ML1_ols_regression",
-    "ML3_knn_classifier",
-    "ML4_kmeans_lloyd",
-    "ML5_perceptron",
-    "GR1_pagerank",
-    "GR2_triangle_count",
-    # --- judge-sanctioned births (r13 verdict #3 and its named
-    #     residual gaps): new exhibits must earn a driver green in
-    #     their birth round; N5/N6 displace the two newest stale r10
-    #     slots (GR3_connected_components, J6_left_anti_join — queued
-    #     for r15) exactly as N4 displaced F2_regex_funcs ---
-    "N4_nested_map_of_lists",
-    "N5_nested_list_of_lists",
-    "N6_nested_struct_depth3",
+    # --- judge-sanctioned births (r14 verdict #4/#5): new exhibits
+    #     must earn a driver green in their birth round; they displace
+    #     the two newest stale r11 slots (P4_filter_like_regex,
+    #     P5_distinct — queued for r16) ---
+    "F9d_variant_props",
+    "M6b_transform_with_state_funnel",
+    # --- r10-vintage (37, clears the r10 backlog): graph, joins,
+    #     dedup/ANN, text analysis, curation, JSON, streaming state,
+    #     multimodal audio, SQL cohort, extraction, scan pruning ---
+    "GR3_connected_components",
+    "J6_left_anti_join",
+    "F2_regex_funcs",
+    "F14_nested_struct_ops",
+    "J17_asof_tolerance_join",
+    "D1_exact_dedup",
+    "D2_minhash_lsh",
+    "F10_vector_math",
+    "J12_similarity_join",
+    "J12c_ivf_ann",
+    "D5_embedding_neardup",
+    "D10_substring_span_dedup",
+    "T1_token_count",
+    "T2_lang_id",
+    "T5_tfidf_top_term",
+    "C1_corpus_curation",
+    "T14_zipf_rank",
+    "C2_stratified_sample",
+    "C4_chunk_documents",
+    "C5_pack_sequences",
+    "C6_decontaminate",
+    "F9_json_funcs",
+    "F9c_to_json",
+    "E6_markov_transitions",
+    "M4_session_window",
+    "M5_stream_dedup",
+    "M15_checkpoint_resume",
+    "MM7_audio_frame_features",
+    "SQL1_tpch_q3",
+    "SQL17_tpch_q12",
+    "SQL23_tpch_q20",
+    "SQL25_lateral_view_explode",
+    "SQL26_recursive_cte",
+    "X1_pdf_extract_text",
+    "S2_parquet_scan_pruned",
+    "S16_dynamic_partition_pruning",
+    "TS5_time_weighted_avg",
+    # --- r11-vintage (11 oldest): aggregation core + projections ---
+    "A2_global_agg",
+    "A3_count_distinct",
+    "A4_approx_count_distinct",
+    "A5_agg_filtered",
+    "A7_pivot",
+    "A8_collect_agg",
+    "A9_stats_agg",
+    "A10_mode_first_last",
+    "P1_project",
+    "P2_filter_predicate",
+    "P3_filter_null_semantics",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 237
+EXPECTED_MIN_QUERIES = 239
 
 _loaded = False
 

@@ -7,6 +7,8 @@ the spec's interchange format is JSON (TEST.md:59).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -15,6 +17,10 @@ from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.determinism import dsum, sql_dsum
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 @register(
@@ -103,6 +109,60 @@ def to_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("n_name").alias("nation"), F.col("n_regionkey").alias("region"))
         ).alias("as_json"),
+    )
+
+
+@register(
+    "F9d_variant_props",
+    oracle="""
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  MAX(json_extract_string(props, '$.missing')) AS absent,
+  CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "variant", "events"),
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9d: events.props stored as Spark 4's VARIANT type THROUGH a
+    parquet write+read round-trip, then field-extracted with
+    variant_get — the schema-evolution story for loosely-typed event
+    payloads at 100 TB: no declared struct schema at write time (new
+    producer fields land without a migration), binary-encoded values
+    (no re-tokenizing JSON text per query), and shredded/typed access
+    at read time. Contrast F9, which declares the schema up front via
+    from_json.
+
+    Scale posture: parse_json runs JVM-side in the scan projection; the
+    staged store keeps the source's partitioning (no shuffle on write);
+    variant_get('$.k') is a typed path extraction, not a string parse;
+    the aggregation is an ordinary hash agg on event_type. The oracle
+    runs DuckDB's JSON functions over the ORIGINAL string column —
+    proving the VARIANT round-trip preserved every value exactly.
+    Missing paths surface as NULL (absent stays NULL in both engines).
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(
+        _REPO_ROOT, ".tmp", "variant_stage", tag, "events_variant.parquet"
+    )
+    staged = e.select(
+        "event_id", "event_type", F.parse_json("props").alias("props_v")
+    )
+    staged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    k = F.variant_get("props_v", "$.k", "bigint")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.max(F.variant_get("props_v", "$.missing", "string")).alias("absent"),
+        F.count(k).alias("n_with_k"),
     )
 
 

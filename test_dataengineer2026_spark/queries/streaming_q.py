@@ -42,19 +42,23 @@ FUNNEL_OUT_SCHEMA = (
 FUNNEL_STATE_SCHEMA = "n long, np long, fp_ts long, fp_id long, nb long"
 
 
-def funnel_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
-    """Per-user signup->purchase funnel as a running stateful aggregate
-    (M6). Events are sorted by (ts, event_id) within each batch; prior
-    state is folded in so each emission is the whole-stream answer so
-    far. If a purchase arrives in a later batch than earlier-ts events
-    (in-order file feed => doesn't happen), "before" counts stay exact
-    because late earlier-keyed rows still compare < the stored first
-    purchase key."""
-    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+def _funnel_fold(prev: tuple | None, rows: pd.DataFrame) -> tuple[tuple, dict]:
+    """Pure fold shared by BOTH stateful surfaces (M6
+    applyInPandasWithState and M6b transformWithStateInPandas): fold one
+    batch of a user's events into the running funnel state. Events are
+    sorted by (ts, event_id) within each batch; prior state is folded in
+    so each emission is the whole-stream answer so far. If a purchase
+    arrives in a later batch than earlier-ts events (in-order file feed
+    => doesn't happen), "before" counts stay exact because late
+    earlier-keyed rows still compare < the stored first purchase key.
+
+    Returns ``(new_state_tuple, out_columns_dict)`` — out lacks
+    ``user_id`` (the caller knows its key)."""
+    rows = rows.sort_values(["ts", "event_id"])
     # epoch-nanos key whether the staged feed carries datetime64 or raw
     # int64 nanos
     ts_ns = rows["ts"].astype("int64")
-    n0, np0, fp_ts0, fp_id0, nb0 = state.get if state.exists else (0, 0, -1, -1, 0)
+    n0, np0, fp_ts0, fp_id0, nb0 = prev if prev is not None else (0, 0, -1, -1, 0)
     is_p = (rows["event_type"] == "purchase").to_numpy()
     n = n0 + len(rows)
     n_purchases = np0 + int(is_p.sum())
@@ -79,18 +83,21 @@ def funnel_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
     else:
         fp, n_before = None, 0
     fp_ts, fp_id = fp if fp is not None else (-1, -1)
-    state.update((n, n_purchases, fp_ts, fp_id, n_before))
-    yield pd.DataFrame(
-        [
-            {
-                "user_id": key[0],
-                "n_events": n,
-                "n_purchases": n_purchases,
-                "first_purchase_id": fp_id if fp_id >= 0 else None,
-                "n_before_first_purchase": n_before,
-            }
-        ]
-    )
+    return (n, n_purchases, fp_ts, fp_id, n_before), {
+        "n_events": n,
+        "n_purchases": n_purchases,
+        "first_purchase_id": fp_id if fp_id >= 0 else None,
+        "n_before_first_purchase": n_before,
+    }
+
+
+def funnel_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """M6 surface adapter: applyInPandasWithState GroupState in/out
+    around the shared ``_funnel_fold``."""
+    prev = tuple(state.get) if state.exists else None
+    new_state, out = _funnel_fold(prev, pd.concat(list(pdfs)))
+    state.update(new_state)
+    yield pd.DataFrame([{"user_id": key[0], **out}])
 
 
 @register(
@@ -260,6 +267,106 @@ def stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(result, "m6_funnel", "update")
+
+
+#: JVM class for the RocksDB state store provider transformWithState
+#: requires (the default HDFSBackedStateStoreProvider rejects it).
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def make_funnel_processor():
+    """StatefulProcessor running the SAME ``_funnel_fold`` as M6, for
+    transformWithStateInPandas (M6b and its restart-recovery pin). The
+    import is lazy because pyspark's stateful_processor module is only
+    needed on this path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("funnel", FUNNEL_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = tuple(self._st.get()) if self._st.exists() else None
+            new_state, out = _funnel_fold(prev, pd.concat(list(rows)))
+            self._st.update(new_state)
+            yield pd.DataFrame([{"user_id": key[0], **out}])
+
+        def close(self) -> None:
+            pass
+
+    return _FunnelProcessor()
+
+
+@register(
+    "M6b_transform_with_state_funnel",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), first_purchase AS (
+  SELECT user_id, MIN(rn) AS fp_rn
+  FROM ordered WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT o.user_id,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN o.event_type = 'purchase' THEN 1 END) AS n_purchases,
+       MAX(CASE WHEN o.rn = f.fp_rn THEN o.event_id END) AS first_purchase_id,
+       COUNT(CASE WHEN f.fp_rn IS NOT NULL AND o.rn < f.fp_rn THEN 1 END) AS n_before_first_purchase
+FROM ordered o LEFT JOIN first_purchase f USING (user_id)
+GROUP BY o.user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def transform_with_state_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6b: the SAME per-user funnel (same oracle as M6) on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful surface to
+    applyInPandasWithState, with named state variables (value/list/map),
+    timers, and TTL. Both surfaces share ``_funnel_fold``, so this pins
+    that the two APIs compute identically on identical feeds.
+
+    transformWithState requires the RocksDB state store provider (the
+    default HDFS-backed provider rejects the operator); the conf is set
+    for this bounded run and restored afterwards so the other streaming
+    exhibits keep their default provider — a per-query knob locally, a
+    cluster-wide default on a real deployment.
+
+    Dependency note: the Python transformWithState surface speaks a
+    protobuf-framed state protocol; this sandbox has no protobuf
+    install, so pbcompat.ensure() shims in the baked Cloud SDK's
+    pure-Python protobuf 6.32 (see pbcompat/sitecustomize.py). On a
+    real cluster `pip install protobuf` makes ensure() a no-op."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark import pbcompat
+
+    if not pbcompat.ensure(spark):
+        raise RuntimeError(
+            "M6b needs a protobuf runtime for transformWithState's "
+            "state-server protocol; none is installed and the Cloud SDK "
+            "fallback (pbcompat) is unavailable on this machine"
+        )
+    s = read_events_stream(spark, sf_dir)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            make_funnel_processor(),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+        return run_to_memory(result, "m6b_funnel", "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
 
 
 @register(

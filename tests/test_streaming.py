@@ -1261,3 +1261,135 @@ def test_checkpoint_restart_survives_shuffle_partition_change(spark, tmp_path):
         if d.isdigit()
     ]
     assert len(state_dirs) == born_with, (len(state_dirs), born_with)
+
+
+def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
+    """M6b recovery pin, mirroring M6's: transformWithStateInPandas'
+    named ValueState (the funnel counters, RocksDB provider) must
+    round-trip the checkpoint across a restart — the restarted run
+    folds the second half of the feed into per-user state built from
+    the first, so each user's final emission equals the whole-stream
+    batch answer. Distinct from M6's pin because the state layout is a
+    different surface entirely (named state variables in the RocksDB
+    store + the protobuf state-server protocol, not the
+    applyInPandasWithState row-encoded GroupState)."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from test_dataengineer2026_spark import pbcompat, tables
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        _ROCKSDB_PROVIDER,
+        FUNNEL_OUT_SCHEMA,
+        make_funnel_processor,
+    )
+
+    if not pbcompat.ensure(spark):
+        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+
+    def run_once():
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            make_funnel_processor(),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+
+        def write_epoch(df, epoch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            result.writeStream.foreachBatch(write_epoch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    try:
+        run_once()
+        land(1)
+        run_once()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    sink = spark.read.parquet(out)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    fp = (
+        ordered.filter("event_type = 'purchase'")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    expected = (
+        ordered.join(fp, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+            F.max(
+                F.when(F.col("rn") == F.col("fp_rn"), F.col("event_id"))
+            ).alias("first_purchase_id"),
+            F.count(
+                F.when(
+                    F.col("fp_rn").isNotNull() & (F.col("rn") < F.col("fp_rn")),
+                    1,
+                )
+            ).alias("n_before_first_purchase"),
+        )
+    )
+    got = {r["user_id"]: r.asDict() for r in final.collect()}
+    want = {r["user_id"]: r.asDict() for r in expected.collect()}
+    assert got == want
+    # and run 1 really was partial: some user's counter grew in run 2
+    firsts = (
+        sink.withColumn("rn", F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("n_events").asc())
+        ))
+        .filter("rn = 1")
+    )
+    assert firsts.join(
+        final, ["user_id", "n_events"], "inner"
+    ).count() < final.count(), "feed split produced no second-run growth"
