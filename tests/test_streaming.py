@@ -1393,3 +1393,102 @@ def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
     assert firsts.join(
         final, ["user_id", "n_events"], "inner"
     ).count() < final.count(), "feed split produced no second-run growth"
+
+
+def test_transform_with_state_list_and_map_state(spark):
+    """transformWithState's OTHER named state kinds (M6b covers
+    ValueState): ListState accumulation and MapState upsert/iterate
+    must fold across micro-batches — each exercises its own message
+    family of the protobuf state-server protocol (appendValue/get vs
+    updateValue/iterator), so a pin on ValueState alone would leave
+    most of the protocol surface untested. Over the 3-file feed the
+    final emission per user must equal the batch answer."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from test_dataengineer2026_spark import pbcompat, tables
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+    from test_dataengineer2026_spark.streaming.jobs import (
+        read_events_stream_multifile,
+        run_to_memory,
+    )
+
+    if not pbcompat.ensure(spark):
+        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ListMapProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._ids = handle.getListState("ids", "id long")
+            self._cnt = handle.getMapState("cnt", "k string", "v long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows))
+            self._ids.appendList([(int(i),) for i in pdf["event_id"]])
+            for etype, n in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._cnt.getValue((etype,))[0]
+                    if self._cnt.containsKey((etype,))
+                    else 0
+                )
+                self._cnt.updateValue((etype,), (prev + int(n),))
+            ids = [t[0] for t in self._ids.get()]
+            counts = {k[0]: v[0] for k, v in self._cnt.iterator()}
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_ids": len(ids),
+                        "sum_ids": sum(ids),
+                        "n_types": len(counts),
+                        "total": sum(counts.values()),
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    sf_dir = "/root/testdata/sf0.001"
+    s = read_events_stream_multifile(spark, sf_dir)  # 3 files, 1/batch
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            _ListMapProcessor(),
+            outputStructType=(
+                "user_id long, n_ids long, sum_ids long, "
+                "n_types long, total long"
+            ),
+            outputMode="update",
+            timeMode="none",
+        )
+        sink = run_to_memory(result, "m6c_listmap", "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    w = W.partitionBy("user_id").orderBy(F.col("n_ids").desc())
+    final = (
+        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    ev = tables.load(spark, sf_dir, "events")
+    expected = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ids"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("total"),
+    )
+    got = {r["user_id"]: r.asDict() for r in final.collect()}
+    want = {r["user_id"]: r.asDict() for r in expected.collect()}
+    assert got == want
+    # multi-batch feed really exercised cross-batch folds
+    assert sink.count() > final.count()
