@@ -1492,3 +1492,105 @@ def test_transform_with_state_list_and_map_state(spark):
     assert got == want
     # multi-batch feed really exercised cross-batch folds
     assert sink.count() > final.count()
+
+
+def test_transform_with_state_restart_under_rescale(spark, tmp_path):
+    """The cluster-resize contract for the NEW stateful surface: a
+    transformWithState checkpoint restarted under a DIFFERENT
+    spark.sql.shuffle.partitions must stay exact — Spark freezes the
+    state shard count at the query's birth width (the conf change is
+    ignored for state layout), same contract the M4 pin documents for
+    the built-in session-window store, re-proven here because the
+    RocksDB provider + named-state layout is an entirely different
+    store implementation."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from test_dataengineer2026_spark import pbcompat, tables
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        _ROCKSDB_PROVIDER,
+        FUNNEL_OUT_SCHEMA,
+        make_funnel_processor,
+    )
+
+    if not pbcompat.ensure(spark):
+        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
+
+    land(0)
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "sink")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    born_with = int(prev_parts)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+
+    def run_once():
+        s = spark.readStream.schema(schema).parquet(str(stage))
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            make_funnel_processor(),
+            outputStructType=FUNNEL_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+
+        def write_epoch(df, epoch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            result.writeStream.foreachBatch(write_epoch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    try:
+        run_once()
+        land(1)
+        # the cluster-resize move: restart under a DIFFERENT width
+        spark.conf.set("spark.sql.shuffle.partitions", str(born_with + 5))
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    sink = spark.read.parquet(out)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    want = {
+        r["user_id"]: r["n"] for r in e.groupBy("user_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    got = {r["user_id"]: r["n_events"] for r in final.collect()}
+    assert got == want  # exact despite the conf change
+    # state stayed sharded at the BIRTH width, ignoring the new conf
+    state_dirs = [
+        d for d in os.listdir(os.path.join(ckpt, "state", "0")) if d.isdigit()
+    ]
+    assert len(state_dirs) == born_with, (len(state_dirs), born_with)
