@@ -130,8 +130,14 @@ GROUP BY event_type
 def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9d: events.props stored as Spark 4's VARIANT type THROUGH a
     parquet write+read round-trip, then field-extracted with
-    variant_get — the schema-evolution story for loosely-typed event
-    payloads at 100 TB: no declared struct schema at write time (new
+    variant_get.
+
+    Reference basis: events.props is a JSON string (repo:FIXTURES.md
+    §1.2); the spec's interchange format is JSON (TEST.md:59) and its
+    scale posture demands schema evolution without reprocessing
+    (TEST.md:158-163). This is the schema-evolution story for
+    loosely-typed event payloads at 100 TB: no declared struct schema
+    at write time (new
     producer fields land without a migration), binary-encoded values
     (no re-tokenizing JSON text per query), and shredded/typed access
     at read time. Contrast F9, which declares the schema up front via
