@@ -663,3 +663,91 @@ def test_hostile_column_names_cross_engine(spark, tmp_path):
         'SELECT "a.b", "with space", "日本", "qu""ote" '
         f"FROM read_parquet('{f}')"
     ).fetchone() == (1, 2, 3, 4)
+
+
+def test_truncated_statistics_pruning_stays_exact(spark, tmp_path):
+    """Row-group stats TRUNCATION on long strings
+    (parquet.statistics.truncate.length=64): a lake with long URL/hash
+    keys truncates footer min/max to keep metadata small, and the
+    writer must BINARY-INCREMENT the truncated max (probed: the cut
+    byte bumps x->y) or it stops being an upper bound and stats
+    pruning silently drops matching row groups. Keys share an 80-char
+    prefix — longer than the truncation — so every row group's
+    truncated [min,max] is prefix-identical and any pruning decision
+    rides entirely on the increment contract. Point and range lookups
+    must stay exact in BOTH engines (DuckDB zone-maps use the same
+    truncated stats)."""
+    from pyspark.sql import functions as F
+
+    pref = "x" * 80
+    rows = [(i, pref + f"{i:06d}" + "z" * 40) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    path = str(tmp_path / "trunc.parquet")
+    (
+        df.repartition(1)
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(16 * 1024))
+        .option("parquet.statistics.truncate.length", "64")
+        .parquet(path)
+    )
+    f = glob.glob(os.path.join(path, "part-*.parquet"))[0]
+    con = duckdb.connect()
+    st = con.execute(
+        f"SELECT stats_min_value, stats_max_value FROM parquet_metadata('{f}') "
+        f"WHERE path_in_schema = 'k'"
+    ).fetchall()
+    assert len(st) >= 2, "fixture must span several row groups"
+    assert {(len(a), len(b)) for a, b in st} == {(64, 64)}  # truncation engaged
+    assert all(b[-1] == "y" for _, b in st)  # the increment, visibly
+    probe = pref + "000500" + "z" * 40
+    assert (
+        spark.read.parquet(path).filter(F.col("k") == probe).count() == 1
+    )
+    assert con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{f}') WHERE k = ?", [probe]
+    ).fetchone() == (1,)
+    lo, hi = pref + "000100", pref + "000300"
+    assert (
+        spark.read.parquet(path)
+        .filter((F.col("k") >= lo) & (F.col("k") < hi))
+        .count()
+        == 200
+    )
+    assert con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{f}') WHERE k >= ? AND k < ?",
+        [lo, hi],
+    ).fetchone() == (200,)
+
+
+def test_float_special_grouping_keys_cross_engine(spark):
+    """Grouping semantics for IEEE specials, pinned as CROSS-ENGINE
+    AGREEMENT (probed 2026-08): both engines canonicalize -0.0 into
+    the 0.0 group and collapse all NaNs into ONE group. The repo's
+    oracle queries deliberately avoid float grouping keys, but the
+    agreement itself is load-bearing — if either engine's treatment
+    drifts in an upgrade, a future float-keyed oracle would diverge
+    silently; this pin turns that into a named failure."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("nan"),), (0.0,), (-0.0,), (1.5,)],
+        "v double",
+    )
+    got = {
+        ("nan" if math.isnan(r["v"]) else r["v"]): r["n"]
+        for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {"nan": 2, 0.0: 2, 1.5: 1}
+    con = duckdb.connect()
+    duck = {
+        ("nan" if math.isnan(v) else v): n
+        for v, n in con.execute(
+            "SELECT v, COUNT(*) FROM (VALUES ('nan'::DOUBLE), "
+            "('nan'::DOUBLE), (0.0::DOUBLE), (-0.0::DOUBLE), "
+            "(1.5::DOUBLE)) t(v) GROUP BY v"
+        ).fetchall()
+    }
+    assert duck == got
