@@ -830,3 +830,71 @@ def test_empty_input_semantic_boundary_pins(spark, all_empty_sf_dir, name):
         f"{name}: DuckDB empty-input behavior changed (likely a DuckDB "
         f"version bump) — update SCALE.md §18 and this pin together"
     )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # ts (ns scale fine)
+            st.integers(min_value=0, max_value=10**6),  # event_id
+            st.sampled_from(["view", "click", "purchase", "signup"]),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.data(),
+)
+def test_funnel_fold_is_batch_split_invariant(events, data):
+    """THE correctness property every stateful-streaming operator lives
+    on, for the fold shared by M6 (applyInPandasWithState) and M6b
+    (transformWithState): folding a user's events in ONE batch must
+    equal folding them across ANY micro-batch split — the engine, not
+    the operator, chooses where batch boundaries fall (file sizes,
+    trigger timing, restarts), so a split-sensitive fold is a
+    correctness bug that only fires in production feeds. Property:
+    random events, random prefix-preserving split into 1..5 batches
+    (the in-order file feed contract M6 documents), final state and
+    emission identical to the single-batch fold. Also checks the
+    duplicated-timestamp tiebreak (event_id) since random data
+    collides ts frequently."""
+    import pandas as pd
+
+    from test_dataengineer2026_spark.queries.streaming_q import _funnel_fold
+
+    def to_pdf(chunk):
+        return pd.DataFrame(
+            {
+                "ts": pd.array([e[0] for e in chunk], dtype="int64"),
+                "event_id": pd.array([e[1] for e in chunk], dtype="int64"),
+                "event_type": [e[2] for e in chunk],
+            }
+        )
+
+    # single-batch truth (skip the empty-corpus case: the engine never
+    # invokes the fold for a user with no rows in a batch)
+    if not events:
+        return
+    # the in-order feed contract: batches partition the (ts, event_id)
+    # sorted stream by prefix
+    ordered = sorted(events, key=lambda e: (e[0], e[1]))
+    truth_state, truth_out = _funnel_fold(None, to_pdf(ordered))
+
+    n_batches = data.draw(st.integers(min_value=1, max_value=5))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(ordered)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            )
+        )
+    )
+    bounds = [0] + cuts + [len(ordered)]
+    state, out = None, None
+    for lo, hi in zip(bounds, bounds[1:]):
+        if lo == hi:
+            continue  # engine never delivers an empty batch for a key
+        state, out = _funnel_fold(state, to_pdf(ordered[lo:hi]))
+    assert state == truth_state
+    assert out == truth_out
