@@ -65,8 +65,12 @@ BLOOM_COLS: dict[str, tuple[str, ...]] = {
 
 
 def bloom_offsets(spark, file_path: str) -> dict[str, int]:
-    """column name -> bloom filter offset (-1 = absent) for row group 0
-    of ``file_path``, via parquet-mr's public footer API."""
+    """column name -> bloom filter offset for ``file_path``, via
+    parquet-mr's public footer API, across ALL row groups: the offset
+    reported is the column's minimum over row groups with -1 meaning
+    "absent in at least one row group" — gate 1 claims per-file
+    coverage, so a later row group missing its bloom must not hide
+    behind a bloom-bearing row group 0 (r15 review finding)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path(file_path)
@@ -75,12 +79,16 @@ def bloom_offsets(spark, file_path: str) -> dict[str, int]:
     try:
         out: dict[str, int] = {}
         blocks = reader.getFooter().getBlocks()
-        if blocks.isEmpty():
-            return out
-        cols = blocks.get(0).getColumns()
-        for i in range(cols.size()):
-            c = cols.get(i)
-            out[c.getPath().toDotString()] = c.getBloomFilterOffset()
+        for bi in range(blocks.size()):
+            cols = blocks.get(bi).getColumns()
+            for i in range(cols.size()):
+                c = cols.get(i)
+                name = c.getPath().toDotString()
+                off = c.getBloomFilterOffset()
+                if off < 0 or out.get(name, off) < 0:
+                    out[name] = -1
+                elif name not in out:
+                    out[name] = off
         return out
     finally:
         reader.close()
@@ -96,12 +104,21 @@ def rewrite_table(spark, src_path: str, dst_dir: str, con=None) -> list[str]:
     table = os.path.basename(dst_dir).removesuffix(".parquet")
     cols = BLOOM_COLS.get(table, ())
     df = spark.read.parquet(src_path)
+    # a misspelled/renamed BLOOM_COLS entry must fail HERE, loudly:
+    # Spark silently ignores bloom options for nonexistent columns and
+    # gate 1's metadata lookups return empty for them, so without this
+    # check the axis would certify a bloom that was never written
+    # (r15 review finding).
+    absent = [c for c in cols if c not in df.columns]
+    if absent:
+        raise SystemExit(f"{table}: BLOOM_COLS not in schema: {absent}")
+    n_rows = df.count()  # one job, reused for every column's NDV hint
     w = df.write.mode("overwrite")
     for c in cols:
         w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
         # NDV hint: parquet-mr sizes the block from this (default 1M is
         # wasteful for small tables); distinct-count upper bound = rows.
-        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(df.count()))
+        w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(n_rows))
     w.parquet(dst_dir)
 
     # gate 1: every data file carries a bloom on every requested column

@@ -51,8 +51,14 @@ def _export_pythonpath(spark=None) -> None:
             _HERE + (os.pathsep + prev if prev else "")
         )
     if spark is not None:
+        # sc.environment is checked and set INDEPENDENTLY of
+        # os.environ: a JVM launched before the os.environ export never
+        # saw it, and defaulting the worker-env read to the (by now
+        # updated) process env would make the `in` check trivially true
+        # and silently skip the one channel that reaches a live
+        # context's Python workers (r15 review finding).
         env = spark.sparkContext.environment
-        wprev = env.get("PYTHONPATH", prev)
+        wprev = env.get("PYTHONPATH", "")
         if _HERE not in (wprev or "").split(os.pathsep):
             env["PYTHONPATH"] = _HERE + (os.pathsep + wprev if wprev else "")
 

@@ -153,9 +153,37 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     e = tables.load(spark, sf_dir, "events")
-    tag = sf_dir.strip("/").replace("/", "_")
+    # Stage under a per-(sf_dir, pid) directory: the hash disambiguates
+    # paths the old flattening collided ('/a/b_c' vs '/a/b/c'), and the
+    # pid keeps a concurrent replay/bench pair from overwriting each
+    # other's staged files mid-scan (r15 review finding). Returned
+    # DataFrames read the staged store LAZILY — the caller collects
+    # after this function returns — so cleanup of our own dir is not
+    # possible here; instead prune siblings left by DEAD processes.
+    import hashlib
+
+    stage_root = os.path.join(_REPO_ROOT, ".tmp", "variant_stage")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    try:
+        for d in os.listdir(stage_root):
+            try:
+                pid = int(d.rsplit("-", 1)[-1])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                import shutil
+
+                shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+            except PermissionError:
+                pass  # alive, owned elsewhere
+    except FileNotFoundError:
+        pass
     out = os.path.join(
-        _REPO_ROOT, ".tmp", "variant_stage", tag, "events_variant.parquet"
+        stage_root, f"{tag}-{os.getpid()}", "events_variant.parquet"
     )
     staged = e.select(
         "event_id", "event_type", F.parse_json("props").alias("props_v")

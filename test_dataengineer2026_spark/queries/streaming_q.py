@@ -229,9 +229,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(dedup, "m5_dedup", "append")
 
 
-@register(
-    "M6_stateful_funnel",
-    oracle="""
+#: One truth for BOTH stateful surfaces: M6 and M6b register the
+#: SAME oracle (they share _funnel_fold), so a future fix to the
+#: funnel semantics cannot silently diverge the two certifications.
+_FUNNEL_ORACLE = """
 WITH ordered AS (
   SELECT user_id, event_id, event_type, ts,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
@@ -247,7 +248,12 @@ SELECT o.user_id,
        COUNT(CASE WHEN f.fp_rn IS NOT NULL AND o.rn < f.fp_rn THEN 1 END) AS n_before_first_purchase
 FROM ordered o LEFT JOIN first_purchase f USING (user_id)
 GROUP BY o.user_id
-""",
+"""
+
+
+@register(
+    "M6_stateful_funnel",
+    oracle=_FUNNEL_ORACLE,
     tags=("streaming", "stateful"),
 )
 def stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,23 +310,7 @@ def make_funnel_processor():
 
 @register(
     "M6b_transform_with_state_funnel",
-    oracle="""
-WITH ordered AS (
-  SELECT user_id, event_id, event_type, ts,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-), first_purchase AS (
-  SELECT user_id, MIN(rn) AS fp_rn
-  FROM ordered WHERE event_type = 'purchase' GROUP BY user_id
-)
-SELECT o.user_id,
-       COUNT(*) AS n_events,
-       COUNT(CASE WHEN o.event_type = 'purchase' THEN 1 END) AS n_purchases,
-       MAX(CASE WHEN o.rn = f.fp_rn THEN o.event_id END) AS first_purchase_id,
-       COUNT(CASE WHEN f.fp_rn IS NOT NULL AND o.rn < f.fp_rn THEN 1 END) AS n_before_first_purchase
-FROM ordered o LEFT JOIN first_purchase f USING (user_id)
-GROUP BY o.user_id
-""",
+    oracle=_FUNNEL_ORACLE,
     tags=("streaming", "stateful"),
 )
 def transform_with_state_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1263,29 +1263,21 @@ def test_checkpoint_restart_survives_shuffle_partition_change(spark, tmp_path):
     assert len(state_dirs) == born_with, (len(state_dirs), born_with)
 
 
-def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
-    """M6b recovery pin, mirroring M6's: transformWithStateInPandas'
-    named ValueState (the funnel counters, RocksDB provider) must
-    round-trip the checkpoint across a restart — the restarted run
-    folds the second half of the feed into per-user state built from
-    the first, so each user's final emission equals the whole-stream
-    batch answer. Distinct from M6's pin because the state layout is a
-    different surface entirely (named state variables in the RocksDB
-    store + the protobuf state-server protocol, not the
-    applyInPandasWithState row-encoded GroupState)."""
+# --- transformWithState (M6b) pins -----------------------------------
+# Shared scaffolding: the three TWS tests below stage the same
+# two-half feed and run the same bounded foreachBatch pass; keeping
+# one copy prevents the dual-copy drift the r12 advisor flagged for
+# duck_view_sql (and the r15 review flagged for the first two of
+# these tests).
+
+
+def _stage_two_half_feed(spark, tmp_path):
+    """Split events at a fixed cut into two single-file halves under
+    tmp_path/spool; land half 0 into tmp_path/feed. Returns
+    (stage_dir, land, schema, events_df)."""
     import shutil
 
-    from pyspark.sql import Window as W
-
-    from test_dataengineer2026_spark import pbcompat, tables
-    from test_dataengineer2026_spark.queries.streaming_q import (
-        _ROCKSDB_PROVIDER,
-        FUNNEL_OUT_SCHEMA,
-        make_funnel_processor,
-    )
-
-    if not pbcompat.ensure(spark):
-        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
+    from test_dataengineer2026_spark import tables
 
     e = tables.load(spark, "/root/testdata/sf0.001", "events")
     cut = "2024-01-20 00:00:00"
@@ -1305,48 +1297,56 @@ def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
 
     land(0)
     schema = spark.read.parquet(str(stage)).schema
-    ckpt = str(tmp_path / "ckpt")
-    out = str(tmp_path / "sink")
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    return stage, land, schema, e
 
-    def run_once():
-        s = spark.readStream.schema(schema).parquet(str(stage))
-        result = s.groupBy("user_id").transformWithStateInPandas(
-            make_funnel_processor(),
-            outputStructType=FUNNEL_OUT_SCHEMA,
-            outputMode="update",
-            timeMode="none",
-        )
 
-        def write_epoch(df, epoch_id):
-            df.write.mode("append").parquet(out)
+def _run_tws_funnel_once(spark, schema, stage, ckpt, out):
+    """One bounded (availableNow) transformWithState funnel pass over
+    the staged feed, appending each epoch to ``out``. The caller owns
+    the RocksDB-provider conf."""
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        FUNNEL_OUT_SCHEMA,
+        make_funnel_processor,
+    )
 
-        q = (
-            result.writeStream.foreachBatch(write_epoch)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(180)
+    s = spark.readStream.schema(schema).parquet(str(stage))
+    result = s.groupBy("user_id").transformWithStateInPandas(
+        make_funnel_processor(),
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
 
-    try:
-        run_once()
-        land(1)
-        run_once()
-    finally:
-        if prev_provider is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev_provider)
+    def write_epoch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        result.writeStream.foreachBatch(write_epoch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+
+def _final_per_user(spark, out):
+    """Last (largest-n_events) emission per user from an update-mode
+    parquet sink."""
+    from pyspark.sql import Window as W
 
     sink = spark.read.parquet(out)
     w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    final = (
-        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    return (
+        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn"),
+        sink,
     )
+
+
+def _expected_funnel(spark, e):
+    """Batch recomputation of the funnel truth (mirrors the M6/M6b
+    oracle SQL)."""
+    from pyspark.sql import Window as W
 
     ordered = e.select(
         "user_id",
@@ -1361,7 +1361,7 @@ def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
         .groupBy("user_id")
         .agg(F.min("rn").alias("fp_rn"))
     )
-    expected = (
+    return (
         ordered.join(fp, "user_id", "left")
         .groupBy("user_id")
         .agg(
@@ -1380,19 +1380,107 @@ def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
             ).alias("n_before_first_purchase"),
         )
     )
+
+
+def _tws_ready_or_skip(spark):
+    from test_dataengineer2026_spark import pbcompat
+
+    if not pbcompat.ensure(spark):
+        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
+
+
+def test_transform_with_state_restart_restores_custom_state(spark, tmp_path):
+    """M6b recovery pin, mirroring M6's: transformWithStateInPandas'
+    named ValueState (the funnel counters, RocksDB provider) must
+    round-trip the checkpoint across a restart — the restarted run
+    folds the second half of the feed into per-user state built from
+    the first, so each user's final emission equals the whole-stream
+    batch answer. Distinct from M6's pin because the state layout is a
+    different surface entirely (named state variables in the RocksDB
+    store + the protobuf state-server protocol, not the
+    applyInPandasWithState row-encoded GroupState)."""
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+
+    _tws_ready_or_skip(spark)
+    stage, land, schema, e = _stage_two_half_feed(spark, tmp_path)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        _run_tws_funnel_once(spark, schema, stage, ckpt, out)
+        land(1)
+        _run_tws_funnel_once(spark, schema, stage, ckpt, out)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    final, sink = _final_per_user(spark, out)
     got = {r["user_id"]: r.asDict() for r in final.collect()}
-    want = {r["user_id"]: r.asDict() for r in expected.collect()}
+    want = {r["user_id"]: r.asDict() for r in _expected_funnel(spark, e).collect()}
     assert got == want
     # and run 1 really was partial: some user's counter grew in run 2
+    from pyspark.sql import Window as W
+
     firsts = (
-        sink.withColumn("rn", F.row_number().over(
-            W.partitionBy("user_id").orderBy(F.col("n_events").asc())
-        ))
-        .filter("rn = 1")
+        sink.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").asc())
+            ),
+        ).filter("rn = 1")
     )
     assert firsts.join(
         final, ["user_id", "n_events"], "inner"
     ).count() < final.count(), "feed split produced no second-run growth"
+
+
+def test_transform_with_state_restart_under_rescale(spark, tmp_path):
+    """The cluster-resize contract for the NEW stateful surface: a
+    transformWithState checkpoint restarted under a DIFFERENT
+    spark.sql.shuffle.partitions must stay exact — Spark freezes the
+    state shard count at the query's birth width (the conf change is
+    ignored for state layout), same contract the M4 pin documents for
+    the built-in session-window store, re-proven here because the
+    RocksDB provider + named-state layout is an entirely different
+    store implementation."""
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+
+    _tws_ready_or_skip(spark)
+    stage, land, schema, e = _stage_two_half_feed(spark, tmp_path)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    born_with = int(prev_parts)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        _run_tws_funnel_once(spark, schema, stage, ckpt, out)
+        land(1)
+        # the cluster-resize move: restart under a DIFFERENT width
+        spark.conf.set("spark.sql.shuffle.partitions", str(born_with + 5))
+        _run_tws_funnel_once(spark, schema, stage, ckpt, out)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    final, _ = _final_per_user(spark, out)
+    want = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r["user_id"]: r["n_events"] for r in final.collect()}
+    assert got == want  # exact despite the conf change
+    # state stayed sharded at the BIRTH width, ignoring the new conf
+    state_dirs = [
+        d for d in os.listdir(os.path.join(ckpt, "state", "0")) if d.isdigit()
+    ]
+    assert len(state_dirs) == born_with, (len(state_dirs), born_with)
 
 
 def test_transform_with_state_list_and_map_state(spark):
@@ -1407,15 +1495,14 @@ def test_transform_with_state_list_and_map_state(spark):
 
     from pyspark.sql import Window as W
 
-    from test_dataengineer2026_spark import pbcompat, tables
+    from test_dataengineer2026_spark import tables
     from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
     from test_dataengineer2026_spark.streaming.jobs import (
         read_events_stream_multifile,
         run_to_memory,
     )
 
-    if not pbcompat.ensure(spark):
-        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
+    _tws_ready_or_skip(spark)
 
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -1492,105 +1579,3 @@ def test_transform_with_state_list_and_map_state(spark):
     assert got == want
     # multi-batch feed really exercised cross-batch folds
     assert sink.count() > final.count()
-
-
-def test_transform_with_state_restart_under_rescale(spark, tmp_path):
-    """The cluster-resize contract for the NEW stateful surface: a
-    transformWithState checkpoint restarted under a DIFFERENT
-    spark.sql.shuffle.partitions must stay exact — Spark freezes the
-    state shard count at the query's birth width (the conf change is
-    ignored for state layout), same contract the M4 pin documents for
-    the built-in session-window store, re-proven here because the
-    RocksDB provider + named-state layout is an entirely different
-    store implementation."""
-    import shutil
-
-    from pyspark.sql import Window as W
-
-    from test_dataengineer2026_spark import pbcompat, tables
-    from test_dataengineer2026_spark.queries.streaming_q import (
-        _ROCKSDB_PROVIDER,
-        FUNNEL_OUT_SCHEMA,
-        make_funnel_processor,
-    )
-
-    if not pbcompat.ensure(spark):
-        pytest.skip("no protobuf runtime and no Cloud SDK fallback")
-
-    e = tables.load(spark, "/root/testdata/sf0.001", "events")
-    cut = "2024-01-20 00:00:00"
-    stage = tmp_path / "feed"
-    stage.mkdir()
-    spool = tmp_path / "spool"
-    for i, h in enumerate(
-        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
-    ):
-        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
-
-    def land(i):
-        part = next(
-            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
-        )
-        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"batch_{i}.parquet"))
-
-    land(0)
-    schema = spark.read.parquet(str(stage)).schema
-    ckpt = str(tmp_path / "ckpt")
-    out = str(tmp_path / "sink")
-    conf_key = "spark.sql.streaming.stateStore.providerClass"
-    prev_provider = spark.conf.get(conf_key, None)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    born_with = int(prev_parts)
-    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
-
-    def run_once():
-        s = spark.readStream.schema(schema).parquet(str(stage))
-        result = s.groupBy("user_id").transformWithStateInPandas(
-            make_funnel_processor(),
-            outputStructType=FUNNEL_OUT_SCHEMA,
-            outputMode="update",
-            timeMode="none",
-        )
-
-        def write_epoch(df, epoch_id):
-            df.write.mode("append").parquet(out)
-
-        q = (
-            result.writeStream.foreachBatch(write_epoch)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(180)
-
-    try:
-        run_once()
-        land(1)
-        # the cluster-resize move: restart under a DIFFERENT width
-        spark.conf.set("spark.sql.shuffle.partitions", str(born_with + 5))
-        run_once()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev_provider)
-
-    sink = spark.read.parquet(out)
-    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    final = (
-        sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-    )
-    want = {
-        r["user_id"]: r["n"] for r in e.groupBy("user_id").agg(
-            F.count("*").alias("n")
-        ).collect()
-    }
-    got = {r["user_id"]: r["n_events"] for r in final.collect()}
-    assert got == want  # exact despite the conf change
-    # state stayed sharded at the BIRTH width, ignoring the new conf
-    state_dirs = [
-        d for d in os.listdir(os.path.join(ckpt, "state", "0")) if d.isdigit()
-    ]
-    assert len(state_dirs) == born_with, (len(state_dirs), born_with)
