@@ -1289,3 +1289,61 @@ def test_multilevel_hive_partition_pruning(spark, tmp_path):
     n_o = len(list(root.glob("l_returnflag=*/l_linestatus=O/*.parquet")))
     assert 0 < n_o < n_total
     assert _executed_scan_num_files(second) == n_o
+
+
+def test_runtime_bloom_filter_join_contract(spark):
+    """Spark's RUNTIME bloom-filter join (the query-side complement to
+    the r15 storage-bloom axis): for a shuffle join with a selective
+    build side, the optimizer aggregates a bloom over the build keys
+    (bloom_filter_agg) and injects might_contain() into the probe-side
+    scan filter — at 100 TB this is what keeps a selective fact-to-fact
+    join from shuffling the entire probe side. Local thresholds are far
+    above our fixtures (application side >= 10 GB), so the test lowers
+    them; the pin is (a) the rewrite actually fires, (b) results stay
+    EXACT vs the un-filtered plan and the DuckDB oracle — a bloom
+    false-positive may waste work but must never change answers."""
+    import duckdb
+
+    from test_dataengineer2026_spark import tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = tables.load(spark, SF_DIR_MID, "lineitem")
+        o = tables.load(spark, SF_DIR_MID, "orders").filter(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        got = j.collect()[0]["n"]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # exactness: un-hinted plan and the independent oracle agree
+    li2 = tables.load(spark, SF_DIR_MID, "lineitem")
+    o2 = tables.load(spark, SF_DIR_MID, "orders").filter(
+        "o_totalprice > 400000"
+    )
+    assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == got
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR_MID}/lineitem.parquet') l "
+        f"JOIN read_parquet('{SF_DIR_MID}/orders.parquet') o "
+        f"ON l.l_orderkey = o.o_orderkey WHERE o.o_totalprice > 400000"
+    ).fetchone()[0]
+    assert got == want
