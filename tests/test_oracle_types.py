@@ -55,3 +55,67 @@ def test_no_hugeint_oracle_columns(con):
                     f"SUM in CAST(… AS BIGINT) in the oracle SQL"
                 )
     assert not bad, "hugeint-typed oracle columns (driver hash would mismatch):\n" + "\n".join(bad)
+
+
+def test_integer_overflow_semantics_cross_engine(spark):
+    """The overflow divergence class the oracle layer must design
+    around (probed 2026-08). The engine runs ANSI OFF by session
+    policy (session.py: permissive casts to match DuckDB TRY_CAST
+    usage), which makes integer overflow the WORST kind of divergence:
+
+    - Spark (ANSI off, this repo's operating point): BIGINT add and
+      SUM overflow WRAP AROUND silently — two's-complement garbage,
+      no error;
+    - Spark (ANSI on): both raise ARITHMETIC_OVERFLOW; try_sum/try_add
+      return NULL;
+    - DuckDB: scalar add overflow raises Out of Range, but SUM(BIGINT)
+      silently PROMOTES its accumulator to HUGEINT and returns the
+      mathematically-right answer.
+
+    So an overflowing integer SUM is a silently-WRONG Spark answer vs
+    a silently-RIGHT oracle answer — unhashably divergent with no
+    error anywhere. The repo's rule is therefore that integer SUMs
+    must be range-safe by data design (float SUMs already go through
+    determinism.dsum's DECIMAL path). This pin freezes all three
+    behaviors so an engine upgrade that shifts any of them is a named
+    failure, not a mystery mismatch."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    big = 9223372036854775807
+    wrapped = -9223372036854775808
+    df = spark.createDataFrame([(big,), (1,)], "v long")
+
+    # the repo's operating point: ANSI off -> silent wraparound
+    assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+    assert df.agg(F.sum("v")).collect()[0][0] == wrapped
+    assert (
+        spark.createDataFrame([(big,)], "v long")
+        .selectExpr("v + 1 AS w")
+        .collect()[0]["w"]
+        == wrapped
+    )
+
+    # ANSI on: loud, and the try_ escape hatches return NULL
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+            df.agg(F.sum("v")).collect()
+        assert df.agg(F.try_sum("v")).collect()[0][0] is None
+        with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW"):
+            spark.createDataFrame([(big,)], "v long").selectExpr(
+                "v + 1"
+            ).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+
+    # DuckDB: SUM promotes silently (right answer, HUGEINT type);
+    # scalar add is loud
+    con = duckdb.connect()
+    val, typ = con.execute(
+        f"SELECT SUM(v), typeof(SUM(v)) FROM (VALUES ({big}), (1)) t(v)"
+    ).fetchone()
+    assert (int(val), typ) == (big + 1, "HUGEINT")
+    with pytest.raises(duckdb.Error, match="[Oo]ut of [Rr]ange"):
+        con.execute(f"SELECT ({big}::BIGINT) + (1::BIGINT)").fetchone()
