@@ -158,3 +158,63 @@ def test_wrong_key_fails_loudly(enc_store):
     _, _, stdout = enc_store
     assert "WRONGKEY LOUD" in stdout, stdout
     assert "WRONGKEY READ-OK" not in stdout
+
+
+_WRITE_PF = """
+import sys
+from pyspark.sql import SparkSession
+
+jar, out_pf, key_b64 = sys.argv[1:4]
+spark = (SparkSession.builder.master("local[2]").appName("encpf")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.extraClassPath", jar)
+    .config("spark.executor.extraClassPath", jar)
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+hc = spark.sparkContext._jsc.hadoopConfiguration()
+hc.set("parquet.crypto.factory.class",
+       "org.apache.parquet.crypto.keytools.PropertiesDrivenCryptoFactory")
+hc.set("parquet.encryption.kms.client.class", "sparkgraft.LocalWrapKMS")
+hc.set("parquet.encryption.key.list", "k1:%s, kf:%s" % (key_b64, key_b64))
+df = spark.range(50).selectExpr("id", "id*3 AS v")
+(df.coalesce(1).write.mode("overwrite")
+   .option("parquet.encryption.column.keys", "k1:v")
+   .option("parquet.encryption.footer.key", "kf")
+   .option("parquet.encryption.plaintext.footer", "true")
+   .parquet(out_pf))
+print("PFSUM", spark.read.parquet(out_pf).agg({"v": "sum"}).collect()[0][0])
+"""
+
+
+def test_plaintext_footer_partial_degradation(enc_store, tmp_path):
+    """plaintext.footer=true is the MIXED-sensitivity interop mode: the
+    footer and non-sensitive columns stay readable by ANY parquet
+    reader while sensitive columns are still AES-GCM'd. Pinned
+    (probed): PAR1 magic (not PARE); Spark with keys reads everything;
+    a keyless DuckDB reads the UNencrypted column exactly (projection
+    means the encrypted chunk is never touched) but fails LOUDLY the
+    moment the encrypted column is selected — per-column degradation,
+    not all-or-nothing."""
+    out_enc, _, _ = enc_store
+    jar = os.path.join(os.path.dirname(os.path.dirname(out_enc)), "localwrapkms.jar")
+    if not os.path.isfile(jar):
+        jar = glob.glob(
+            os.path.join(os.path.dirname(os.path.dirname(out_enc)), "**", "localwrapkms.jar"),
+            recursive=True,
+        )[0]
+    out_pf = str(tmp_path / "enc_pf.parquet")
+    key = base64.b64encode(b"0123456789012345").decode()
+    r = subprocess.run(
+        [sys.executable, "-c", _WRITE_PF, jar, out_pf, key],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert "PFSUM 3675" in r.stdout  # keyed reader sees everything
+    f = glob.glob(os.path.join(out_pf, "part-*.parquet"))[0]
+    assert open(f, "rb").read(4) == b"PAR1"
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT COUNT(*), SUM(id) FROM read_parquet('{f}')"
+    ).fetchone() == (50, 1225)  # unencrypted column exact, keyless
+    with pytest.raises(duckdb.Error):
+        con.execute(f"SELECT SUM(v) FROM read_parquet('{f}')").fetchone()
