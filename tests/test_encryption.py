@@ -97,6 +97,8 @@ except Exception as e:
 def enc_store(tmp_path_factory):
     if shutil.which("javac") is None or shutil.which("jar") is None:
         pytest.skip("no JDK on this machine")
+    if not glob.glob(os.path.join(SPARK_JARS, "parquet-hadoop-*.jar")):
+        pytest.skip(f"no Spark jar dir at {SPARK_JARS}")
     tmp = tmp_path_factory.mktemp("enc")
     build = tmp / "build"
     (build / "sparkgraft").mkdir(parents=True)
