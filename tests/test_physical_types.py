@@ -751,3 +751,70 @@ def test_float_special_grouping_keys_cross_engine(spark):
         ).fetchall()
     }
     assert duck == got
+
+
+def test_uuid_logical_type_boundary(spark, tmp_path):
+    """UUID logical type (FLBA-16 + UUID annotation), as written by
+    DuckDB/Postgres exports — a shape a shared lake WILL contain.
+    Probed contracts: Spark 4.1.2 REFUSES the column loudly
+    (PARQUET_TYPE_ILLEGAL), never silently misreads; pyarrow reads it
+    as fixed_size_binary[16]; DuckDB round-trips it. Ingestion path
+    for this engine: export as VARCHAR (CAST(u AS VARCHAR) in the
+    producer) or decode the 16 bytes via pyarrow — pinned so a Spark
+    upgrade that starts accepting UUID flips a named test and the
+    workaround note gets retired."""
+    import duckdb
+
+    f = str(tmp_path / "uuid.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT uuid() AS u, range AS k FROM range(5)) "
+        f"TO '{f}' (FORMAT PARQUET)"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+        spark.read.parquet(f).collect()
+    assert str(pq.read_schema(f).field("u").type) == "fixed_size_binary[16]"
+    assert con.execute(
+        f"SELECT COUNT(DISTINCT u) FROM read_parquet('{f}')"
+    ).fetchone() == (5,)
+    # the documented ingestion path: producer-side VARCHAR export
+    f2 = str(tmp_path / "uuid_str.parquet")
+    con.execute(
+        f"COPY (SELECT CAST(u AS VARCHAR) AS u, k FROM read_parquet('{f}')) "
+        f"TO '{f2}' (FORMAT PARQUET)"
+    )
+    assert spark.read.parquet(f2).count() == 5
+
+
+def test_float16_logical_type_boundary(spark, tmp_path):
+    """FLOAT16 logical type (FLBA-2, written by pyarrow for ML
+    half-precision exports): Spark 4.1.2 refuses LOUDLY
+    (PARQUET_TYPE_ILLEGAL) — but DuckDB 1.0 SILENTLY returns the raw
+    2-byte blobs (probed: 1.5 comes back as b'\\x00>'), the only
+    silent cross-engine misread in the repo's physical-type matrix.
+    Pinned so (a) a fixture generator can never slip FLOAT16 into the
+    oracle's path unnoticed, and (b) a DuckDB upgrade that starts
+    decoding halffloat (or erroring) flips a named test."""
+    import numpy as np
+
+    import duckdb
+    import pytest as _pytest
+
+    f = str(tmp_path / "f16.parquet")
+    pq.write_table(
+        pa.table(
+            {"k": [1, 2, 3],
+             "h": pa.array(np.array([1.5, 2.5, 3.5], dtype=np.float16))}
+        ),
+        f,
+    )
+    assert str(pq.read_schema(f).field("h").type) == "halffloat"
+    with _pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+        spark.read.parquet(f).collect()
+    got = duckdb.connect().execute(
+        f"SELECT h FROM read_parquet('{f}') ORDER BY k"
+    ).fetchall()
+    # the silent-blob misread, frozen exactly (little-endian f16 bytes)
+    assert got == [(b"\x00>",), (b"\x00A",), (b"\x00C",)], got
