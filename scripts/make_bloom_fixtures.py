@@ -26,8 +26,9 @@ then:
 Gates per table:
   1. bloom presence — parquet-mr's own footer reader
      (ParquetFileReader.getFooter, public API, via the Spark JVM)
-     reports a non-negative bloom offset for every requested column in
-     every data file;
+     reports a non-negative bloom offset for every (row group, column)
+     chunk of every requested column whose own encodings include PLAIN
+     (fully-dictionary chunks legitimately carry none);
   2. value parity — DuckDB order-insensitive row-hash sum over the
      rewritten directory equals the source (proving the rewrite, and a
      reader skipping the bloom payload, lose nothing).
@@ -64,31 +65,27 @@ BLOOM_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def bloom_offsets(spark, file_path: str) -> dict[str, int]:
-    """column name -> bloom filter offset for ``file_path``, via
-    parquet-mr's public footer API, across ALL row groups: the offset
-    reported is the column's minimum over row groups with -1 meaning
-    "absent in at least one row group" — gate 1 claims per-file
-    coverage, so a later row group missing its bloom must not hide
-    behind a bloom-bearing row group 0 (r15 review finding)."""
+def bloom_offsets(spark, file_path: str) -> dict[tuple[int, str], int]:
+    """(row_group_index, column name) -> bloom filter offset for
+    ``file_path``, via parquet-mr's public footer API. Per-chunk, never
+    merged: gate 1 decides bloom-required per (row group, column) chunk
+    against that chunk's OWN encodings (r16 review finding — a file
+    where one row group stays dictionary-only with no bloom while
+    another falls back to PLAIN with its bloom is legitimate, and the
+    old per-file merge falsely rejected it)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hp = jvm.org.apache.hadoop.fs.Path(file_path)
     infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf)
     reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
     try:
-        out: dict[str, int] = {}
+        out: dict[tuple[int, str], int] = {}
         blocks = reader.getFooter().getBlocks()
         for bi in range(blocks.size()):
             cols = blocks.get(bi).getColumns()
             for i in range(cols.size()):
                 c = cols.get(i)
-                name = c.getPath().toDotString()
-                off = c.getBloomFilterOffset()
-                if off < 0 or out.get(name, off) < 0:
-                    out[name] = -1
-                elif name not in out:
-                    out[name] = off
+                out[(bi, c.getPath().toDotString())] = c.getBloomFilterOffset()
         return out
     finally:
         reader.close()
@@ -121,33 +118,35 @@ def rewrite_table(spark, src_path: str, dst_dir: str, con=None) -> list[str]:
         w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(n_rows))
     w.parquet(dst_dir)
 
-    # gate 1: every data file carries a bloom on every requested column
-    # — EXCEPT fully-dictionary-encoded chunks, where parquet-mr
-    # deliberately omits the bloom because the dictionary page already
-    # gives exact row-group pruning (its documented write-side
-    # contract; observed: low-cardinality keys like orders.o_custkey at
-    # small SF stay dictionary-only and get no bloom). A chunk that
-    # FELL BACK to PLAIN data pages must carry one.
+    # gate 1: every (row group, column) CHUNK of every data file
+    # carries a bloom on every requested column — EXCEPT
+    # fully-dictionary-encoded chunks, where parquet-mr deliberately
+    # omits the bloom because the dictionary page already gives exact
+    # row-group pruning (its documented write-side contract; observed:
+    # low-cardinality keys like orders.o_custkey at small SF stay
+    # dictionary-only and get no bloom). The decision is per CHUNK
+    # against that chunk's own encodings: a file may legitimately mix a
+    # dictionary-only row group (no bloom) with a PLAIN-fallback row
+    # group (bloom present), and neither side may vouch for the other.
     for f in sorted(glob.glob(os.path.join(dst_dir, "part-*.parquet"))):
         offs = bloom_offsets(spark, f)
         if not offs:
             continue  # zero-row part file: no row groups, nothing to pin
         missing = []
         for c in cols:
-            if offs.get(c, -1) >= 0:
-                continue
-            encs = con.execute(
-                "SELECT encodings FROM parquet_metadata(?) "
+            for rg, encs in con.execute(
+                "SELECT row_group_id, encodings FROM parquet_metadata(?) "
                 "WHERE path_in_schema = ?",
                 [f, c],
-            ).fetchall()
-            tokens = {
-                t.strip() for e in encs for t in e[0].split(",")
-            }
-            if "PLAIN" in tokens:
-                missing.append(c)  # non-dict pages AND no bloom: a gap
+            ).fetchall():
+                if offs.get((rg, c), -1) >= 0:
+                    continue
+                tokens = {t.strip() for t in encs.split(",")}
+                if "PLAIN" in tokens:
+                    # this chunk has non-dict data pages AND no bloom
+                    missing.append((rg, c))
         if missing:
-            raise SystemExit(f"{f}: no bloom filter on {missing} ({offs})")
+            raise SystemExit(f"{f}: no bloom filter on chunks {missing} ({offs})")
 
     # gate 2: full-table value parity through the bloom-bearing layout
     cols_sql = ", ".join(

@@ -11,7 +11,9 @@ plain-namespace pure-Python protobuf 6.32.0 that parses pyspark's
 1. this process — sys.path + validator shim, applied directly;
 2. interpreters the JVM will spawn (TWS driver worker, executor state
    clients) — this directory is prepended to ``PYTHONPATH`` so its
-   ``sitecustomize`` runs at their startup; the env var is exported
+   ``sitecustomize`` runs at their startup (the shim then chain-loads
+   the next ``sitecustomize`` on sys.path, so a real system hook it
+   would otherwise shadow still executes); the env var is exported
    both before a JVM exists (inherited at launch) and into a live
    SparkContext's ``environment`` (merged into worker env by Spark's
    PythonWorkerFactory), so call order vs session creation never

@@ -66,7 +66,39 @@ def _install() -> None:
     _rv.ValidateProtobufRuntimeVersion = _lenient
 
 
+def _chain_next() -> None:
+    """Python's site machinery imports only the FIRST ``sitecustomize``
+    on sys.path — and pbcompat prepends this directory, so without help
+    this shim would silently shadow any real system sitecustomize and
+    whatever unrelated setup it performs (r16 review finding). Find the
+    next ``sitecustomize`` on sys.path that is NOT this file and run it,
+    so the system hook still executes."""
+    import importlib.machinery
+    import runpy
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for entry in sys.path:
+        try:
+            if os.path.abspath(entry or os.getcwd()) == here:
+                continue
+            spec = importlib.machinery.PathFinder.find_spec(
+                "sitecustomize", path=[entry or os.getcwd()]
+            )
+            if spec is not None and spec.origin:
+                runpy.run_path(spec.origin)
+                return
+        except Exception:
+            continue  # a broken candidate must not break interpreter start
+
+
 try:
     _install()
+    # Chain only when the site machinery imported us as the module named
+    # "sitecustomize" (fresh interpreter, system hook not yet run).
+    # pbcompat.ensure() replays this file via runpy into an ALREADY
+    # site-initialized process (__name__ == "<run_path>") — chaining
+    # there would run the system sitecustomize a second time.
+    if __name__ == "sitecustomize":
+        _chain_next()
 except Exception:
     pass

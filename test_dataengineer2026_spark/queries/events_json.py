@@ -22,6 +22,10 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+#: F9d staging dirs this process has registered an atexit reaper for —
+#: guards against stacking one atexit entry per variant_props call.
+_STAGE_DIRS_TO_REAP: set = set()
+
 
 @register(
     "F9_json_funcs",
@@ -162,10 +166,24 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # possible here; instead prune siblings left by DEAD processes.
     import hashlib
 
+    import shutil
+    import time
+
     stage_root = os.path.join(_REPO_ROOT, ".tmp", "variant_stage")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     try:
         for d in os.listdir(stage_root):
+            sib = os.path.join(stage_root, d)
+            # Age fallback FIRST (r16 review finding): a recycled pid can
+            # belong to an unrelated live process forever, so liveness
+            # alone keeps stale dirs for good. No legitimate staged store
+            # survives a day — the writing query reads it within minutes.
+            try:
+                if time.time() - os.path.getmtime(sib) > 24 * 3600:
+                    shutil.rmtree(sib, ignore_errors=True)
+                    continue
+            except OSError:
+                pass
             try:
                 pid = int(d.rsplit("-", 1)[-1])
             except ValueError:
@@ -175,16 +193,21 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 os.kill(pid, 0)
             except ProcessLookupError:
-                import shutil
-
-                shutil.rmtree(os.path.join(stage_root, d), ignore_errors=True)
+                shutil.rmtree(sib, ignore_errors=True)
             except PermissionError:
                 pass  # alive, owned elsewhere
     except FileNotFoundError:
         pass
-    out = os.path.join(
-        stage_root, f"{tag}-{os.getpid()}", "events_variant.parquet"
-    )
+    own_dir = os.path.join(stage_root, f"{tag}-{os.getpid()}")
+    if own_dir not in _STAGE_DIRS_TO_REAP:
+        # Best-effort self-cleanup at interpreter exit — by then every
+        # lazy read of the staged store has been collected. The age/pid
+        # prune above remains the backstop for hard kills.
+        import atexit
+
+        _STAGE_DIRS_TO_REAP.add(own_dir)
+        atexit.register(shutil.rmtree, own_dir, ignore_errors=True)
+    out = os.path.join(own_dir, "events_variant.parquet")
     staged = e.select(
         "event_id", "event_type", F.parse_json("props").alias("props_v")
     )

@@ -20,6 +20,9 @@ public class LocalWrapKMS implements KmsClient {
     String[] list = conf.getTrimmedStrings("parquet.encryption.key.list");
     for (String e : list) {
       String[] kv = e.split(":", 2);
+      if (kv.length != 2) {
+        throw new KeyAccessDeniedException("malformed key.list entry (want id:base64): " + e);
+      }
       masterKeys.put(kv[0], Base64.getDecoder().decode(kv[1]));
     }
   }

@@ -29,6 +29,13 @@ sys.path.insert(
 from make_bloom_fixtures import BLOOM_COLS, bloom_offsets, rewrite_table  # noqa: E402
 
 
+def _col_offs(offs: dict, name: str) -> list[int]:
+    """Per-chunk bloom offsets for one column, over a per-(row group,
+    column) map — bloom_offsets stopped merging across row groups in
+    r16 (the merge falsely rejected legitimate mixed files)."""
+    return [v for (_rg, c), v in offs.items() if c == name]
+
+
 #: Keys sit above 2^31 so every py4j probe crosses as a Java LONG —
 #: a small Python int maps to Java int and parquet-mr's hash(int)
 #: overload, which hashes differently than the INT64 column's
@@ -72,7 +79,8 @@ def test_bloom_written_and_functional(spark, tmp_path):
     _write_sparse_keys(spark, path)
     f = sorted(glob.glob(os.path.join(path, "part-*.parquet")))[0]
     offs = bloom_offsets(spark, f)
-    assert offs.get("k", -1) >= 0, f"no bloom on k: {offs}"
+    k_offs = _col_offs(offs, "k")
+    assert k_offs and all(v >= 0 for v in k_offs), f"no bloom on k: {offs}"
 
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
@@ -147,13 +155,15 @@ def test_bloom_fixture_writer_single_table(spark, tmp_path):
     assert used == list(BLOOM_COLS["orders"])
     f = sorted(glob.glob(os.path.join(dst, "part-*.parquet")))[0]
     offs = bloom_offsets(spark, f)
-    # the high-cardinality key carries a bloom; low-cardinality
-    # o_custkey may legitimately stay dictionary-only (no bloom, the
-    # dictionary prunes exactly) — the gate inside rewrite_table
-    # already adjudicated that via the chunk's encodings.
-    assert offs.get("o_orderkey", -1) >= 0, offs
+    # the high-cardinality key carries a bloom in every row group;
+    # low-cardinality o_custkey may legitimately stay dictionary-only
+    # (no bloom, the dictionary prunes exactly) — the gate inside
+    # rewrite_table already adjudicated that per chunk via each chunk's
+    # own encodings.
+    ok = _col_offs(offs, "o_orderkey")
+    assert ok and all(v >= 0 for v in ok), offs
     # and a column that did NOT ask for one doesn't pay for one
-    assert offs.get("o_orderstatus", -1) == -1
+    assert all(v == -1 for v in _col_offs(offs, "o_orderstatus")), offs
 
 
 def test_bloom_string_column_cross_engine(spark, tmp_path):
@@ -175,7 +185,8 @@ def test_bloom_string_column_cross_engine(spark, tmp_path):
         .parquet(path)
     )
     f = sorted(glob.glob(os.path.join(path, "part-*.parquet")))[0]
-    assert bloom_offsets(spark, f).get("doc_id", -1) >= 0
+    doc_offs = _col_offs(bloom_offsets(spark, f), "doc_id")
+    assert doc_offs and all(v >= 0 for v in doc_offs)
     back = spark.read.parquet(path)
     present = back.limit(1).collect()[0]["doc_id"]
     con = duckdb.connect()
