@@ -18,14 +18,6 @@ from test_dataengineer2026_spark.determinism import dsum, sql_dsum
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-
-#: F9d staging dirs this process has registered an atexit reaper for —
-#: guards against stacking one atexit entry per variant_props call.
-_STAGE_DIRS_TO_REAP: set = set()
-
 
 @register(
     "F9_json_funcs",
@@ -157,57 +149,13 @@ def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     e = tables.load(spark, sf_dir, "events")
-    # Stage under a per-(sf_dir, pid) directory: the hash disambiguates
-    # paths the old flattening collided ('/a/b_c' vs '/a/b/c'), and the
-    # pid keeps a concurrent replay/bench pair from overwriting each
-    # other's staged files mid-scan (r15 review finding). Returned
-    # DataFrames read the staged store LAZILY — the caller collects
-    # after this function returns — so cleanup of our own dir is not
-    # possible here; instead prune siblings left by DEAD processes.
-    import hashlib
+    # Per-(sf_dir, pid) staging with dead/stale-sibling pruning and an
+    # atexit reaper — see test_dataengineer2026_spark/staging.py for the
+    # full contract (r15 concurrent-replay finding + r16 age-fallback
+    # finding live there now, shared with S18).
+    from test_dataengineer2026_spark.staging import staged_dir
 
-    import shutil
-    import time
-
-    stage_root = os.path.join(_REPO_ROOT, ".tmp", "variant_stage")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    try:
-        for d in os.listdir(stage_root):
-            sib = os.path.join(stage_root, d)
-            # Age fallback FIRST (r16 review finding): a recycled pid can
-            # belong to an unrelated live process forever, so liveness
-            # alone keeps stale dirs for good. No legitimate staged store
-            # survives a day — the writing query reads it within minutes.
-            try:
-                if time.time() - os.path.getmtime(sib) > 24 * 3600:
-                    shutil.rmtree(sib, ignore_errors=True)
-                    continue
-            except OSError:
-                pass
-            try:
-                pid = int(d.rsplit("-", 1)[-1])
-            except ValueError:
-                continue
-            if pid == os.getpid():
-                continue
-            try:
-                os.kill(pid, 0)
-            except ProcessLookupError:
-                shutil.rmtree(sib, ignore_errors=True)
-            except PermissionError:
-                pass  # alive, owned elsewhere
-    except FileNotFoundError:
-        pass
-    own_dir = os.path.join(stage_root, f"{tag}-{os.getpid()}")
-    if own_dir not in _STAGE_DIRS_TO_REAP:
-        # Best-effort self-cleanup at interpreter exit — by then every
-        # lazy read of the staged store has been collected. The age/pid
-        # prune above remains the backstop for hard kills.
-        import atexit
-
-        _STAGE_DIRS_TO_REAP.add(own_dir)
-        atexit.register(shutil.rmtree, own_dir, ignore_errors=True)
-    out = os.path.join(own_dir, "events_variant.parquet")
+    out = os.path.join(staged_dir(sf_dir, "variant_stage"), "events_variant.parquet")
     staged = e.select(
         "event_id", "event_type", F.parse_json("props").alias("props_v")
     )

@@ -577,3 +577,48 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("min_ship"),
         F.max("l_shipdate").alias("max_ship"),
     )
+
+
+@register(
+    "S18_python_datasource_pdf",
+    oracle="SELECT doc_id, CAST(0 AS INTEGER) AS page, text FROM documents",
+    tags=("sources", "datasource", "pdf"),
+)
+def python_datasource_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: the PDF corpus as a first-class pluggable source/sink on
+    Spark 4's Python DataSource API (pyspark.sql.datasource) — the
+    engine-protocol packaging of the ingestion capability X1 proves by
+    UDF composition (spec basis TEST.md:26-34 ingestion, TEST.md:158-163
+    maintainable production component).
+
+    Full round-trip through BOTH halves of the API: documents rows are
+    written as one real PDF file each via the custom sink (task-parallel
+    renders, hidden temp names, two-phase commit with overwrite-in-commit
+    — sources/pdf_datasource.py), then read back through the custom
+    reader (driver-side partition PLANNING that lists but never reads
+    files, executor-side extraction). The oracle over the original
+    documents table proves the text layer survived the render→extract
+    round-trip byte-exactly, same contract as X1.
+
+    Scale posture: partition planning is O(listing) on the driver with
+    data movement zero; each reader task handles filesPerPartition files
+    (16 here → ~32 tasks at sf0.01, matching local[32]; the default 64
+    suits a real corpus); extraction is pure-Python per task but that IS
+    the workload (PDF bytes never benefit from codegen) and it
+    parallelizes per file exactly like the binaryFile+UDF path.
+    """
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusDataSource,
+    )
+    from test_dataengineer2026_spark.staging import staged_dir
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = os.path.join(staged_dir(sf_dir, "pdf_corpus"), "pdfs")
+    docs.write.format("pdfcorpus").mode("overwrite").save(corpus)
+    return (
+        spark.read.format("pdfcorpus")
+        .option("filesPerPartition", "16")
+        .load(corpus)
+    )

@@ -1,0 +1,83 @@
+"""Per-process staging directories for queries that must materialize an
+intermediate store (F9d's VARIANT parquet, S18's PDF corpus).
+
+Why this exists: some exhibits are round-trips by design — the query
+WRITES a store and reads it back, proving the format survives. The
+returned DataFrames read the staged store LAZILY (the caller collects
+after the query function returns), so the writing process cannot clean
+its own directory inline; and a concurrent replay/bench pair must never
+overwrite each other's staged files mid-scan. The contract here:
+
+* path = ``<repo>/.tmp/<kind>/<md5(sf_dir)[:10]>-<pid>`` — the hash
+  disambiguates sf paths the old flattening collided (``/a/b_c`` vs
+  ``/a/b/c``), the pid isolates concurrent processes;
+* sibling dirs are pruned when their owner is DEAD (``os.kill(pid, 0)``)
+  or when they are older than a day — the age fallback exists because a
+  recycled pid can belong to an unrelated live process forever, and no
+  legitimate staged store survives a day (the writing query reads it
+  within minutes);
+* an ``atexit`` reaper removes the current process's own dir at
+  interpreter exit, by which time every lazy read has been collected.
+
+At 100 TB none of this machinery exists — staged stores live in the
+lake with real lifecycle policies; this is sandbox hygiene only.
+"""
+
+from __future__ import annotations
+
+import atexit
+import hashlib
+import os
+import shutil
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Dirs this process has registered an atexit reaper for — guards
+#: against stacking one atexit entry per query call.
+_DIRS_TO_REAP: set[str] = set()
+
+#: Age beyond which a sibling staging dir is stale regardless of pid
+#: liveness (see module docstring).
+MAX_STAGE_AGE_SEC = 24 * 3600
+
+
+def _prune_siblings(root: str) -> None:
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for d in entries:
+        sib = os.path.join(root, d)
+        try:
+            if time.time() - os.path.getmtime(sib) > MAX_STAGE_AGE_SEC:
+                shutil.rmtree(sib, ignore_errors=True)
+                continue
+        except OSError:
+            pass
+        try:
+            pid = int(d.rsplit("-", 1)[-1])
+        except ValueError:
+            continue
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned elsewhere
+
+
+def staged_dir(sf_dir: str, kind: str) -> str:
+    """A private staging directory for (``sf_dir``, this process) under
+    ``<repo>/.tmp/<kind>/``, pruning dead/stale siblings and arming the
+    atexit reaper for our own dir. The dir itself is NOT created — the
+    writer (Spark, or a data source's commit) owns creation."""
+    root = os.path.join(_REPO_ROOT, ".tmp", kind)
+    _prune_siblings(root)
+    own = os.path.join(root, f"{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}-{os.getpid()}")
+    if own not in _DIRS_TO_REAP:
+        _DIRS_TO_REAP.add(own)
+        atexit.register(shutil.rmtree, own, ignore_errors=True)
+    return own

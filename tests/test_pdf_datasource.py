@@ -1,0 +1,134 @@
+"""S18: the Python DataSource API PDF corpus source/sink
+(test_dataengineer2026_spark/sources/pdf_datasource.py).
+
+Three layers, cheapest first: pure-Python partition planning (no Spark),
+the writer's two-phase commit protocol (no Spark), then the end-to-end
+register → write → read round-trip through a live session including the
+task-fan-out check.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from test_dataengineer2026_spark.sources.pdf_datasource import (
+    PdfCommit,
+    PdfCorpusDataSource,
+    PdfCorpusReader,
+    PdfCorpusWriter,
+)
+
+
+def _touch_pdfs(d, n):
+    for i in range(n):
+        (d / f"{i}.pdf").write_bytes(b"%PDF-fake")
+
+
+# ---------------------------------------------------------------- planning
+
+
+def test_partition_planning_chunks_and_order(tmp_path):
+    """10 files at filesPerPartition=3 -> partitions of 3/3/3/1, files
+    sorted, every file exactly once — the driver-side plan a 10M-file
+    corpus depends on."""
+    _touch_pdfs(tmp_path, 10)
+    r = PdfCorpusReader({"path": str(tmp_path), "filesperpartition": "3"})
+    parts = r.partitions()
+    assert [len(p.files) for p in parts] == [3, 3, 3, 1]
+    flat = [f for p in parts for f in p.files]
+    assert flat == sorted(flat)
+    assert len(set(flat)) == 10
+
+
+def test_partition_planning_skips_hidden_temps(tmp_path):
+    """In-flight writer temps (hidden .part-* names) are invisible to a
+    concurrent reader — the read half of the commit protocol."""
+    _touch_pdfs(tmp_path, 2)
+    (tmp_path / ".part-deadbeef-0.pdf.tmp").write_bytes(b"x")
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+    r = PdfCorpusReader({"path": str(tmp_path)})
+    flat = [f for p in r.partitions() for f in p.files]
+    assert len(flat) == 2 and all(f.endswith(".pdf") for f in flat)
+
+
+def test_reader_option_validation(tmp_path):
+    with pytest.raises(ValueError):
+        PdfCorpusReader({})
+    with pytest.raises(ValueError):
+        PdfCorpusReader({"path": str(tmp_path), "filesperpartition": "0"})
+
+
+# ------------------------------------------------------------ commit protocol
+
+
+def _fake_rows(*pairs):
+    return [T.Row(doc_id=i, text=t) for i, t in pairs]
+
+
+def test_two_phase_commit_promotes_only_on_commit(tmp_path):
+    w = PdfCorpusWriter({"path": str(tmp_path)}, overwrite=False)
+    msg = w.write(iter(_fake_rows((7, "seven"), (8, "eight"))))
+    assert isinstance(msg, PdfCommit) and len(msg.renames) == 2
+    # after write(): temps only, nothing visible
+    assert glob.glob(os.path.join(tmp_path, "*.pdf")) == []
+    assert len(glob.glob(os.path.join(tmp_path, ".part-*"))) == 2
+    w.commit([msg])
+    assert sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(tmp_path, "*.pdf"))
+    ) == ["7.pdf", "8.pdf"]
+    assert glob.glob(os.path.join(tmp_path, ".part-*")) == []
+    assert os.path.exists(os.path.join(tmp_path, "_SUCCESS"))
+
+
+def test_abort_leaves_no_visible_file(tmp_path):
+    w = PdfCorpusWriter({"path": str(tmp_path)}, overwrite=False)
+    msg = w.write(iter(_fake_rows((1, "one"))))
+    w.abort([msg, None])  # a failed task reports None
+    assert glob.glob(os.path.join(tmp_path, "*")) == []
+
+
+def test_overwrite_clears_stale_finals_in_commit_only(tmp_path):
+    stale = tmp_path / "99.pdf"
+    stale.write_bytes(b"%PDF-old")
+    w = PdfCorpusWriter({"path": str(tmp_path)}, overwrite=True)
+    msg = w.write(iter(_fake_rows((1, "one"))))
+    # plan/write time never deletes: a failed overwrite keeps old data
+    assert stale.exists()
+    w.commit([msg])
+    assert not stale.exists()
+    assert (tmp_path / "1.pdf").exists()
+
+
+def test_writer_schema_validation():
+    ds = PdfCorpusDataSource({"path": "/tmp/x"})
+    with pytest.raises(ValueError):
+        ds.writer(T.StructType([T.StructField("nope", T.StringType())]), False)
+
+
+# ---------------------------------------------------------------- end to end
+
+
+def test_round_trip_and_fanout(spark, tmp_path):
+    """write format("pdfcorpus") then read it back: values survive the
+    render→extract round-trip, and the read fans out across one task per
+    planned partition (spark_partition_id, JVM-side — no .rdd)."""
+    spark.dataSource.register(PdfCorpusDataSource)
+    docs = spark.createDataFrame(
+        [(i, f"Informe tecnico numero {i} (kt) 1.234,5") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    out = str(tmp_path / "corpus")
+    docs.write.format("pdfcorpus").mode("overwrite").save(out)
+    assert len(glob.glob(os.path.join(out, "*.pdf"))) == 20
+
+    back = spark.read.format("pdfcorpus").option("filesPerPartition", "5").load(out)
+    got = {(r["doc_id"], r["page"], r["text"]) for r in back.collect()}
+    want = {(i, 0, f"Informe tecnico numero {i} (kt) 1.234,5") for i in range(20)}
+    assert got == want
+    n_tasks = back.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_tasks == 4  # 20 files / 5 per partition
