@@ -179,7 +179,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 240
+EXPECTED_MIN_QUERIES = 241
 
 _loaded = False
 

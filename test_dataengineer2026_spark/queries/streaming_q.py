@@ -927,3 +927,109 @@ def checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_distinct"),
         dsum("value").alias("total_value"),
     )
+
+
+#: M16 verifies MORE than the funnel oracle: the state also persists the
+#: first-purchase event TIME (epoch-nanos), which the output rows never
+#: expose — so the oracle recomputes it with DuckDB's epoch_ns over the
+#: original events.
+_M16_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), first_purchase AS (
+  SELECT user_id, MIN(rn) AS fp_rn
+  FROM ordered WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT o.user_id,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN o.event_type = 'purchase' THEN 1 END) AS n_purchases,
+       MAX(CASE WHEN o.rn = f.fp_rn THEN epoch_ns(o.ts) END) AS first_purchase_ts_ns,
+       MAX(CASE WHEN o.rn = f.fp_rn THEN o.event_id END) AS first_purchase_id,
+       COUNT(CASE WHEN f.fp_rn IS NOT NULL AND o.rn < f.fp_rn THEN 1 END) AS n_before_first_purchase
+FROM ordered o LEFT JOIN first_purchase f USING (user_id)
+GROUP BY o.user_id
+"""
+
+
+@register(
+    "M16_statestore_reader",
+    oracle=_M16_ORACLE,
+    tags=("streaming", "stateful", "observability"),
+)
+def statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: the state-store READER — ``spark.read.format("statestore")``
+    over a transformWithState checkpoint, the observability half of the
+    spec's monitoring requirement (TEST.md:162): a stateful pipeline you
+    cannot inspect is a stateful pipeline you cannot debug at 3am.
+
+    The M6b funnel runs to completion (availableNow) into a noop sink
+    with a durable checkpoint; the query then reads the checkpoint's
+    ``funnel`` ValueState back as an ordinary batch DataFrame
+    (key struct + value struct + partition_id) and projects it to one
+    row per user. The DuckDB oracle recomputes the expected state from
+    the original events — including the first-purchase epoch-nanos the
+    funnel's OUTPUT rows never expose, so this certifies bytes that only
+    the state store carries.
+
+    Scale posture: the state source is a batch scan over the store's
+    files — one task per state partition, no replay of the input stream,
+    cost O(|state|) not O(|data|). That asymmetry is the whole point:
+    at 100 TB of ingested events the keyed state is gigabytes, and this
+    reader is how you audit it without touching the lake. The RocksDB
+    provider conf is set for the bounded run and restored (the reader
+    itself resolves the store format from checkpoint metadata and needs
+    no session conf)."""
+    apply_runtime_confs(spark)
+    import os
+
+    from test_dataengineer2026_spark import pbcompat
+    from test_dataengineer2026_spark.staging import staged_dir
+
+    if not pbcompat.ensure(spark):
+        raise RuntimeError(
+            "M16 needs a protobuf runtime to RUN the transformWithState "
+            "funnel whose checkpoint it reads (see M6b); none is "
+            "installed and the pbcompat fallback is unavailable"
+        )
+    ckpt = os.path.join(staged_dir(sf_dir, "statestore_stage"), "ckpt")
+    if not os.path.exists(os.path.join(ckpt, "commits")):
+        s = read_events_stream(spark, sf_dir)
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            result = s.groupBy("user_id").transformWithStateInPandas(
+                make_funnel_processor(),
+                outputStructType=FUNNEL_OUT_SCHEMA,
+                outputMode="update",
+                timeMode="none",
+            )
+            q = (
+                result.writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev_provider is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev_provider)
+    state = (
+        spark.read.format("statestore")
+        .option("stateVarName", "funnel")
+        .load(ckpt)
+    )
+    nulled = lambda c: F.when(F.col(c) >= 0, F.col(c))  # noqa: E731
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.n").alias("n_events"),
+        F.col("value.np").alias("n_purchases"),
+        nulled("value.fp_ts").alias("first_purchase_ts_ns"),
+        nulled("value.fp_id").alias("first_purchase_id"),
+        F.col("value.nb").alias("n_before_first_purchase"),
+    )

@@ -1579,3 +1579,64 @@ def test_transform_with_state_list_and_map_state(spark):
     assert got == want
     # multi-batch feed really exercised cross-batch folds
     assert sink.count() > final.count()
+
+
+def test_statestore_reader_exposes_tws_state(spark, tmp_path):
+    """M16 pin: ``spark.read.format("statestore")`` over a
+    transformWithState checkpoint returns EXACTLY the live per-user
+    ValueState (key struct + value struct, one row per user), and the
+    companion ``state-metadata`` source reports the operator's
+    state-variable inventory — the observability pair a platform team
+    points its debugging tools at. Both reads happen WITHOUT the
+    RocksDB provider conf set: the sources must resolve the store
+    format from checkpoint metadata alone."""
+    import json
+
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+
+    _tws_ready_or_skip(spark)
+    stage, land, schema, e = _stage_two_half_feed(spark, tmp_path)
+    land(1)  # whole feed in one run: final state == whole-stream answer
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        _run_tws_funnel_once(spark, schema, stage, ckpt, out)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    state = (
+        spark.read.format("statestore")
+        .option("stateVarName", "funnel")
+        .load(ckpt)
+    )
+    got = {
+        r["key"]["user_id"]: (
+            r["value"]["n"],
+            r["value"]["np"],
+            r["value"]["fp_id"] if r["value"]["fp_id"] >= 0 else None,
+            r["value"]["nb"],
+        )
+        for r in state.collect()
+    }
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["n_purchases"],
+            r["first_purchase_id"],
+            r["n_before_first_purchase"],
+        )
+        for r in _expected_funnel(spark, e).collect()
+    }
+    assert got == want
+
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1 and md[0]["operatorName"] == "transformWithStateInPandasExec"
+    props = json.loads(md[0]["operatorProperties"])
+    assert props["stateVariables"] == [
+        {"stateName": "funnel", "stateVariableType": "ValueState", "ttlEnabled": False}
+    ]
