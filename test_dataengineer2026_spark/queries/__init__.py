@@ -99,82 +99,72 @@ _MODULES = (
     "nested_q",
 )
 
-# ROUND-15 WINDOW: the 50 stalest greens, computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r14
-# (last-green-round histogram entering r15: r10=37, r11=50, r12=50,
-# r13=50, r14=50 — exactly the queue the r14 verdict prescribed:
-# 37 r10-vintage + the 13 oldest r11 names), with two judge-SANCTIONED
-# substitutions (r14 verdict items #4/#5): the NEW exhibits
-# F9d_variant_props (events.props stored as Spark 4 VARIANT through a
-# parquet round-trip) and M6b_transform_with_state_funnel (M6's funnel
-# on the transformWithStateInPandas successor API) — born this round,
-# so they must be driver-green in their birth round — displace the two
-# NEWEST stale names (P4_filter_like_regex, P5_distinct, the newest
-# r11 slots; the F2/J6/SQL24/N4-N6 precedent). The 37 r10 names clear
-# the r10 backlog completely.
+# ROUND-16 WINDOW: computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r15 at
+# r16 HEAD (last-green histogram entering r16: r11=39, r12=50, r13=50,
+# r14=50, r15=50). The two r16 newborns (S18_python_datasource_pdf,
+# M16_statestore_reader) have no green row yet, so the script sorts
+# them first — they must be driver-green in their birth round
+# (standing newborn-front-load precedent) and displace the two NEWEST
+# stale names (O1_sort, W7_scd2_dimension, the newest r12 slots;
+# queued for r17). The remaining 48 = the full 39-name r11 backlog
+# (including P4/P5, displaced by the r15 births) + the 9 oldest r12
+# names.
 #
-# ROUND-16 QUEUE: assuming this window goes green, the oldest vintage
-# left is r11 (39 names, incl. the displaced P4/P5) — run
+# ROUND-17 QUEUE: assuming this window goes green, the oldest vintage
+# left is r12 (incl. the displaced O1_sort + W7_scd2_dimension) — run
 # `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
-    # --- judge-sanctioned births (r14 verdict #4/#5): new exhibits
-    #     must earn a driver green in their birth round; they displace
-    #     the two newest stale r11 slots (P4_filter_like_regex,
-    #     P5_distinct — queued for r16) ---
-    "F9d_variant_props",
-    "M6b_transform_with_state_funnel",
-    # --- r10-vintage (37, clears the r10 backlog): graph, joins,
-    #     dedup/ANN, text analysis, curation, JSON, streaming state,
-    #     multimodal audio, SQL cohort, extraction, scan pruning ---
-    "GR3_connected_components",
-    "J6_left_anti_join",
-    "F2_regex_funcs",
-    "F14_nested_struct_ops",
-    "J17_asof_tolerance_join",
-    "D1_exact_dedup",
-    "D2_minhash_lsh",
-    "F10_vector_math",
-    "J12_similarity_join",
-    "J12c_ivf_ann",
-    "D5_embedding_neardup",
-    "D10_substring_span_dedup",
-    "T1_token_count",
-    "T2_lang_id",
-    "T5_tfidf_top_term",
-    "C1_corpus_curation",
-    "T14_zipf_rank",
-    "C2_stratified_sample",
-    "C4_chunk_documents",
-    "C5_pack_sequences",
-    "C6_decontaminate",
-    "F9_json_funcs",
-    "F9c_to_json",
-    "E6_markov_transitions",
-    "M4_session_window",
-    "M5_stream_dedup",
-    "M15_checkpoint_resume",
-    "MM7_audio_frame_features",
-    "SQL1_tpch_q3",
-    "SQL17_tpch_q12",
-    "SQL23_tpch_q20",
-    "SQL25_lateral_view_explode",
-    "SQL26_recursive_cte",
-    "X1_pdf_extract_text",
-    "S2_parquet_scan_pruned",
-    "S16_dynamic_partition_pruning",
-    "TS5_time_weighted_avg",
-    # --- r11-vintage (11 oldest): aggregation core + projections ---
-    "A2_global_agg",
-    "A3_count_distinct",
-    "A4_approx_count_distinct",
-    "A5_agg_filtered",
-    "A7_pivot",
-    "A8_collect_agg",
-    "A9_stats_agg",
-    "A10_mode_first_last",
-    "P1_project",
-    "P2_filter_predicate",
-    "P3_filter_null_semantics",
+    "M16_statestore_reader",
+    "S18_python_datasource_pdf",
+    "P4_filter_like_regex",
+    "P5_distinct",
+    "J2_left_outer_join",
+    "J3_right_outer_join",
+    "J4_full_outer_join",
+    "J5_left_semi_join",
+    "C10_boilerplate_removal",
+    "C12_leakage_free_split",
+    "C14_domain_quota_sample",
+    "E2_funnel_conversion",
+    "E4_event_path_trigrams",
+    "M6_stateful_funnel",
+    "M1_watermark_append",
+    "M10_stream_stream_join",
+    "M13_stream_stream_left_outer",
+    "MM2_frame_sample",
+    "MM4_png_decode",
+    "MM5_wav_decode",
+    "MM3_modality_router",
+    "MM6_perceptual_hash",
+    "MM8_image_neardup_bands",
+    "MM9_corrupt_quarantine",
+    "V4_python_udtf",
+    "V7_map_in_arrow",
+    "SQL2_correlated_subquery",
+    "SQL4_tpch_q5",
+    "SQL6_tpch_q18",
+    "SQL16_tpch_q9",
+    "SQL18_tpch_q13",
+    "SQL21_tpch_q21",
+    "SQL22_tpch_q2",
+    "S17_orc_roundtrip",
+    "TS1_gap_fill_locf",
+    "TS3_rolling_zscore_anomaly",
+    "TS4_ohlc_bars",
+    "TS6_dow_seasonal",
+    "DQ1_expectation_checks",
+    "DQ2_referential_integrity",
+    "DQ3_financial_reconciliation",
+    "ML2_grouped_ols",
+    "J8_theta_join",
+    "J11_cross_join",
+    "J13_self_join",
+    "J1b_salted_skew_join",
+    "J14_bloom_pruned_join",
+    "W2_lag_lead",
+    "W3_running_agg",
+    "W4_ntile_percent",
 )
 
 # Every name the registry must contain after load_all() — a deleted or

@@ -1640,3 +1640,237 @@ def test_statestore_reader_exposes_tws_state(spark, tmp_path):
     assert props["stateVariables"] == [
         {"stateName": "funnel", "stateVariableType": "ValueState", "ttlEnabled": False}
     ]
+
+
+def _land_one_file(spark, feed, i, rows, schema_str):
+    """Write ``rows`` as the feed's i-th single parquet file with a
+    monotonically increasing mtime (file-source pickup order)."""
+    import shutil
+
+    tmp = str(feed) + f"_tmp{i}"
+    spark.createDataFrame(rows, schema_str).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dst = os.path.join(str(feed), f"{i:02d}.parquet")
+    shutil.copy(os.path.join(tmp, part), dst)
+    os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    shutil.rmtree(tmp)
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """The TIMER half of the transformWithState API (M6b uses ValueState
+    only): an event-time session closer registers a per-user timer at
+    last_event + gap, DELETES and re-registers it when later batches
+    bring new events, and emits a close row from handleExpiredTimer once
+    the watermark passes the expiry. Everything is event-time, so the
+    fired set is a pure function of the data — deterministic under
+    availableNow with maxFilesPerTrigger=1:
+
+      file 0: users 1 (2 events), 2 (1 event)
+      file 1: user 2 again (re-register), user 3
+      file 2: far-future tick (user 99) that drags the watermark past
+              every real expiry
+
+    Expected: users 1-3 each close EXACTLY once with n == their total
+    events and closed_at == last_ts + gap; the tick user never closes
+    (nothing ever advances the watermark past ITS expiry)."""
+    import pandas as pd
+
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+
+    _tws_ready_or_skip(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    GAP_MS = 3_600_000
+
+    class SessionCloser(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.st = handle.getValueState("sess", "n long, last_ms long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            df = pd.concat(list(rows))
+            n0, _last0 = tuple(self.st.get()) if self.st.exists() else (0, -1)
+            last_ms = int(df["ts"].astype("int64").max() // 1_000_000)
+            self.st.update((n0 + len(df), last_ms))
+            for t in list(self.h.listTimers()):
+                self.h.deleteTimer(t)  # one live timer per key
+            self.h.registerTimer(last_ms + GAP_MS)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n, _last = tuple(self.st.get())
+            yield pd.DataFrame(
+                [{
+                    "user_id": key[0],
+                    "n_at_close": n,
+                    "closed_at_ms": expiredTimerInfo.getExpiryTimeInMs(),
+                }]
+            )
+
+        def close(self):
+            pass
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sch = "user_id long, ts timestamp"
+
+    def ts(s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    _land_one_file(spark, feed, 0, [(1, ts("2024-01-01 00:00:00")),
+                                    (1, ts("2024-01-01 00:05:00")),
+                                    (2, ts("2024-01-01 10:00:00"))], sch)
+    _land_one_file(spark, feed, 1, [(2, ts("2024-01-01 10:30:00")),
+                                    (3, ts("2024-01-02 00:00:00"))], sch)
+    _land_one_file(spark, feed, 2, [(99, ts("2024-03-01 00:00:00"))], sch)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        s = (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(feed))
+            .withWatermark("ts", "0 seconds")
+        )
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            SessionCloser(),
+            outputStructType="user_id long, n_at_close long, closed_at_ms long",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_timer_closes")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    got = {
+        r["user_id"]: (r["n_at_close"], r["closed_at_ms"])
+        for r in spark.table("tws_timer_closes").collect()
+    }
+    base = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC in ms
+    assert got == {
+        1: (2, base + 5 * 60_000 + GAP_MS),
+        2: (2, base + (10 * 60 + 30) * 60_000 + GAP_MS),
+        3: (1, base + 24 * 3_600_000 + GAP_MS),
+    }
+    # exactly once each, tick user silent
+    assert spark.table("tws_timer_closes").count() == 3
+
+
+def test_transform_with_state_ttl_expires_state(spark, tmp_path):
+    """The TTL half of the API: a ValueState declared with
+    ttlDurationMs must VANISH once processing time passes the TTL —
+    the next batch's st.exists() is False and the counter restarts,
+    unlike the no-TTL restart pins where state survives any pause.
+
+    Operational boundary discovered while building this pin (and the
+    reason for the trigger shape below): with timeMode="processingTime"
+    a query processes all data but neither Trigger.AvailableNow's
+    awaitTermination NOR processAllAvailable() ever returns (the
+    operator can always have future timers/TTL work), so bounded runs
+    here poll the sink for the batch's expected rows and then stop()
+    the query explicitly."""
+    import time
+
+    import pandas as pd
+
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+
+    _tws_ready_or_skip(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    TTL_MS = 2_000
+
+    class TtlCounter(StatefulProcessor):
+        def init(self, handle):
+            self.st = handle.getValueState("cnt", "n long", ttlDurationMs=TTL_MS)
+
+        def handleInputRows(self, key, rows, timerValues):
+            df = pd.concat(list(rows))
+            n0 = tuple(self.st.get())[0] if self.st.exists() else 0
+            self.st.update((n0 + len(df),))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n": n0 + len(df), "resumed_from": n0}]
+            )
+
+        def close(self):
+            pass
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sch = "user_id long, v long"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _sink_count():
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0  # sink dir not created yet
+
+    def run_once(expect_total):
+        s = spark.readStream.schema(sch).parquet(str(feed))
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            TtlCounter(),
+            outputStructType="user_id long, n long, resumed_from long",
+            outputMode="update",
+            timeMode="processingTime",
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda df, eid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while _sink_count() < expect_total:
+                if q.exception() is not None:
+                    raise q.exception()
+                assert time.monotonic() < deadline, "sink never filled"
+                time.sleep(0.5)
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        _land_one_file(spark, feed, 0, [(1, 10), (1, 11), (2, 20)], sch)
+        run_once(expect_total=2)  # one emission per user
+        time.sleep(TTL_MS / 1000 + 2)  # let every key's TTL lapse
+        _land_one_file(spark, feed, 1, [(1, 12), (2, 21)], sch)
+        run_once(expect_total=4)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    rows = {
+        (r["user_id"], r["n"], r["resumed_from"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    # run 1: fresh counters; run 2: state EXPIRED, so both users resume
+    # from 0 instead of accumulating (a no-TTL restart would give
+    # (1, 3, 2) / (2, 2, 1) — exactly what the restart pins assert).
+    assert rows == {(1, 2, 0), (2, 1, 0), (1, 1, 0), (2, 1, 0)}
