@@ -494,39 +494,52 @@ def main() -> None:
             100.0 * (steal1 - steal_all0) / (total1 - total_all0), 2
         )
     if prev:
-        out["delta_vs"] = prev["round"]
-        if keep > 0:
-            # A kept retry runs in the warm JVM, so its totals are not
-            # comparable to prior rounds' cold first-run records —
-            # emitting raw deltas here would read biased-low even with
-            # kept_attempt_warm set (r11 advisor, low). Suppress them;
-            # the honest cross-round comparator is the variance-band
-            # minima/medians, which the record already carries.
-            out["delta_note"] = (
-                "delta_sec/delta_total_sec suppressed: kept attempt is a "
-                "warm retry — compare variance-band minima instead"
-            )
-        elif prev.get("kept_attempt_warm"):
-            # Symmetric with the kept-retry case above, on the OTHER
-            # side of the comparison (r12 judge finding #2): the prior
-            # record itself was a warm kept-retry, so its totals are
-            # biased low and a raw delta against them misleads exactly
-            # when the retry armor worked. _latest_prior_bench already
-            # prefers clean comparators; this fires only when every
-            # prior record is warm.
-            out["delta_note"] = (
-                f"delta_sec/delta_total_sec suppressed: comparator "
-                f"BENCH_r{prev['round']} kept a warm retry — compare "
-                f"variance-band minima instead"
-            )
-        else:
-            out["delta_sec"] = {
-                q: round(timings[q] - prev["queries"][q], 3)
-                for q in timings
-                if q in prev.get("queries", {})
-            }
-            out["delta_total_sec"] = round(total - prev["value"], 3)
+        apply_delta_fields(out, keep, prev, timings, total)
     print(json.dumps(_compact(out)))
+
+
+def apply_delta_fields(
+    out: dict, keep: int, prev: dict, timings: dict, total: float
+) -> None:
+    """Cross-round delta policy, in one testable place: raw
+    delta_sec/delta_total_sec exist ONLY for a clean-cold vs clean-cold
+    comparison. A warm record on EITHER side (this round kept a retry,
+    keep > 0, or the comparator record carries kept_attempt_warm) gets a
+    delta_note instead — never raw deltas. tests/test_bench_policy.py
+    freezes this: a kept_attempt_warm record never populates
+    delta_total_sec (the r16 cold-anchor protocol, SCALE.md §24)."""
+    out["delta_vs"] = prev["round"]
+    if keep > 0:
+        # A kept retry runs in the warm JVM, so its totals are not
+        # comparable to prior rounds' cold first-run records —
+        # emitting raw deltas here would read biased-low even with
+        # kept_attempt_warm set (r11 advisor, low). Suppress them;
+        # the honest cross-round comparator is the variance-band
+        # minima/medians, which the record already carries.
+        out["delta_note"] = (
+            "delta_sec/delta_total_sec suppressed: kept attempt is a "
+            "warm retry — compare variance-band minima instead"
+        )
+    elif prev.get("kept_attempt_warm"):
+        # Symmetric with the kept-retry case above, on the OTHER
+        # side of the comparison (r12 judge finding #2): the prior
+        # record itself was a warm kept-retry, so its totals are
+        # biased low and a raw delta against them misleads exactly
+        # when the retry armor worked. _latest_prior_bench already
+        # prefers clean comparators; this fires only when every
+        # prior record is warm.
+        out["delta_note"] = (
+            f"delta_sec/delta_total_sec suppressed: comparator "
+            f"BENCH_r{prev['round']} kept a warm retry — compare "
+            f"variance-band minima instead"
+        )
+    else:
+        out["delta_sec"] = {
+            q: round(timings[q] - prev["queries"][q], 3)
+            for q in timings
+            if q in prev.get("queries", {})
+        }
+        out["delta_total_sec"] = round(total - prev["value"], 3)
 
 
 #: The driver captures only the LAST 2000 chars of bench output; round

@@ -382,3 +382,45 @@ def test_latest_prior_bench_warm_only_fallback(tmp_path):
     )
     prev = bench._latest_prior_bench(str(tmp_path))
     assert prev["round"] == 4 and not prev.get("kept_attempt_warm")
+
+
+def test_warm_kept_attempt_never_populates_raw_deltas():
+    """Cold-anchor protocol (SCALE.md §24): a record whose kept attempt
+    was a warm retry (keep > 0) must never carry delta_sec or
+    delta_total_sec — only the suppression note. A warm total compared
+    raw against a cold comparator reads biased-low exactly when the
+    retry armor worked."""
+    out = {}
+    prev = {"round": 8, "value": 12.179, "queries": {"A1": 1.0}}
+    bench.apply_delta_fields(out, keep=1, prev=prev, timings={"A1": 0.9}, total=9.0)
+    assert "delta_total_sec" not in out and "delta_sec" not in out
+    assert "warm retry" in out["delta_note"]
+    assert out["delta_vs"] == 8
+
+
+def test_warm_comparator_never_yields_raw_deltas():
+    """Symmetric half: a CLEAN current round compared against a prior
+    record that itself kept a warm retry also suppresses raw deltas."""
+    out = {}
+    prev = {
+        "round": 15,
+        "value": 10.154,
+        "queries": {"A1": 1.0},
+        "kept_attempt_warm": True,
+    }
+    bench.apply_delta_fields(out, keep=0, prev=prev, timings={"A1": 0.9}, total=9.0)
+    assert "delta_total_sec" not in out and "delta_sec" not in out
+    assert "BENCH_r15" in out["delta_note"]
+
+
+def test_clean_cold_vs_clean_cold_emits_raw_deltas():
+    """The only shape that earns raw deltas: keep == 0 on this side and
+    no kept_attempt_warm on the comparator."""
+    out = {}
+    prev = {"round": 13, "value": 14.0, "queries": {"A1": 1.0, "J1": 0.5}}
+    bench.apply_delta_fields(
+        out, keep=0, prev=prev, timings={"A1": 1.1, "J1": 0.4}, total=13.0
+    )
+    assert out["delta_total_sec"] == -1.0
+    assert out["delta_sec"] == {"A1": 0.1, "J1": -0.1}
+    assert "delta_note" not in out
