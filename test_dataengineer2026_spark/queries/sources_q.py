@@ -622,3 +622,43 @@ def python_datasource_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("filesPerPartition", "16")
         .load(corpus)
     )
+
+
+@register(
+    "S19_python_datasource_stream",
+    oracle="SELECT doc_id, CAST(0 AS INTEGER) AS page, text FROM documents",
+    tags=("sources", "datasource", "pdf", "streaming"),
+)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: the STREAMING half of the Python DataSource API
+    (DataSourceStreamReader) over the same PDF corpus as S18 — the
+    landing-zone shape TEST.md:65 implies: PDFs arrive continuously,
+    each micro-batch picks up exactly the files that landed since the
+    last committed offset.
+
+    Offsets are (mtime, name) watermarks over the landing directory;
+    latestOffset lists (never reads) on the driver, partitions() chunks
+    the fresh files filesPerPartition apiece, extraction runs on
+    executors — identical task shape to the batch reader, plus Spark's
+    offset log for exactly-once across restarts (pinned incrementally
+    in tests/test_pdf_datasource.py). The corpus is staged by the S18
+    custom SINK, so this query alone exercises writer + stream-reader
+    end-to-end; the oracle over the original documents proves the
+    landing->extract round trip byte-exact."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusDataSource,
+    )
+    from test_dataengineer2026_spark.staging import staged_dir
+    from test_dataengineer2026_spark.streaming.jobs import run_to_memory
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = os.path.join(staged_dir(sf_dir, "pdf_corpus_stream"), "pdfs")
+    docs.write.format("pdfcorpus").mode("overwrite").save(corpus)
+    s = (
+        spark.readStream.format("pdfcorpus")
+        .option("filesPerPartition", "16")
+        .load(corpus)
+    )
+    return run_to_memory(s, "s19_pdf_stream", "append")

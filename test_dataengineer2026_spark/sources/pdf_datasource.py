@@ -33,6 +33,16 @@ file, not per job — a reader listing mid-commit can see a prefix of the
 new corpus (the ``_SUCCESS`` marker is the ordinary convention for
 gating that). On a real object store the same protocol maps to
 multipart-upload + manifest commit.
+
+The STREAMING halves (S19) reuse both task bodies: the stream reader's
+offsets are (mtime, name) watermarks over the landing directory —
+``latestOffset`` lists on the driver, ``partitions(start, end)`` chunks
+exactly the files that landed in the range, extraction runs on
+executors, and Spark's offset log supplies exactly-once across
+restarts; the stream writer runs the batch writer's two-phase commit
+per micro-batch with a ``_batch_<id>_SUCCESS`` marker, idempotent under
+replays because re-rendered doc_ids land on the same final names
+atomically.
 """
 
 from __future__ import annotations
@@ -46,6 +56,8 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -161,9 +173,109 @@ class PdfCorpusWriter(DataSourceWriter):
                     pass
 
 
+def _list_corpus(path: str) -> list:
+    """All visible corpus files as ((mtime, basename), fullpath), sorted
+    by that key — the stream's total order. Landing protocol: files
+    arrive with nondecreasing mtimes (true of every staged feed in this
+    repo, and of real landing zones where arrival time IS mtime); a
+    backdated file behind the watermark is invisible, exactly like
+    Spark's own FileStreamSource once a file ages out of its log."""
+    out = []
+    for f in glob.glob(os.path.join(path, "*.pdf")):
+        st = os.stat(f)
+        out.append(((st.st_mtime, os.path.basename(f)), f))
+    out.sort()
+    return out
+
+
+class PdfCorpusStreamReader(DataSourceStreamReader):
+    """Streaming half of the source (S19): offsets are (mtime, name)
+    WATERMARKS over the landing directory, so a micro-batch is "every
+    file that landed after the last committed watermark". latestOffset
+    runs on the driver and only LISTS; partitions() chunks the new
+    files exactly like the batch reader; read() extracts on executors.
+    Exactly-once across restarts comes for free: Spark replays the
+    (start, end] offset range from its own offset log and this reader
+    is a pure function of that range."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pdfcorpus stream: .load(path) requires a directory")
+        self.files_per_partition = int(
+            options.get("filesperpartition", DEFAULT_FILES_PER_PARTITION)
+        )
+
+    @staticmethod
+    def _key(offset: dict) -> tuple:
+        return (offset.get("m", -1.0), offset.get("n", ""))
+
+    def initialOffset(self) -> dict:
+        return {"m": -1.0, "n": ""}  # before every real file
+
+    def latestOffset(self) -> dict:
+        files = _list_corpus(self.path)
+        if not files:
+            return self.initialOffset()
+        (m, n), _ = files[-1]
+        return {"m": m, "n": n}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = self._key(start), self._key(end)
+        fresh = [f for (k, f) in _list_corpus(self.path) if lo < k <= hi]
+        k = self.files_per_partition
+        parts = [
+            PdfFilesPartition(fresh[i : i + k]) for i in range(0, len(fresh), k)
+        ]
+        # an empty range still needs one (empty) partition: Spark plans
+        # a batch for every offset advance, data or not
+        return parts or [PdfFilesPartition([])]
+
+    def read(self, partition: PdfFilesPartition) -> Iterator[Tuple]:
+        return PdfCorpusReader(
+            {"path": self.path, "filesperpartition": str(self.files_per_partition)}
+        ).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # the landing dir is the source of truth; nothing to ack
+
+    def stop(self) -> None:
+        pass
+
+
+class PdfCorpusStreamWriter(DataSourceStreamWriter):
+    """Streaming sink: per-micro-batch two-phase commit, same protocol
+    as the batch writer (hidden temps from tasks, driver-side promote)
+    plus a per-batch ``_batch_<id>_SUCCESS`` marker. Replayed batches
+    are idempotent — a re-rendered doc_id lands on the same final name
+    via atomic os.replace."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pdfcorpus stream sink: requires a path option")
+        self._task_writer = PdfCorpusWriter(dict(options), overwrite=False)
+
+    def write(self, rows: Iterator[Row]) -> PdfCommit:
+        return self._task_writer.write(rows)
+
+    def commit(self, messages: List[Optional[PdfCommit]], batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final in m.renames:
+                os.replace(tmp, final)
+        with open(os.path.join(self.path, f"_batch_{batchId}_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages: List[Optional[PdfCommit]], batchId: int) -> None:
+        self._task_writer.abort(messages)
+
+
 class PdfCorpusDataSource(DataSource):
     """``spark.dataSource.register(PdfCorpusDataSource)`` →
-    ``spark.read.format("pdfcorpus")`` / ``df.write.format("pdfcorpus")``."""
+    ``spark.read.format("pdfcorpus")`` / ``df.write.format("pdfcorpus")``
+    (batch), ``spark.readStream`` / ``df.writeStream`` (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -182,3 +294,14 @@ class PdfCorpusDataSource(DataSource):
                 f"pdfcorpus sink needs doc_id + text columns, got {sorted(names)}"
             )
         return PdfCorpusWriter(self.options, overwrite)
+
+    def streamReader(self, schema: StructType) -> PdfCorpusStreamReader:
+        return PdfCorpusStreamReader(self.options)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> PdfCorpusStreamWriter:
+        names = set(schema.fieldNames())
+        if not {"doc_id", "text"} <= names:
+            raise ValueError(
+                f"pdfcorpus stream sink needs doc_id + text columns, got {sorted(names)}"
+            )
+        return PdfCorpusStreamWriter(self.options)

@@ -132,3 +132,142 @@ def test_round_trip_and_fanout(spark, tmp_path):
     assert got == want
     n_tasks = back.select(F.spark_partition_id().alias("p")).distinct().count()
     assert n_tasks == 4  # 20 files / 5 per partition
+
+
+# ------------------------------------------------------------- streaming
+
+
+def _utouch(d, name, mtime, content=b"%PDF-fake"):
+    p = d / name
+    p.write_bytes(content)
+    os.utime(p, (mtime, mtime))
+    return str(p)
+
+
+def test_stream_offsets_are_landing_watermarks(tmp_path):
+    """Pure offset arithmetic, no Spark: initialOffset precedes every
+    real file; latestOffset is the max (mtime, name); partitions over a
+    (start, end] range hold exactly the files that landed in between,
+    chunked filesPerPartition apiece; an empty advance still yields one
+    empty partition."""
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusStreamReader,
+    )
+
+    r = PdfCorpusStreamReader({"path": str(tmp_path), "filesperpartition": "2"})
+    o0 = r.initialOffset()
+    assert r.latestOffset() == o0  # empty dir: nothing to advance to
+
+    for i in range(3):
+        _utouch(tmp_path, f"{i}.pdf", 1_700_000_000 + i)
+    o1 = r.latestOffset()
+    assert o1 == {"m": 1_700_000_002, "n": "2.pdf"}
+
+    for i in range(3, 8):
+        _utouch(tmp_path, f"{i}.pdf", 1_700_000_100 + i)
+    o2 = r.latestOffset()
+
+    batch1 = [os.path.basename(f) for p in r.partitions(o0, o1) for f in p.files]
+    assert batch1 == ["0.pdf", "1.pdf", "2.pdf"]
+    parts2 = r.partitions(o1, o2)
+    assert [len(p.files) for p in parts2] == [2, 2, 1]
+    batch2 = [os.path.basename(f) for p in parts2 for f in p.files]
+    assert batch2 == [f"{i}.pdf" for i in range(3, 8)]
+    # no growth -> one empty partition, never a plan error
+    empty = r.partitions(o2, r.latestOffset())
+    assert len(empty) == 1 and empty[0].files == []
+
+
+def test_stream_incremental_pickup_across_restarts(spark, tmp_path):
+    """Exactly-once across restarts through Spark's offset log: run 1
+    (availableNow) consumes landing A; landing B arrives; run 2 on the
+    SAME checkpoint reads ONLY B — re-reading A would double rows,
+    losing the offset would drop B."""
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusDataSource,
+    )
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        s = spark.readStream.format("pdfcorpus").load(str(corpus))
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    for i in range(4):
+        _utouch(corpus, f"{i}.pdf", 1_700_000_000 + i, render_pdf(f"doc {i}"))
+    run_once()
+    assert spark.read.parquet(sink).count() == 4
+
+    for i in range(4, 6):
+        _utouch(corpus, f"{i}.pdf", 1_700_000_100 + i, render_pdf(f"doc {i}"))
+    run_once()
+    back = spark.read.parquet(sink)
+    assert back.count() == 6  # exactly once: 4 + 2, no replays, no drops
+    assert {r["text"] for r in back.collect()} == {f"doc {i}" for i in range(6)}
+
+
+def test_stream_writer_commits_per_batch(spark, tmp_path):
+    """DataSourceStreamWriter: each micro-batch's PDFs appear atomically
+    with a per-batch success marker; hidden temps never survive."""
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusDataSource,
+    )
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+
+    def land(i):
+        df = spark.createDataFrame(
+            [(i * 10 + j, f"texto {i}-{j}") for j in range(3)],
+            "doc_id long, text string",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"t{i}"))
+        part = next(
+            f for f in os.listdir(tmp_path / f"t{i}") if f.endswith(".parquet")
+        )
+        os.rename(tmp_path / f"t{i}" / part, feed / f"{i:02d}.parquet")
+        os.utime(feed / f"{i:02d}.parquet", (1_700_000_000 + i,) * 2)
+
+    land(0)
+    land(1)
+    sch = "doc_id long, text string"
+    s = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    q = (
+        s.writeStream.format("pdfcorpus")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    assert len(glob.glob(os.path.join(out, "*.pdf"))) == 6
+    markers = sorted(
+        os.path.basename(f) for f in glob.glob(os.path.join(out, "_batch_*"))
+    )
+    assert markers == ["_batch_0_SUCCESS", "_batch_1_SUCCESS"]
+    assert glob.glob(os.path.join(out, ".part-*")) == []
+    # round-trip: the batch reader sees exactly the streamed corpus
+    back = spark.read.format("pdfcorpus").load(str(out))
+    assert back.count() == 6
