@@ -95,6 +95,9 @@ class PdfCorpusReader(DataSourceReader):
         )
         if self.files_per_partition <= 0:
             raise ValueError("pdfcorpus: filesPerPartition must be positive")
+        # arrow=true returns one Arrow RecordBatch per task instead of
+        # per-row tuples (vectorized transfer; default stays tuples)
+        self.arrow = options.get("arrow", "false").lower() == "true"
 
     def partitions(self) -> Sequence[InputPartition]:
         """Driver-side plan: list (never read) ``*.pdf``, chunk into
@@ -107,16 +110,39 @@ class PdfCorpusReader(DataSourceReader):
         return [PdfFilesPartition(files[i : i + k]) for i in range(0, len(files), k)]
 
     def read(self, partition: PdfFilesPartition) -> Iterator[Tuple]:
-        # Import inside the task: this body runs in executor Python
-        # workers, and the extractor is pure stdlib (no native deps).
+        rows = self._extract(partition)
+        if not self.arrow:
+            yield from rows
+            return
+        # Arrow path: one RecordBatch per task instead of per-row tuple
+        # pickling — the transfer tier that matters once a partition
+        # holds thousands of pages (same asymmetry as pandas_udf vs
+        # row-at-a-time udf). Spark accepts Iterator[RecordBatch] from
+        # DataSourceReader.read natively; column order must match the
+        # declared schema.
+        import pyarrow as pa
+
+        cols = list(zip(*rows)) or [[], [], []]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], type=pa.int64()),
+                pa.array(cols[1], type=pa.int32()),
+                pa.array(cols[2], type=pa.string()),
+            ],
+            names=["doc_id", "page", "text"],
+        )
+
+    def _extract(self, partition: PdfFilesPartition) -> list:
         from test_dataengineer2026_spark.extraction.pdf import extract_pages
 
+        out = []
         for f in partition.files:
             doc_id = int(os.path.splitext(os.path.basename(f))[0])
             with open(f, "rb") as fh:
                 data = fh.read()
             for page, text in extract_pages(data):
-                yield (doc_id, page, text)
+                out.append((doc_id, page, text))
+        return out
 
 
 class PdfCorpusWriter(DataSourceWriter):

@@ -271,3 +271,40 @@ def test_stream_writer_commits_per_batch(spark, tmp_path):
     # round-trip: the batch reader sees exactly the streamed corpus
     back = spark.read.format("pdfcorpus").load(str(out))
     assert back.count() == 6
+
+
+def test_arrow_read_path_equals_tuple_path(spark, tmp_path):
+    """arrow=true returns one RecordBatch per task (vectorized transfer)
+    and must be row-identical to the default tuple path — same corpus,
+    same schema, same values, including an empty partition's zero-row
+    batch."""
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusDataSource,
+        PdfCorpusReader,
+        PdfFilesPartition,
+    )
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    out = tmp_path / "corpus"
+    out.mkdir()
+    for i in range(12):
+        (out / f"{i}.pdf").write_bytes(render_pdf(f"pagina {i}"))
+
+    def rows(arrow):
+        df = (
+            spark.read.format("pdfcorpus")
+            .option("filesPerPartition", "5")
+            .option("arrow", arrow)
+            .load(str(out))
+        )
+        assert df.schema.simpleString() == "struct<doc_id:bigint,page:int,text:string>"
+        return sorted((r["doc_id"], r["page"], r["text"]) for r in df.collect())
+
+    assert rows("true") == rows("false") and len(rows("true")) == 12
+
+    # zero-row partition yields a schema-correct empty batch, not a crash
+    r = PdfCorpusReader({"path": str(out), "arrow": "true"})
+    batches = list(r.read(PdfFilesPartition([])))
+    assert len(batches) == 1 and batches[0].num_rows == 0
+    assert batches[0].schema.names == ["doc_id", "page", "text"]
