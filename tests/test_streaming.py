@@ -1874,3 +1874,112 @@ def test_transform_with_state_ttl_expires_state(spark, tmp_path):
     # from 0 instead of accumulating (a no-TTL restart would give
     # (1, 3, 2) / (2, 2, 1) — exactly what the restart pins assert).
     assert rows == {(1, 2, 0), (2, 1, 0), (1, 1, 0), (2, 1, 0)}
+
+
+def test_statestore_reader_exposes_list_and_map_state(spark, tmp_path):
+    """M16's companion pin for the OTHER state kinds: the statestore
+    source reads ListState and MapState back in both shapes — flattened
+    (default: one row per list element / per map entry) and nested
+    (flattenCollectionTypes=false: one row per key carrying the whole
+    array / map). Values must equal what the processor folded."""
+    import pandas as pd
+
+    from test_dataengineer2026_spark.queries.streaming_q import _ROCKSDB_PROVIDER
+
+    _tws_ready_or_skip(spark)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _LM(StatefulProcessor):
+        def init(self, handle):
+            self.ids = handle.getListState("ids", "id long")
+            self.cnt = handle.getMapState("cnt", "k string", "v long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            df = pd.concat(list(rows))
+            self.ids.appendList([(int(i),) for i in df["v"]])
+            for t, n in df["t"].value_counts().items():
+                prev = (
+                    self.cnt.getValue((t,))[0]
+                    if self.cnt.containsKey((t,))
+                    else 0
+                )
+                self.cnt.updateValue((t,), (prev + int(n),))
+            yield pd.DataFrame([{"user_id": key[0], "n": len(df)}])
+
+        def close(self):
+            pass
+
+    feed = tmp_path / "feed"
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 11, "b"), (1, 12, "a"), (2, 20, "a")],
+        "user_id long, v long, t string",
+    ).coalesce(1).write.parquet(str(feed))
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        s = spark.readStream.schema("user_id long, v long, t string").parquet(
+            str(feed)
+        )
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            _LM(),
+            outputStructType="user_id long, n long",
+            outputMode="update",
+            timeMode="none",
+        )
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    # ListState, flattened: one row per element
+    flat = spark.read.format("statestore").option("stateVarName", "ids").load(ckpt)
+    got = sorted(
+        (r["key"]["user_id"], r["list_element"]["id"]) for r in flat.collect()
+    )
+    assert got == [(1, 10), (1, 11), (1, 12), (2, 20)]
+
+    # ListState, nested: whole array per key
+    nested = (
+        spark.read.format("statestore")
+        .option("stateVarName", "ids")
+        .option("flattenCollectionTypes", "false")
+        .load(ckpt)
+    )
+    arrays = {
+        r["key"]["user_id"]: sorted(e["id"] for e in r["list_value"])
+        for r in nested.collect()
+    }
+    assert arrays == {1: [10, 11, 12], 2: [20]}
+
+    # MapState, flattened: one row per (key, map-entry)
+    m = spark.read.format("statestore").option("stateVarName", "cnt").load(ckpt)
+    entries = sorted(
+        (r["key"]["user_id"], r["user_map_key"]["k"], r["user_map_value"]["v"])
+        for r in m.collect()
+    )
+    assert entries == [(1, "a", 2), (1, "b", 1), (2, "a", 1)]
+
+    # MapState, nested: whole map per key
+    mn = (
+        spark.read.format("statestore")
+        .option("stateVarName", "cnt")
+        .option("flattenCollectionTypes", "false")
+        .load(ckpt)
+    )
+    maps = {
+        r["key"]["user_id"]: {k["k"]: v["v"] for k, v in r["map_value"].items()}
+        for r in mn.collect()
+    }
+    assert maps == {1: {"a": 2, "b": 1}, 2: {"a": 1}}
