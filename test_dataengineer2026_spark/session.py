@@ -33,6 +33,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # ANSI off: we use try_cast explicitly where safety matters and want
     # permissive casts elsewhere (matches DuckDB TRY_CAST usage in oracles).
     "spark.sql.ansi.enabled": "false",
+    # Python DataSource filter pushdown (Spark 4.1, default off): the
+    # pdfcorpus reader implements pushFilters (doc_id file pruning) and
+    # Spark REFUSES to plan a pushFilters-bearing reader while this is
+    # false — so the conf is part of using the source at all, not a
+    # tuning knob (sources/pdf_datasource.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 #: Streaming disables AQE, so an un-tuned session would run every stateful

@@ -308,3 +308,94 @@ def test_arrow_read_path_equals_tuple_path(spark, tmp_path):
     batches = list(r.read(PdfFilesPartition([])))
     assert len(batches) == 1 and batches[0].num_rows == 0
     assert batches[0].schema.names == ["doc_id", "page", "text"]
+
+
+# ------------------------------------------------------------- pushdown
+
+
+def test_pushdown_prunes_files_by_doc_id(tmp_path):
+    """pushFilters (Spark 4.1): doc_id EqualTo/In predicates prune the
+    file list at plan time — AND semantics intersect probes; everything
+    else is yielded back for Spark to evaluate post-scan."""
+    from pyspark.sql.datasource import EqualTo, In, StringContains
+
+    _touch_pdfs(tmp_path, 10)
+    r = PdfCorpusReader({"path": str(tmp_path)})
+    text_f = StringContains(("text",), "kt")
+    leftover = list(
+        r.pushFilters([EqualTo(("doc_id",), 7), In(("doc_id",), (5, 7, 9)), text_f])
+    )
+    assert leftover == [text_f]  # same object, yielded back by reference
+    flat = [os.path.basename(f) for p in r.partitions() for f in p.files]
+    assert flat == ["7.pdf"]  # {7} ∩ {5,7,9}
+
+    # contradictory probes prune everything — zero partitions, no error
+    r2 = PdfCorpusReader({"path": str(tmp_path)})
+    list(r2.pushFilters([EqualTo(("doc_id",), 1), EqualTo(("doc_id",), 2)]))
+    assert [f for p in r2.partitions() for f in p.files] == []
+
+    # an EqualTo on another column is NOT handled
+    r3 = PdfCorpusReader({"path": str(tmp_path)})
+    other = EqualTo(("page",), 0)
+    assert list(r3.pushFilters([other])) == [other]
+    assert len([f for p in r3.partitions() for f in p.files]) == 10
+
+
+def test_pushdown_engages_end_to_end(spark, tmp_path):
+    """Behavioral proof the pruning really runs inside a query: the
+    corpus contains a file whose stem is not an integer — any reader
+    task that OPENS it dies on int(). A doc_id-filtered query succeeds
+    (the poison file is pruned at plan time) and returns exactly the
+    probed rows; an unfiltered query over the same corpus fails."""
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    out = tmp_path / "corpus"
+    out.mkdir()
+    for i in range(6):
+        (out / f"{i}.pdf").write_bytes(render_pdf(f"pagina {i}"))
+    (out / "poison.pdf").write_bytes(b"%PDF-garbage")
+
+    def fresh():
+        return spark.read.format("pdfcorpus").load(str(out))
+
+    got = fresh().filter("doc_id IN (2, 4)").collect()
+    assert sorted((r["doc_id"], r["text"]) for r in got) == [
+        (2, "pagina 2"),
+        (4, "pagina 4"),
+    ]
+    with pytest.raises(Exception):
+        fresh().collect()  # no pushdown -> the poison file is opened
+
+
+def test_pushdown_scan_is_cached_per_load_handle(spark, tmp_path):
+    """ENGINE BOUNDARY pin (Spark 4.1 Python DataSource): the scan of a
+    ``load()`` DataFrame is planned ONCE and reused by every later
+    action on that handle — pushFilters/partitions never re-run. So a
+    PUSHED query followed by a WEAKER query on the same handle silently
+    keeps the pruned file set, while the reverse order stays correct
+    (an unpushed cached scan + Spark's post-scan Filter). The safe
+    idiom — a fresh load() per query — is what every query in this repo
+    uses. If a Spark upgrade starts re-planning per action, the first
+    assertion below flips and this pin tells us the workaround can go."""
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    out = tmp_path / "corpus"
+    out.mkdir()
+    for i in range(5):
+        (out / f"{i}.pdf").write_bytes(render_pdf(f"pagina {i}"))
+
+    # pushed-first handle: the later, weaker query reuses the pruned scan
+    d1 = spark.read.format("pdfcorpus").load(str(out))
+    assert [r["doc_id"] for r in d1.filter("doc_id = 3").collect()] == [3]
+    assert sorted(r["doc_id"] for r in d1.collect()) == [3]  # the boundary
+
+    # widest-first handle: every later filter stays correct (post-scan)
+    d2 = spark.read.format("pdfcorpus").load(str(out))
+    assert sorted(r["doc_id"] for r in d2.collect()) == [0, 1, 2, 3, 4]
+    assert [r["doc_id"] for r in d2.filter("doc_id = 1").collect()] == [1]
+
+    # fresh handle per query: always correct
+    d3 = spark.read.format("pdfcorpus").load(str(out))
+    assert sorted(r["doc_id"] for r in d3.collect()) == [0, 1, 2, 3, 4]
