@@ -103,13 +103,14 @@ _MODULES = (
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r15 at
 # r16 HEAD (last-green histogram entering r16: r11=39, r12=50, r13=50,
 # r14=50, r15=50). The two r16 newborns (S18_python_datasource_pdf,
-# M16_statestore_reader, and S19_python_datasource_stream, born after
-# the first rotation pass) have no green row yet and must be
-# driver-green in their birth round (standing newborn-front-load
-# precedent); they displace the three NEWEST stale names (O1_sort,
-# W7_scd2_dimension, W4_ntile_percent — the newest r12 slots, queued
-# for r17). The remaining 47 = the full 39-name r11 backlog (including
-# P4/P5, displaced by the r15 births) + the 8 oldest r12 names.
+# M16_statestore_reader, S19_python_datasource_stream, and
+# SQL28_sql_scripting, born after the first rotation pass) have no
+# green row yet and must be driver-green in their birth round
+# (standing newborn-front-load precedent); they displace the four
+# NEWEST stale names (O1_sort, W7_scd2_dimension, W4_ntile_percent,
+# W3_running_agg — the newest r12 slots, queued for r17). The
+# remaining 46 = the full 39-name r11 backlog (including P4/P5,
+# displaced by the r15 births) + the 7 oldest r12 names.
 #
 # ROUND-17 QUEUE: assuming this window goes green, the oldest vintage
 # left is r12 (incl. the displaced O1_sort + W7_scd2_dimension) — run
@@ -117,6 +118,7 @@ _MODULES = (
 DRIVER_PRIORITY = (
     "M16_statestore_reader",
     "S19_python_datasource_stream",
+    "SQL28_sql_scripting",
     "S18_python_datasource_pdf",
     "P4_filter_like_regex",
     "P5_distinct",
@@ -164,12 +166,11 @@ DRIVER_PRIORITY = (
     "J1b_salted_skew_join",
     "J14_bloom_pruned_join",
     "W2_lag_lead",
-    "W3_running_agg",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 242
+EXPECTED_MIN_QUERIES = 243
 
 _loaded = False
 

@@ -920,3 +920,70 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL26)
+
+
+@register(
+    "SQL28_sql_scripting",
+    oracle=f"""
+WITH cut AS (SELECT MAX(l_extendedprice) * 0.5 AS c FROM lineitem)
+SELECT l_returnflag,
+       CASE WHEN (SELECT c FROM cut) > 1000 THEN 'high' ELSE 'low' END AS band,
+       COUNT(*) AS n_above,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty_above,
+       {_dsum_rev()} AS rev_above
+FROM lineitem
+WHERE l_extendedprice > (SELECT c FROM cut)
+GROUP BY l_returnflag
+""",
+    tags=("sql", "scripting"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL28: Spark 4 SQL SCRIPTING (``spark.sql.scripting.enabled``) —
+    a BEGIN...END compound with DECLAREd session variables, a SET from
+    a scalar subquery, and an IF/ELSE branch feeding the final SELECT,
+    which is the script's result. This is the procedural surface a
+    migration off a stored-procedure warehouse lands on; the oracle
+    recomputes the same logic relationally (scalar-subquery CTE +
+    CASE), proving the scripted control flow changes orchestration,
+    not answers.
+
+    Determinism note: the threshold is MAX(l_extendedprice) * 0.5 —
+    MAX is exact and halving a binary double is exact, so both engines
+    filter on the bit-identical cutoff (an AVG-based threshold could
+    straddle a 1-ulp boundary row between engines). Aggregates follow
+    the repo's exact-decimal convention.
+
+    Scale posture: the script body is ordinary Catalyst plans — the
+    scalar subquery is one tiny aggregate, the final SELECT one
+    scan+hash-agg; scripting adds driver-side control flow only, no
+    new distributed machinery."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            f"""
+BEGIN
+  DECLARE cutoff DOUBLE DEFAULT 0.0;
+  DECLARE band STRING DEFAULT 'low';
+  SET cutoff = (SELECT MAX(l_extendedprice) * 0.5 FROM lineitem);
+  IF cutoff > 1000 THEN
+    SET band = 'high';
+  END IF;
+  SELECT l_returnflag,
+         band,
+         COUNT(*) AS n_above,
+         CAST(SUM(l_quantity) AS BIGINT) AS qty_above,
+         {_dsum_rev()} AS rev_above
+  FROM lineitem
+  WHERE l_extendedprice > cutoff
+  GROUP BY l_returnflag;
+END
+"""
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
