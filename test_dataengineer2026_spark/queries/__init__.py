@@ -102,9 +102,10 @@ _MODULES = (
 # ROUND-16 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r15 at
 # r16 HEAD (last-green histogram entering r16: r11=39, r12=50, r13=50,
-# r14=50, r15=50). The two r16 newborns (S18_python_datasource_pdf,
-# M16_statestore_reader, S19_python_datasource_stream, and
-# SQL28_sql_scripting, born after the first rotation pass) have no
+# r14=50, r15=50). The four r16 newborns (S18_python_datasource_pdf,
+# M16_statestore_reader, S19_python_datasource_stream,
+# SQL28_sql_scripting — the latter two born after the first rotation
+# pass) have no
 # green row yet and must be driver-green in their birth round
 # (standing newborn-front-load precedent); they displace the four
 # NEWEST stale names (O1_sort, W7_scd2_dimension, W4_ntile_percent,
@@ -113,7 +114,8 @@ _MODULES = (
 # displaced by the r15 births) + the 7 oldest r12 names.
 #
 # ROUND-17 QUEUE: assuming this window goes green, the oldest vintage
-# left is r12 (incl. the displaced O1_sort + W7_scd2_dimension) — run
+# left is r12 (incl. the displaced O1_sort, W7_scd2_dimension,
+# W4_ntile_percent, W3_running_agg) — run
 # `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
     "M16_statestore_reader",
