@@ -102,25 +102,29 @@ _MODULES = (
 # ROUND-16 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r15 at
 # r16 HEAD (last-green histogram entering r16: r11=39, r12=50, r13=50,
-# r14=50, r15=50). The four r16 newborns (S18_python_datasource_pdf,
-# M16_statestore_reader, S19_python_datasource_stream,
-# SQL28_sql_scripting — the latter two born after the first rotation
-# pass) have no
-# green row yet and must be driver-green in their birth round
-# (standing newborn-front-load precedent); they displace the four
-# NEWEST stale names (O1_sort, W7_scd2_dimension, W4_ntile_percent,
-# W3_running_agg — the newest r12 slots, queued for r17). The
-# remaining 46 = the full 39-name r11 backlog (including P4/P5,
-# displaced by the r15 births) + the 7 oldest r12 names.
+# r14=50, r15=50). The EIGHT r16 newborns (S18_python_datasource_pdf,
+# S19_python_datasource_stream, M16_statestore_reader,
+# SQL28_sql_scripting, SQL29_execute_immediate, V9_apply_in_arrow,
+# V10_class_udtf, V11_polymorphic_udtf) have no green row yet and must
+# be driver-green in their birth round (standing newborn-front-load
+# precedent); they displace the eight NEWEST stale names (O1_sort,
+# W7_scd2_dimension, W4_ntile_percent, W3_running_agg, W2_lag_lead,
+# J14_bloom_pruned_join, J1b_salted_skew_join, J13_self_join — the
+# newest r12 slots, queued for r17). The remaining 42 = the full
+# 39-name r11 backlog (including P4/P5, displaced by the r15 births)
+# + the 3 oldest r12 names.
 #
 # ROUND-17 QUEUE: assuming this window goes green, the oldest vintage
-# left is r12 (incl. the displaced O1_sort, W7_scd2_dimension,
-# W4_ntile_percent, W3_running_agg) — run
+# left is r12 (incl. the eight displaced names above) — run
 # `python scripts/next_window.py --stale` next round.
 DRIVER_PRIORITY = (
     "M16_statestore_reader",
     "S19_python_datasource_stream",
     "SQL28_sql_scripting",
+    "SQL29_execute_immediate",
+    "V9_apply_in_arrow",
+    "V10_class_udtf",
+    "V11_polymorphic_udtf",
     "S18_python_datasource_pdf",
     "P4_filter_like_regex",
     "P5_distinct",
@@ -164,15 +168,11 @@ DRIVER_PRIORITY = (
     "ML2_grouped_ols",
     "J8_theta_join",
     "J11_cross_join",
-    "J13_self_join",
-    "J1b_salted_skew_join",
-    "J14_bloom_pruned_join",
-    "W2_lag_lead",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 243
+EXPECTED_MIN_QUERIES = 247
 
 _loaded = False
 

@@ -987,3 +987,48 @@ END
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@register(
+    "SQL29_execute_immediate",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 100000.0
+GROUP BY o_orderpriority
+""",
+    tags=("sql", "dynamic"),
+)
+def execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL29: DYNAMIC SQL — a statement template held in a session
+    VARIABLE (DECLARE/SET VAR), executed with EXECUTE IMMEDIATE, its
+    table name bound through IDENTIFIER(:tbl) and its predicate through
+    a named parameter marker (:cutoff). This is the safe-templating
+    surface a multi-tenant platform needs: IDENTIFIER() confines the
+    binding to a real identifier (no string-splice injection) and
+    parameter markers keep values out of the SQL text entirely.
+
+    The oracle recomputes the bound statement statically — dynamic
+    binding must change nothing about the answer. Exact-decimal SUM per
+    the repo convention.
+
+    Scale posture: EXECUTE IMMEDIATE is pure driver-side resolution —
+    the inner statement plans into the ordinary scan + hash aggregate
+    it would be if written literally."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE sql29_stmt STRING")
+    spark.sql(
+        """SET VAR sql29_stmt =
+  'SELECT o_orderpriority,
+          COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,6)) AS DOUBLE) AS total
+   FROM IDENTIFIER(:tbl)
+   WHERE o_totalprice > :cutoff
+   GROUP BY o_orderpriority'"""
+    )
+    return spark.sql(
+        "EXECUTE IMMEDIATE sql29_stmt USING 'orders' AS tbl, 100000.0 AS cutoff"
+    )

@@ -301,3 +301,174 @@ def cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "V9_apply_in_arrow",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(MAX(l_quantity) - MIN(l_quantity) AS BIGINT) AS qty_range,
+       CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT)
+         AS qty_line_dot
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("udf", "applyInArrow"),
+)
+def apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V9: ``groupBy().applyInArrow`` (Spark 4.0) — the Arrow-NATIVE
+    grouped-map tier: the task function receives each group as a
+    ``pyarrow.Table`` and computes with ``pyarrow.compute`` kernels, no
+    pandas materialization at all (V2's applyInPandas pays the
+    Arrow->pandas->Arrow round-trip; this skips both conversions). The
+    per-group aggregate here (count, quantity range, an integer dot
+    product) is deliberately exactly-representable so the oracle hash
+    is bitwise: every kernel runs over int64.
+
+    Scale posture: same shuffle as any grouped map (hash partition by
+    key), Arrow columns flow zero-copy from the JVM; the right tier for
+    group-wise NUMERIC kernels at 100 TB where pandas per-group
+    overhead (index allocation, block consolidation) measurably taxes
+    small groups."""
+    apply_runtime_confs(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_linenumber"
+    )
+
+    def group_stats(table: pa.Table) -> pa.Table:
+        qty = pc.cast(table["l_quantity"], pa.int64())
+        line = pc.cast(table["l_linenumber"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": [table["l_returnflag"][0].as_py()],
+                "n_rows": [table.num_rows],
+                "qty_range": [
+                    pc.subtract(pc.max(qty), pc.min(qty)).as_py()
+                ],
+                "qty_line_dot": [pc.sum(pc.multiply(qty, line)).as_py()],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInArrow(
+        group_stats,
+        schema="l_returnflag string, n_rows long, qty_range long, qty_line_dot long",
+    )
+
+
+#: One truth for BOTH chunking surfaces: V4 (array-returning pandas UDF
+#: + posexplode) and V10 (the real class-based @udtf) register the SAME
+#: oracle, so the two implementations are pinned to agree — the M6/M6b
+#: two-surfaces-one-fold pattern applied to the UDTF API.
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+), chunks AS (
+  SELECT doc_id, g.i AS chunk_idx,
+         array_to_string(tok[g.i * 10 + 1 : g.i * 10 + 10], ' ') AS chunk_text
+  FROM toks, unnest(generate_series(0, 200)) AS g(i)
+  WHERE g.i * 10 < len(tok)
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text
+FROM chunks
+"""
+
+
+@register(
+    "V10_class_udtf",
+    oracle=_CHUNK_ORACLE,
+    tags=("udf", "udtf"),
+)
+def class_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V10: the REAL Python UDTF API (Spark 3.5/4.x ``@udtf`` class,
+    ``spark.udtf.register``, SQL LATERAL invocation) computing V4's
+    exact chunking — V4 exhibits the same one-to-many generation as an
+    array UDF + posexplode, and the shared oracle pins the two surfaces
+    to identical output. Arrow-batched transfer is enabled for the UDTF
+    (eval is still row-logical; the batching is the wire tier).
+
+    Scale posture: a UDTF is a per-partition generator — no shuffle is
+    introduced by the LATERAL; output cardinality (~tokens/10 per doc)
+    is the workload, identical to V4's."""
+    apply_runtime_confs(spark)
+    from pyspark.sql.functions import udtf
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="chunk_idx int, chunk_text string")
+    class SplitChunks:
+        def eval(self, text: str):
+            tok = text.split(" ")
+            for i in range(0, len(tok), 10):
+                yield (i // 10, " ".join(tok[i : i + 10]))
+
+    spark.udtf.register("split_chunks_v10", SplitChunks)
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView("v10_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text "
+        "FROM v10_docs d, LATERAL split_chunks_v10(d.text) c"
+    )
+
+
+@register(
+    "V11_polymorphic_udtf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(g.i - 1 AS INTEGER) AS pos,
+       tok[g.i] AS tok_0,
+       tok[g.i + 1] AS tok_1
+FROM toks, unnest(generate_series(1, len(tok) - 1)) AS g(i)
+""",
+    tags=("udf", "udtf", "polymorphic"),
+)
+def polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V11: POLYMORPHIC Python UDTF — the static ``analyze()`` hook
+    (pyspark.sql.udtf.AnalyzeArgument/AnalyzeResult) computes the
+    output schema at plan time from a CONSTANT argument: ``ngrams(text,
+    n)`` emits columns tok_0..tok_{n-1}, so the same function serves
+    bigram and trigram extraction with a schema Catalyst knows
+    statically. This is the schema-from-arguments half of the UDTF API
+    that a fixed returnType cannot express (the n-gram family is the
+    repo's bread and butter — T-family shingles, D3 Jaccard — here as
+    a reusable table function).
+
+    The query runs n=2 over documents; the oracle recomputes bigrams
+    relationally. analyze() asserts the argument is a foldable constant
+    — a column-dependent n would make the schema data-dependent, which
+    the API (and relational algebra) forbids."""
+    apply_runtime_confs(spark)
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf
+    class NGrams:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or not isinstance(n.value, int):
+                raise ValueError("ngrams(text, n): n must be a constant int")
+            fields = [
+                StructField(f"tok_{i}", StringType()) for i in range(n.value)
+            ]
+            return AnalyzeResult(
+                StructType([StructField("pos", IntegerType())] + fields)
+            )
+
+        def eval(self, text: str, n: int):
+            tok = text.split(" ")
+            for i in range(len(tok) - n + 1):
+                yield (i, *tok[i : i + n])
+
+    spark.udtf.register("ngrams_v11", NGrams)
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView("v11_docs")
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.tok_0, g.tok_1 "
+        "FROM v11_docs d, LATERAL ngrams_v11(d.text, 2) g"
+    )
