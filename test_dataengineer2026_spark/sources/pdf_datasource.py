@@ -55,6 +55,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
@@ -252,6 +253,34 @@ class PdfCorpusWriter(DataSourceWriter):
                     pass
 
 
+class PdfCorpusArrowWriter(PdfCorpusWriter, DataSourceArrowWriter):
+    """Arrow tier of the sink (``arrow=true`` write option, mirroring
+    the reader's): tasks receive ``pyarrow.RecordBatch``es instead of
+    Row iterators — no per-row pickling on the wire. Same temp-name
+    two-phase commit as the row writer (commit/abort inherited);
+    Spark picks the Arrow protocol because this class IS a
+    DataSourceArrowWriter."""
+
+    def write(self, batches) -> PdfCommit:
+        from test_dataengineer2026_spark.extraction.pdf import render_pdf
+
+        os.makedirs(self.path, exist_ok=True)
+        task_tag = uuid.uuid4().hex
+        renames: List[Tuple[str, str]] = []
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            for doc_id, text in zip(ids, texts):
+                final = os.path.join(self.path, f"{int(doc_id)}.pdf")
+                tmp = os.path.join(
+                    self.path, f".part-{task_tag}-{len(renames)}.pdf.tmp"
+                )
+                with open(tmp, "wb") as fh:
+                    fh.write(render_pdf(text))
+                renames.append((tmp, final))
+        return PdfCommit(renames=renames)
+
+
 def _list_corpus(path: str) -> list:
     """All visible corpus files as ((mtime, basename), fullpath), sorted
     by that key — the stream's total order. Landing protocol: files
@@ -372,6 +401,8 @@ class PdfCorpusDataSource(DataSource):
             raise ValueError(
                 f"pdfcorpus sink needs doc_id + text columns, got {sorted(names)}"
             )
+        if self.options.get("arrow", "false").lower() == "true":
+            return PdfCorpusArrowWriter(self.options, overwrite)
         return PdfCorpusWriter(self.options, overwrite)
 
     def streamReader(self, schema: StructType) -> PdfCorpusStreamReader:

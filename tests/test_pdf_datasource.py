@@ -399,3 +399,44 @@ def test_pushdown_scan_is_cached_per_load_handle(spark, tmp_path):
     # fresh handle per query: always correct
     d3 = spark.read.format("pdfcorpus").load(str(out))
     assert sorted(r["doc_id"] for r in d3.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_arrow_writer_parity_and_protocol(spark, tmp_path):
+    """arrow=true on the WRITE side selects the DataSourceArrowWriter
+    subclass (tasks receive RecordBatches, no per-row pickling): the
+    produced corpus must be byte-identical in content to the row
+    writer's, and the two-phase commit protocol still holds (_SUCCESS
+    marker, no leftover temps)."""
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusArrowWriter,
+        PdfCorpusDataSource,
+    )
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    docs = spark.createDataFrame(
+        [(i, f"documento arrow {i}") for i in range(8)],
+        "doc_id BIGINT, text STRING",
+    )
+    row_out, arrow_out = str(tmp_path / "rows"), str(tmp_path / "arrow")
+    docs.write.format("pdfcorpus").mode("overwrite").save(row_out)
+    (
+        docs.write.format("pdfcorpus")
+        .option("arrow", "true")
+        .mode("overwrite")
+        .save(arrow_out)
+    )
+
+    def corpus(d):
+        return {
+            os.path.basename(f): open(f, "rb").read()
+            for f in glob.glob(os.path.join(d, "*.pdf"))
+        }
+
+    assert corpus(arrow_out) == corpus(row_out) and len(corpus(arrow_out)) == 8
+    assert os.path.exists(os.path.join(arrow_out, "_SUCCESS"))
+    assert glob.glob(os.path.join(arrow_out, ".part-*")) == []
+
+    # the option really selects the Arrow subclass (protocol pin)
+    ds = PdfCorpusDataSource({"path": arrow_out, "arrow": "true"})
+    w = ds.writer(docs.schema, overwrite=True)
+    assert isinstance(w, PdfCorpusArrowWriter)
