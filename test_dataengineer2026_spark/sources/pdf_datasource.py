@@ -57,6 +57,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -380,6 +381,18 @@ class PdfCorpusStreamWriter(DataSourceStreamWriter):
         self._task_writer.abort(messages)
 
 
+class PdfCorpusStreamArrowWriter(PdfCorpusStreamWriter, DataSourceStreamArrowWriter):
+    """Arrow tier of the STREAMING sink (``arrow=true`` write option):
+    per-micro-batch RecordBatch transfer, same per-batch two-phase
+    commit + ``_batch_<id>_SUCCESS`` marker (inherited). Completes the
+    source's 2x2x2 matrix: {batch, stream} x {read, write} x
+    {row, Arrow}."""
+
+    def __init__(self, options: dict) -> None:
+        super().__init__(options)
+        self._task_writer = PdfCorpusArrowWriter(dict(options), overwrite=False)
+
+
 class PdfCorpusDataSource(DataSource):
     """``spark.dataSource.register(PdfCorpusDataSource)`` →
     ``spark.read.format("pdfcorpus")`` / ``df.write.format("pdfcorpus")``
@@ -414,4 +427,6 @@ class PdfCorpusDataSource(DataSource):
             raise ValueError(
                 f"pdfcorpus stream sink needs doc_id + text columns, got {sorted(names)}"
             )
+        if self.options.get("arrow", "false").lower() == "true":
+            return PdfCorpusStreamArrowWriter(self.options)
         return PdfCorpusStreamWriter(self.options)

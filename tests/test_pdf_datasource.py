@@ -440,3 +440,50 @@ def test_arrow_writer_parity_and_protocol(spark, tmp_path):
     ds = PdfCorpusDataSource({"path": arrow_out, "arrow": "true"})
     w = ds.writer(docs.schema, overwrite=True)
     assert isinstance(w, PdfCorpusArrowWriter)
+
+
+def test_stream_arrow_writer_parity(spark, tmp_path):
+    """arrow=true on the STREAMING sink selects the
+    DataSourceStreamArrowWriter subclass; the streamed corpus equals the
+    row-tier stream sink's output and keeps the per-batch markers."""
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusDataSource,
+        PdfCorpusStreamArrowWriter,
+    )
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    spark.createDataFrame(
+        [(i, f"stream arrow {i}") for i in range(5)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(feed))
+
+    outs = {}
+    for tier in ("false", "true"):
+        out = tmp_path / f"out_{tier}"
+        out.mkdir()
+        s = spark.readStream.schema("doc_id long, text string").parquet(str(feed))
+        q = (
+            s.writeStream.format("pdfcorpus")
+            .option("path", str(out))
+            .option("arrow", tier)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tier}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        outs[tier] = {
+            os.path.basename(f): open(f, "rb").read()
+            for f in glob.glob(os.path.join(out, "*.pdf"))
+        }
+        assert os.path.exists(os.path.join(out, "_batch_0_SUCCESS"))
+    assert outs["true"] == outs["false"] and len(outs["true"]) == 5
+
+    ds = PdfCorpusDataSource({"path": str(tmp_path), "arrow": "true"})
+    from pyspark.sql import types as TT
+
+    sch = TT.StructType(
+        [TT.StructField("doc_id", TT.LongType()), TT.StructField("text", TT.StringType())]
+    )
+    assert isinstance(ds.streamWriter(sch, False), PdfCorpusStreamArrowWriter)
