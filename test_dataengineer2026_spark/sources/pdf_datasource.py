@@ -1,5 +1,10 @@
 """A first-class pluggable PDF-corpus source/sink on Spark 4's Python
-DataSource API (``pyspark.sql.datasource``, added 4.0) — S18.
+DataSource API (``pyspark.sql.datasource``, added 4.0) — S18 (batch)
+and S19 (streaming), covering the API's full 2x2x2 matrix:
+{batch, stream} x {read, write} x {row, Arrow} — plus plan-time filter
+pushdown (``pushFilters``, doc_id file pruning; see that method's
+docstring for the per-``load()``-handle scan-cache engine boundary it
+surfaced).
 
 Reference basis: the spec's input is a corpus of PDF reports
 (TEST.md:26-34) and its production posture demands a maintainable
