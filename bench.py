@@ -495,7 +495,44 @@ def main() -> None:
         )
     if prev:
         apply_delta_fields(out, keep, prev, timings, total)
-    print(json.dumps(_compact(out)))
+    line = json.dumps(_compact(out))
+    _quiet_shutdown(spark)
+    print(line, flush=True)
+
+
+def _quiet_shutdown(spark) -> None:
+    """Make the caller's next stdout write the LAST line of the run.
+
+    BENCH_r16 postmortem (r16 verdict, defect #1): main() printed its
+    JSON line and only then let the JVM shut down — but the M-family
+    streaming queries leave state-store providers live, and at RpcEnv
+    teardown their maintenance threads logWarning full
+    RpcEnvStoppedException stack traces AFTER the line, evicting it
+    from the driver's 2000-char combined-output tail capture
+    ("parsed": null). Order matters: silence log4j entirely (the
+    traces are logWarning output, so OFF suppresses them), stop every
+    active stream, stop the session — all the noisy teardown happens
+    HERE, before the caller prints — then give straggler maintenance
+    threads a beat to emit their (now-suppressed) output. Every step
+    is best-effort: a shutdown hiccup must not cost the record."""
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    try:
+        active = list(spark.streams.active)
+    except Exception:
+        active = []
+    for q in active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    time.sleep(2.0)
 
 
 def apply_delta_fields(

@@ -30,8 +30,10 @@ Execution model (and the 100 TB posture):
   driver's ``commit()`` promotes temps to final names with ``os.replace``
   (atomic per file) only after EVERY task succeeded, and ``abort()``
   removes temps — a half-failed job leaves no visible file. Overwrite
-  mode clears prior finals inside ``commit()``, not at plan time, so a
-  failed overwrite never destroys existing data.
+  mode promotes the new finals FIRST and only then clears stale ones,
+  all inside ``commit()``, so a failed overwrite never destroys
+  existing data: the worst crash leaves a superset with no
+  ``_SUCCESS`` marker.
 
 Local-FS caveat, stated honestly: final-name promotion is atomic per
 file, not per job — a reader listing mid-commit can see a prefix of the
@@ -167,9 +169,18 @@ class PdfCorpusReader(DataSourceReader):
                 if os.path.splitext(os.path.basename(f))[0] in wanted
             ]
         k = self.files_per_partition
-        return [PdfFilesPartition(files[i : i + k]) for i in range(0, len(files), k)]
+        parts = [
+            PdfFilesPartition(files[i : i + k]) for i in range(0, len(files), k)
+        ]
+        # Zero matching files (empty corpus dir, or a pushed doc_id
+        # filter pruning every file, e.g. WHERE doc_id = 999) must
+        # still return ONE empty partition: pyspark's
+        # plan_data_source_read substitutes [None] for an empty list
+        # and calls read(None), which would crash a query that should
+        # return 0 rows (r16 advisor, high).
+        return parts or [PdfFilesPartition([])]
 
-    def read(self, partition: PdfFilesPartition) -> Iterator[Tuple]:
+    def read(self, partition: Optional[PdfFilesPartition]) -> Iterator[Tuple]:
         rows = self._extract(partition)
         if not self.arrow:
             yield from rows
@@ -192,9 +203,14 @@ class PdfCorpusReader(DataSourceReader):
             names=["doc_id", "page", "text"],
         )
 
-    def _extract(self, partition: PdfFilesPartition) -> list:
+    def _extract(self, partition: Optional[PdfFilesPartition]) -> list:
         from test_dataengineer2026_spark.extraction.pdf import extract_pages
 
+        # Belt-and-braces for the empty-plan case above: even if a
+        # future pyspark hands this task a None partition, extract
+        # nothing rather than crash.
+        if partition is None or not partition.files:
+            return []
         out = []
         for f in partition.files:
             doc_id = int(os.path.splitext(os.path.basename(f))[0])
@@ -231,19 +247,28 @@ class PdfCorpusWriter(DataSourceWriter):
         return PdfCommit(renames=renames)
 
     def commit(self, messages: List[Optional[PdfCommit]]) -> None:
-        """Driver-side job commit: clear stale finals (overwrite mode),
-        then promote every task's temps atomically, then drop the
-        ``_SUCCESS`` marker. Runs only after ALL tasks succeeded."""
+        """Driver-side job commit: promote every task's temps
+        atomically FIRST, then clear stale finals (overwrite mode),
+        then drop the ``_SUCCESS`` marker. Runs only after ALL tasks
+        succeeded.
+
+        Order matters (r16 advisor): deleting stale finals before
+        promoting temps means a driver crash between the two leaves
+        the corpus MISSING the deleted files while the new ones are
+        still hidden — destroyed data. Promote-then-delete instead: a
+        crash mid-commit leaves a superset (old + new files, no
+        ``_SUCCESS``), which the marker convention already tells
+        readers to distrust; nothing is ever lost."""
         new_finals = {f for m in messages if m for _, f in m.renames}
-        if self.overwrite:
-            for old in glob.glob(os.path.join(self.path, "*.pdf")):
-                if old not in new_finals:
-                    os.remove(old)
         for m in messages:
             if m is None:
                 continue
             for tmp, final in m.renames:
                 os.replace(tmp, final)
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "*.pdf")):
+                if old not in new_finals:
+                    os.remove(old)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
@@ -319,6 +344,11 @@ class PdfCorpusStreamReader(DataSourceStreamReader):
         self.files_per_partition = int(
             options.get("filesperpartition", DEFAULT_FILES_PER_PARTITION)
         )
+        # arrow=true must reach the task body here too (r16 advisor:
+        # it used to be silently dropped, making the stream-read-Arrow
+        # cell of the 2x2x2 matrix a no-op) — the stream API accepts
+        # Iterator[RecordBatch] from read() exactly like the batch API.
+        self.arrow = options.get("arrow", "false").lower() == "true"
 
     @staticmethod
     def _key(offset: dict) -> tuple:
@@ -347,7 +377,11 @@ class PdfCorpusStreamReader(DataSourceStreamReader):
 
     def read(self, partition: PdfFilesPartition) -> Iterator[Tuple]:
         return PdfCorpusReader(
-            {"path": self.path, "filesperpartition": str(self.files_per_partition)}
+            {
+                "path": self.path,
+                "filesperpartition": str(self.files_per_partition),
+                "arrow": "true" if self.arrow else "false",
+            }
         ).read(partition)
 
     def commit(self, end: dict) -> None:

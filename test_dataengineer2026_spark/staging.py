@@ -11,11 +11,13 @@ overwrite each other's staged files mid-scan. The contract here:
 * path = ``<repo>/.tmp/<kind>/<md5(sf_dir)[:10]>-<pid>`` — the hash
   disambiguates sf paths the old flattening collided (``/a/b_c`` vs
   ``/a/b/c``), the pid isolates concurrent processes;
-* sibling dirs are pruned when their owner is DEAD (``os.kill(pid, 0)``)
-  or when they are older than a day — the age fallback exists because a
-  recycled pid can belong to an unrelated live process forever, and no
-  legitimate staged store survives a day (the writing query reads it
-  within minutes);
+* sibling dirs are pruned when their owner is DEAD (``os.kill(pid, 0)``);
+  the age fallback (older than a day) applies ONLY when the pid probe is
+  inconclusive (recycled pid owned by another user) or the name carries
+  no pid — it exists because a recycled pid can belong to an unrelated
+  live process forever, and no legitimate staged store survives a day
+  (the writing query reads it within minutes). The current process's own
+  dir and any provably-live sibling are never age-pruned;
 * an ``atexit`` reaper removes the current process's own dir at
   interpreter exit, by which time every lazy read has been collected.
 
@@ -49,24 +51,37 @@ def _prune_siblings(root: str) -> None:
         return
     for d in entries:
         sib = os.path.join(root, d)
-        try:
-            if time.time() - os.path.getmtime(sib) > MAX_STAGE_AGE_SEC:
-                shutil.rmtree(sib, ignore_errors=True)
-                continue
-        except OSError:
-            pass
+        # Own-pid check FIRST (r16 advisor): the age fallback must never
+        # fire on the current process's dir — a session alive longer
+        # than MAX_STAGE_AGE_SEC would otherwise delete its own
+        # still-registered staging dir mid-use. A provably-live sibling
+        # (kill(pid, 0) succeeds) is likewise exempt from the age rule;
+        # age only breaks the tie when the pid probe is inconclusive
+        # (recycled pid owned by another user → PermissionError) or the
+        # name carries no pid at all.
         try:
             pid = int(d.rsplit("-", 1)[-1])
         except ValueError:
-            continue
+            pid = None
         if pid == os.getpid():
             continue
+        alive = False
+        if pid is not None:
+            try:
+                os.kill(pid, 0)
+                alive = True  # provably ours-and-live or another live proc
+            except ProcessLookupError:
+                shutil.rmtree(sib, ignore_errors=True)
+                continue
+            except PermissionError:
+                pass  # inconclusive: alive but owned elsewhere, or recycled
+        if alive:
+            continue
         try:
-            os.kill(pid, 0)
-        except ProcessLookupError:
-            shutil.rmtree(sib, ignore_errors=True)
-        except PermissionError:
-            pass  # alive, owned elsewhere
+            if time.time() - os.path.getmtime(sib) > MAX_STAGE_AGE_SEC:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            pass
 
 
 def staged_dir(sf_dir: str, kind: str) -> str:

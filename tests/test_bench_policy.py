@@ -424,3 +424,74 @@ def test_clean_cold_vs_clean_cold_emits_raw_deltas():
     assert out["delta_total_sec"] == -1.0
     assert out["delta_sec"] == {"A1": 0.1, "J1": -0.1}
     assert "delta_note" not in out
+
+
+def test_json_line_is_last_stdout_write():
+    """BENCH_r16 postmortem: the JSON line printed BEFORE JVM teardown,
+    and shutdown-time RpcEnvStoppedException logWarning traces from live
+    state-store maintenance threads evicted it from the driver's
+    2000-char tail ("parsed": null). Pin the source contract: main()
+    composes the line, runs _quiet_shutdown (log4j OFF -> stop streams
+    -> spark.stop() -> settle), and only THEN prints — nothing may
+    follow the print in main(), so nothing can follow the line on
+    stdout."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert src.rstrip().splitlines()[-1].strip() == "print(line, flush=True)"
+    shutdown_at = src.index("_quiet_shutdown(spark)")
+    compose_at = src.index("line = json.dumps(_compact(out))")
+    print_at = src.index("print(line, flush=True)")
+    assert compose_at < shutdown_at < print_at
+
+
+def test_quiet_shutdown_order():
+    """_quiet_shutdown must silence log4j BEFORE stopping anything (the
+    traces are logWarning output emitted DURING teardown), stop active
+    streams before the session, and end with a settle sleep so straggler
+    maintenance threads emit their now-suppressed output before the
+    caller prints. Best-effort throughout: a shutdown hiccup must not
+    cost the record."""
+    calls: list[str] = []
+
+    class _Ctx:
+        def setLogLevel(self, lvl):
+            calls.append(f"log:{lvl}")
+
+    class _Query:
+        def stop(self):
+            calls.append("qstop")
+
+    class _Streams:
+        active = [_Query(), _Query()]
+
+    class _Spark:
+        sparkContext = _Ctx()
+        streams = _Streams()
+
+        def stop(self):
+            calls.append("stop")
+
+    import time as _time
+
+    real_sleep = _time.sleep
+    _time.sleep = lambda s: calls.append("sleep")
+    try:
+        bench._quiet_shutdown(_Spark())
+    finally:
+        _time.sleep = real_sleep
+    assert calls == ["log:OFF", "qstop", "qstop", "stop", "sleep"]
+
+    class _Broken:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("gateway gone")
+
+        @property
+        def streams(self):
+            raise RuntimeError("gateway gone")
+
+        def stop(self):
+            raise RuntimeError("gateway gone")
+
+    bench._quiet_shutdown(_Broken())  # must not raise

@@ -487,3 +487,145 @@ def test_stream_arrow_writer_parity(spark, tmp_path):
         [TT.StructField("doc_id", TT.LongType()), TT.StructField("text", TT.StringType())]
     )
     assert isinstance(ds.streamWriter(sch, False), PdfCorpusStreamArrowWriter)
+
+
+# ------------------------------------------------- r16 advisor regression pins
+
+
+def test_empty_plan_yields_zero_rows_not_crash(tmp_path):
+    """r16 advisor (high): partitions() returning [] makes pyspark's
+    plan_data_source_read substitute [None] and call read(None) — a
+    query that should return 0 rows crashed instead. The batch reader
+    must plan ONE empty partition for an empty corpus or an
+    all-pruning pushed filter, and read() must tolerate both an empty
+    partition and a literal None, on both transfer tiers."""
+    from pyspark.sql.datasource import EqualTo
+
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfFilesPartition,
+    )
+
+    r = PdfCorpusReader({"path": str(tmp_path)})
+    parts = r.partitions()  # empty dir
+    assert len(parts) == 1 and parts[0].files == []
+
+    _touch_pdfs(tmp_path, 3)
+    r2 = PdfCorpusReader({"path": str(tmp_path)})
+    leftover = list(r2.pushFilters([EqualTo(("doc_id",), 999)]))
+    assert leftover == []  # handled: the probe prunes files
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].files == []
+
+    for tier in ("false", "true"):
+        rt = PdfCorpusReader({"path": str(tmp_path), "arrow": tier})
+        rows_none = list(rt.read(None))
+        rows_empty = list(rt.read(PdfFilesPartition([])))
+        if tier == "false":
+            assert rows_none == [] and rows_empty == []
+        else:  # arrow tier: one zero-row schema-correct batch each
+            assert all(b.num_rows == 0 for b in rows_none + rows_empty)
+
+
+def test_filter_to_nonexistent_doc_id_e2e(spark, tmp_path):
+    """End-to-end form of the empty-plan pin: WHERE doc_id = <absent>
+    returns an empty DataFrame through a live session, not a job
+    failure."""
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(3):
+        (corpus / f"{i}.pdf").write_bytes(render_pdf(f"doc {i}"))
+    df = (
+        spark.read.format("pdfcorpus")
+        .load(str(corpus))
+        .filter(F.col("doc_id") == 999)
+    )
+    assert df.count() == 0
+    assert df.schema.simpleString() == "struct<doc_id:bigint,page:int,text:string>"
+
+
+def test_overwrite_commit_promotes_before_delete(tmp_path, monkeypatch):
+    """r16 advisor: overwrite commit() must promote ALL temps before
+    deleting any stale final — a crash between the phases then leaves a
+    superset (old + new, no _SUCCESS), never missing data. Pin the call
+    order by recording every os.replace/os.remove the commit makes."""
+    import test_dataengineer2026_spark.sources.pdf_datasource as mod
+
+    stale = tmp_path / "99.pdf"
+    stale.write_bytes(b"%PDF-old")
+    w = PdfCorpusWriter({"path": str(tmp_path)}, overwrite=True)
+    msg = w.write(iter(_fake_rows((1, "one"), (2, "two"))))
+
+    events = []
+    real_replace, real_remove = os.replace, os.remove
+    monkeypatch.setattr(
+        mod.os, "replace",
+        lambda a, b: (events.append("promote"), real_replace(a, b)) and None,
+    )
+    monkeypatch.setattr(
+        mod.os, "remove",
+        lambda p: (events.append("delete"), real_remove(p)) and None,
+    )
+    w.commit([msg])
+    assert events == ["promote", "promote", "delete"]
+    assert not stale.exists()
+    assert (tmp_path / "1.pdf").exists() and (tmp_path / "2.pdf").exists()
+
+
+def test_stream_reader_forwards_arrow_option(spark, tmp_path):
+    """r16 advisor: .option("arrow", "true") on readStream was a silent
+    no-op (the stream reader rebuilt the inner batch reader without it).
+    Unit half: the stream reader's read() yields RecordBatches when the
+    option is set. E2E half: a streamed arrow=true pass lands the same
+    rows as the batch reader — the stream-read-Arrow cell of the 2x2x2
+    matrix, for real."""
+    import pyarrow as pa
+
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusStreamReader,
+        PdfFilesPartition,
+    )
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(4):
+        p = corpus / f"{i}.pdf"
+        p.write_bytes(render_pdf(f"doc {i}"))
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    sr = PdfCorpusStreamReader({"path": str(corpus), "arrow": "true"})
+    part = PdfFilesPartition([str(corpus / "0.pdf")])
+    batches = list(sr.read(part))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert sum(b.num_rows for b in batches) >= 1
+    # default stays the tuple tier
+    sr_row = PdfCorpusStreamReader({"path": str(corpus)})
+    rows = list(sr_row.read(part))
+    assert rows and not isinstance(rows[0], pa.RecordBatch)
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    sink = str(tmp_path / "sink")
+    q = (
+        spark.readStream.format("pdfcorpus")
+        .option("arrow", "true")
+        .load(str(corpus))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    streamed = sorted(
+        (r["doc_id"], r["page"], r["text"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    batch = sorted(
+        (r["doc_id"], r["page"], r["text"])
+        for r in spark.read.format("pdfcorpus").load(str(corpus)).collect()
+    )
+    assert streamed == batch and len(streamed) == 4
