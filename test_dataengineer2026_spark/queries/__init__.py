@@ -172,7 +172,7 @@ DRIVER_PRIORITY = (
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 247
+EXPECTED_MIN_QUERIES = 249
 
 _loaded = False
 

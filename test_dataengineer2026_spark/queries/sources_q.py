@@ -662,3 +662,46 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(corpus)
     )
     return run_to_memory(s, "s19_pdf_stream", "append")
+
+
+# S20 shares X3's oracle: the roundtrip must reproduce exactly the rows
+# X3 extracts (no import cycle: extraction_q never imports this module).
+from test_dataengineer2026_spark.queries.extraction_q import _X3_ORACLE
+
+
+@register(
+    "S20_xml_roundtrip",
+    oracle=_X3_ORACLE,
+    tags=("sources", "sink", "xml"),
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: XML sink + scan roundtrip — the last built-in interchange
+    format with no coverage (Spark 4 ships format("xml") in core; no
+    extra jars). The payload is the X3 project-metadata records
+    (TEST.md:59 fixes interchange formats for *extracted records*, and
+    filings/regulatory feeds are where a platform actually meets XML):
+    extraction output is written one <record> element per row, read
+    back with an EXPLICIT schema, and value-compared against X3's own
+    oracle — so the exhibit proves entity escaping, date encoding, and
+    XML's omit-element null convention all survive the trip.
+
+    Scale posture: XML is a BOUNDARY format — land it, convert to
+    parquet, never analyze over it (the scan_xml docstring carries the
+    why: per-file parse cost, no column pruning). The write/read here
+    are task-parallel like any file sink/scan; the schema-bearing read
+    keeps it one-pass (inference would add a full extra pass at
+    100 TB).
+
+    Boundary note, recorded for completeness: Avro is NOT exercisable
+    in this build — the spark-avro jar is absent (probed r16:
+    from_avro/to_avro raise AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE),
+    and installing jars is out of scope here. See USAGE.md.
+    """
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark.extraction import extract as X
+    from test_dataengineer2026_spark.queries.extraction_q import _corpus_df
+
+    meta = X.extract_metadata(_corpus_df(spark))
+    out = _stage("x3_meta_xml", sf_dir)
+    sio.sink_xml(meta, out, row_tag="record")
+    return sio.scan_xml(spark, out, meta.schema, row_tag="record")

@@ -359,6 +359,124 @@ def transform_with_state_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(conf_key, prev_provider)
 
 
+#: M6c session gap: 6 h splits every sf's user population into healthy
+#: fired/unfired subsets (sf0.01: 86 of 150 users close; the rest have
+#: their last event within 6 h of the stream's end and never fire).
+_M6C_GAP_MS = 6 * 3_600_000
+
+
+def make_session_closer():
+    """StatefulProcessor for M6c: per-user event-time session closer
+    exercising the TIMER surface of transformWithState end-to-end —
+    registerTimer / deleteTimer in handleInputRows, an output row from
+    handleExpiredTimer. Lazy import, same reason as
+    make_funnel_processor."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SessionCloser(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.h = handle
+            self.st = handle.getValueState("sess", "n long, last_ms long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            df = pd.concat(list(rows))
+            n0, _last0 = tuple(self.st.get()) if self.st.exists() else (0, -1)
+            last_ms = int(df["ts"].astype("int64").max() // 1_000_000)
+            self.st.update((n0 + len(df), last_ms))
+            for t in list(self.h.listTimers()):
+                self.h.deleteTimer(t)  # one live timer per key
+            self.h.registerTimer(last_ms + _M6C_GAP_MS)
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n, _last = tuple(self.st.get())
+            yield pd.DataFrame(
+                [{
+                    "user_id": key[0],
+                    "n_events": n,
+                    "closed_at_ms": expiredTimerInfo.getExpiryTimeInMs(),
+                }]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return _SessionCloser()
+
+
+@register(
+    "M6c_tws_timer_close",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         (epoch_us(MAX(ts)) // 1000) AS last_ms
+  FROM events GROUP BY user_id
+), wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) AS wm_ms FROM events
+)
+SELECT p.user_id, p.n_events,
+       CAST(p.last_ms + {_M6C_GAP_MS} AS BIGINT) AS closed_at_ms
+FROM per_user p, wm
+WHERE p.last_ms + {_M6C_GAP_MS} <= wm.wm_ms
+""",
+    tags=("streaming", "stateful", "timers"),
+)
+def tws_timer_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6c: the TIMER surface of transformWithState, value-checked
+    against DuckDB (the r16 tests pinned timer/TTL mechanics; this puts
+    handleExpiredTimer's OUTPUT rows under the oracle gate). Per-user
+    event-time session closer over the events feed: every input batch
+    re-registers the user's one timer at last_event + 6 h; when the
+    watermark passes an expiry, handleExpiredTimer emits the close row
+    (user_id, running event count, expiry time).
+
+    Determinism contract (probed, r17): the feed arrives as ONE data
+    batch (availableNow, no maxFilesPerTrigger), so no timer fires
+    mid-stream with a partial count; the final no-data batch fires
+    exactly the timers with expiry <= watermark, where the watermark is
+    the max event time FLOORED to ms (probed at the sub-ms boundary:
+    an event 100 us before an expiry does NOT fire it; an event at the
+    exact ms does — '<=', not '<'). The oracle reproduces that integer
+    arithmetic: a user closes iff floor_ms(their last ts) + gap <=
+    floor_ms(global max ts).
+
+    Scale posture: state is one (long, long) per user plus one timer;
+    both partition by the grouping key in RocksDB exactly like M6b —
+    at 100 TB the per-key cost is constant and the no-data batch's
+    timer sweep is range-scan-ordered by expiry, not a full state scan.
+    """
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark import pbcompat
+
+    if not pbcompat.ensure(spark):
+        raise RuntimeError(
+            "M6c needs a protobuf runtime for transformWithState's "
+            "state-server protocol; none is installed and the Cloud SDK "
+            "fallback (pbcompat) is unavailable on this machine"
+        )
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            make_session_closer(),
+            outputStructType="user_id long, n_events long, closed_at_ms long",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        return run_to_memory(result, "m6c_timer_close", "append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+
 @register(
     "M7_stream_static_join",
     oracle="""

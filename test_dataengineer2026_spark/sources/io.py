@@ -140,3 +140,31 @@ def scan_orc(spark: SparkSession, path: str) -> DataFrame:
 def sink_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S17: ORC output sink."""
     df.write.mode(mode).orc(path)
+
+
+def scan_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    row_tag: str = "record",
+) -> DataFrame:
+    """S20: XML scan (Spark 4 ships format("xml") in core — no extra
+    jars). Schema is REQUIRED by this wrapper: XML inference needs a
+    full extra pass over the data, and absent elements (XML's encoding
+    of NULL) can narrow inferred types per-file; an explicit schema
+    keeps the read one-pass and the null contract exact. At 100 TB the
+    per-file XML parse cost dwarfs columnar scans — XML is an
+    interchange boundary format here (land it, convert to parquet),
+    never the analytical store."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).schema(schema).load(path)
+    )
+
+
+def sink_xml(
+    df: DataFrame, path: str, row_tag: str = "record", mode: str = "overwrite"
+) -> None:
+    """S20: XML output sink. One element per row under ``row_tag``;
+    NULL columns are omitted (the XML convention — restored as nulls
+    by a schema-bearing read); text is entity-escaped by the writer."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
