@@ -70,8 +70,12 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     WriterCommitMessage,
 )
 from pyspark.sql.types import Row, StructType
@@ -113,17 +117,31 @@ class PdfCorpusReader(DataSourceReader):
         # doc_id probe set from pushed filters: None = unconstrained,
         # a set = only these doc_ids survive (empty set = nothing)
         self.doc_probe: Optional[set] = None
+        # doc_id interval from pushed RANGE filters, inclusive on both
+        # ends (exclusive bounds are normalized: doc_id is integral, so
+        # > v == >= v+1); None = unbounded on that side
+        self.doc_lo: Optional[int] = None
+        self.doc_hi: Optional[int] = None
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         """Filter PUSHDOWN on the custom source (Spark 4.1 API): doc_id
-        equality / IN predicates prune FILES at plan time — the file
-        name stem IS the doc_id, so dropping a file fully enforces the
-        predicate (every row in a kept file carries that id), which is
-        the contract for a handled filter (Spark does not re-apply it).
-        At 100 TB this is the difference between opening 10M PDFs and
-        opening the three the query asked for. Everything else (text
-        predicates, page ranges) is yielded back for Spark to evaluate
-        post-scan.
+        equality / IN / RANGE (>, >=, <, <=) predicates prune FILES at
+        plan time — the file name stem IS the doc_id, so dropping a
+        file fully enforces the predicate (every row in a kept file
+        carries that id), which is the contract for a handled filter
+        (Spark does not re-apply it). Range matters as much as
+        equality: real corpora prune by id/date ranges ("docs since
+        id X"), and at 100 TB this is the difference between opening
+        10M PDFs and opening the slice the query asked for. Everything
+        else (text predicates, page ranges) is yielded back for Spark
+        to evaluate post-scan.
+
+        The STREAMING reader has no pushdown at all — engine boundary:
+        pyspark 4.1's DataSourceStreamReader defines no pushFilters
+        hook (probed r17). Stream-side file pruning is the offset
+        range itself: partitions(start, end] lists exactly the files
+        inside the committed watermark range, which is the streaming
+        analogue of this method (pinned in tests).
 
         ENGINE BOUNDARY (probed, r16 — pinned in
         tests/test_pdf_datasource.py): Spark 4.1 plans a Python data
@@ -141,13 +159,33 @@ class PdfCorpusReader(DataSourceReader):
         DOES perform it, never accumulates stale state — it cannot help
         the cached-scan case above, which never calls back at all."""
         self.doc_probe = None
+        self.doc_lo = None
+        self.doc_hi = None
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("doc_id",):
+            if getattr(f, "attribute", None) != ("doc_id",):
+                yield f  # not a doc_id predicate: Spark evaluates post-scan
+                continue
+            if isinstance(f, EqualTo):
                 probe = {f.value}
-            elif isinstance(f, In) and f.attribute == ("doc_id",):
+            elif isinstance(f, In):
                 probe = set(f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and isinstance(
+                f.value, int
+            ):
+                # range pruning (r16 prescription #5): real corpora prune
+                # by id/date RANGES, not just equality. Inclusive-normalize
+                # (doc_id is integral) and fold with AND semantics.
+                lo = f.value + 1 if isinstance(f, GreaterThan) else f.value
+                self.doc_lo = lo if self.doc_lo is None else max(self.doc_lo, lo)
+                continue
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and isinstance(
+                f.value, int
+            ):
+                hi = f.value - 1 if isinstance(f, LessThan) else f.value
+                self.doc_hi = hi if self.doc_hi is None else min(self.doc_hi, hi)
+                continue
             else:
-                yield f  # unsupported: Spark evaluates it post-scan
+                yield f  # unsupported shape: Spark evaluates it post-scan
                 continue
             # AND semantics across pushed filters: intersect probes
             self.doc_probe = (
@@ -168,6 +206,8 @@ class PdfCorpusReader(DataSourceReader):
                 for f in files
                 if os.path.splitext(os.path.basename(f))[0] in wanted
             ]
+        if self.doc_lo is not None or self.doc_hi is not None:
+            files = [f for f in files if self._in_range(f)]
         k = self.files_per_partition
         parts = [
             PdfFilesPartition(files[i : i + k]) for i in range(0, len(files), k)
@@ -179,6 +219,21 @@ class PdfCorpusReader(DataSourceReader):
         # and calls read(None), which would crash a query that should
         # return 0 rows (r16 advisor, high).
         return parts or [PdfFilesPartition([])]
+
+    def _in_range(self, path: str) -> bool:
+        """Range-prune by the file-name stem (the doc_id). A stem that
+        does not parse as an int is excluded: it could never yield a row
+        satisfying an integer range predicate (and would crash
+        _extract's int() anyway — the corpus contract is int stems)."""
+        try:
+            doc_id = int(os.path.splitext(os.path.basename(path))[0])
+        except ValueError:
+            return False
+        if self.doc_lo is not None and doc_id < self.doc_lo:
+            return False
+        if self.doc_hi is not None and doc_id > self.doc_hi:
+            return False
+        return True
 
     def read(self, partition: Optional[PdfFilesPartition]) -> Iterator[Tuple]:
         rows = self._extract(partition)

@@ -629,3 +629,114 @@ def test_stream_reader_forwards_arrow_option(spark, tmp_path):
         for r in spark.read.format("pdfcorpus").load(str(corpus)).collect()
     )
     assert streamed == batch and len(streamed) == 4
+
+
+def test_pushdown_range_predicates_prune_files(tmp_path):
+    """r17: doc_id RANGE predicates (>, >=, <, <=) are handled —
+    pushFilters yields nothing back, exclusive bounds normalize to
+    inclusive integer bounds, AND-composition intersects with the
+    equality/IN probe, and a non-int comparand is yielded back
+    unhandled."""
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+        StringStartsWith,
+    )
+
+    _touch_pdfs(tmp_path, 10)
+
+    def stems(reader):
+        return [
+            int(os.path.splitext(os.path.basename(f))[0])
+            for p in reader.partitions()
+            for f in p.files
+        ]
+
+    r = PdfCorpusReader({"path": str(tmp_path)})
+    left = list(r.pushFilters([GreaterThan(("doc_id",), 3), LessThanOrEqual(("doc_id",), 7)]))
+    assert left == []  # both handled
+    assert stems(r) == [4, 5, 6, 7]  # > is exclusive, <= inclusive
+
+    r2 = PdfCorpusReader({"path": str(tmp_path)})
+    assert list(r2.pushFilters([GreaterThanOrEqual(("doc_id",), 8), LessThan(("doc_id",), 10)])) == []
+    assert stems(r2) == [8, 9]
+
+    # AND with an IN probe: intersection of probe and range
+    r3 = PdfCorpusReader({"path": str(tmp_path)})
+    assert list(r3.pushFilters([In(("doc_id",), (1, 5, 9)), GreaterThan(("doc_id",), 4)])) == []
+    assert stems(r3) == [5, 9]
+
+    # contradictory range: zero files, still one (empty) partition
+    r4 = PdfCorpusReader({"path": str(tmp_path)})
+    assert list(r4.pushFilters([GreaterThan(("doc_id",), 8), LessThan(("doc_id",), 3)])) == []
+    parts = r4.partitions()
+    assert len(parts) == 1 and parts[0].files == []
+
+    # non-int comparand or non-doc_id attribute: yielded back, no pruning
+    r5 = PdfCorpusReader({"path": str(tmp_path)})
+    back = list(r5.pushFilters([GreaterThan(("doc_id",), 3.5), StringStartsWith(("text",), "a")]))
+    assert len(back) == 2
+    assert len(stems(r5)) == 10
+
+
+def test_pushdown_range_engages_end_to_end(spark, tmp_path):
+    """A live range query reads only the in-range files and returns
+    exactly the in-range rows (values correct, pruning real: the plan
+    fans out over the pruned file count, not the corpus size)."""
+    from test_dataengineer2026_spark.extraction.pdf import render_pdf
+
+    spark.dataSource.register(PdfCorpusDataSource)
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    for i in range(10):
+        (corpus / f"{i}.pdf").write_bytes(render_pdf(f"doc {i}"))
+
+    df = (
+        spark.read.format("pdfcorpus")
+        .option("filesPerPartition", "1")
+        .load(str(corpus))
+        .filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 7))
+    )
+    assert sorted(r["doc_id"] for r in df.collect()) == [4, 5, 6, 7]
+    # task fan-out equals the PRUNED plan: 4 files at 1 file/partition
+    ids = (
+        spark.read.format("pdfcorpus")
+        .option("filesPerPartition", "1")
+        .load(str(corpus))
+        .filter((F.col("doc_id") > 3) & (F.col("doc_id") <= 7))
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert ids == 4
+
+
+def test_stream_partitions_exclude_post_offset_landings(tmp_path):
+    """S19 offset-range pruning pin (r17): partitions(start, end) must
+    chunk exactly the files inside the committed (start, end] watermark
+    range even when NEW files land between latestOffset and planning —
+    the stream-side analogue of batch filter pruning (replayed batches
+    must also stay pure functions of their offset range)."""
+    from test_dataengineer2026_spark.sources.pdf_datasource import (
+        PdfCorpusStreamReader,
+    )
+
+    r = PdfCorpusStreamReader({"path": str(tmp_path), "filesperpartition": "2"})
+    o0 = r.initialOffset()
+    for i in range(3):
+        _utouch(tmp_path, f"{i}.pdf", 1_700_000_000 + i)
+    o1 = r.latestOffset()
+
+    # files land AFTER o1 was computed (the list-again race)
+    for i in range(3, 6):
+        _utouch(tmp_path, f"{i}.pdf", 1_700_000_100 + i)
+
+    batch1 = [os.path.basename(f) for p in r.partitions(o0, o1) for f in p.files]
+    assert batch1 == ["0.pdf", "1.pdf", "2.pdf"]  # the late landings are invisible
+
+    # and a replay of the SAME range stays identical (exactly-once resume)
+    replay = [os.path.basename(f) for p in r.partitions(o0, o1) for f in p.files]
+    assert replay == batch1
