@@ -99,75 +99,70 @@ _MODULES = (
     "nested_q",
 )
 
-# ROUND-16 WINDOW: computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r15 at
-# r16 HEAD (last-green histogram entering r16: r11=39, r12=50, r13=50,
-# r14=50, r15=50). The EIGHT r16 newborns (S18_python_datasource_pdf,
-# S19_python_datasource_stream, M16_statestore_reader,
-# SQL28_sql_scripting, SQL29_execute_immediate, V9_apply_in_arrow,
-# V10_class_udtf, V11_polymorphic_udtf) have no green row yet and must
-# be driver-green in their birth round (standing newborn-front-load
-# precedent); they displace the eight NEWEST stale names (O1_sort,
-# W7_scd2_dimension, W4_ntile_percent, W3_running_agg, W2_lag_lead,
-# J14_bloom_pruned_join, J1b_salted_skew_join, J13_self_join — the
-# newest r12 slots, queued for r17). The remaining 42 = the full
-# 39-name r11 backlog (including P4/P5, displaced by the r15 births)
-# + the 3 oldest r12 names.
+# ROUND-17 WINDOW: computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r16 at
+# r17 HEAD (last-green histogram entering r17: r12=47, r13=50, r14=50,
+# r15=50, r16=50). The TWO r17 newborns (M6c_tws_timer_close,
+# S20_xml_roundtrip) have no green row yet and are front-loaded per the
+# standing newborn precedent; the remaining 48 = the full 47-name r12
+# backlog (including the eight names displaced by the r16 births) +
+# the single oldest r13 name (A1_group_agg). Staleness floor advances
+# r12 -> r13 when this window goes green.
 #
-# ROUND-17 QUEUE: assuming this window goes green, the oldest vintage
-# left is r12 (incl. the eight displaced names above) — run
-# `python scripts/next_window.py --stale` next round.
+# ROUND-18 QUEUE: the oldest vintage left is r13 — run
+# `python scripts/next_window.py --stale` next round (it front-loads
+# any r18 newborns automatically).
 DRIVER_PRIORITY = (
-    "M16_statestore_reader",
-    "S19_python_datasource_stream",
-    "SQL28_sql_scripting",
-    "SQL29_execute_immediate",
-    "V9_apply_in_arrow",
-    "V10_class_udtf",
-    "V11_polymorphic_udtf",
-    "S18_python_datasource_pdf",
-    "P4_filter_like_regex",
-    "P5_distinct",
-    "J2_left_outer_join",
-    "J3_right_outer_join",
-    "J4_full_outer_join",
-    "J5_left_semi_join",
-    "C10_boilerplate_removal",
-    "C12_leakage_free_split",
-    "C14_domain_quota_sample",
-    "E2_funnel_conversion",
-    "E4_event_path_trigrams",
-    "M6_stateful_funnel",
-    "M1_watermark_append",
-    "M10_stream_stream_join",
-    "M13_stream_stream_left_outer",
-    "MM2_frame_sample",
-    "MM4_png_decode",
-    "MM5_wav_decode",
-    "MM3_modality_router",
-    "MM6_perceptual_hash",
-    "MM8_image_neardup_bands",
-    "MM9_corrupt_quarantine",
-    "V4_python_udtf",
-    "V7_map_in_arrow",
-    "SQL2_correlated_subquery",
-    "SQL4_tpch_q5",
-    "SQL6_tpch_q18",
-    "SQL16_tpch_q9",
-    "SQL18_tpch_q13",
-    "SQL21_tpch_q21",
-    "SQL22_tpch_q2",
-    "S17_orc_roundtrip",
-    "TS1_gap_fill_locf",
-    "TS3_rolling_zscore_anomaly",
-    "TS4_ohlc_bars",
-    "TS6_dow_seasonal",
-    "DQ1_expectation_checks",
-    "DQ2_referential_integrity",
-    "DQ3_financial_reconciliation",
-    "ML2_grouped_ols",
-    "J8_theta_join",
-    "J11_cross_join",
+    "M6c_tws_timer_close",
+    "S20_xml_roundtrip",
+    "J13_self_join",
+    "J1b_salted_skew_join",
+    "J14_bloom_pruned_join",
+    "W2_lag_lead",
+    "W3_running_agg",
+    "W4_ntile_percent",
+    "W7_scd2_dimension",
+    "O1_sort",
+    "O2_sort_within_partitions",
+    "O3_limit_topk",
+    "U1_union_all",
+    "U2_union_distinct",
+    "U3_intersect",
+    "U4_except",
+    "F1_string_funcs",
+    "F4_math_funcs",
+    "F5_conditional_funcs",
+    "F6_cast_funcs",
+    "F7_array_funcs",
+    "F8_map_funcs",
+    "F11_hash_funcs",
+    "J9_range_join",
+    "D3_ngram_jaccard",
+    "D4_simhash",
+    "J12b_srp_lsh_ann",
+    "J12d_ivf_kmeans_ann",
+    "D6_neardup_clusters",
+    "D7_containment_dedup",
+    "D8_paragraph_dedup",
+    "D9_canonical_selection",
+    "T3_quality_score",
+    "T4_fingerprint",
+    "C3_mixture_weights",
+    "C7_quota_sample",
+    "C8_length_percentiles",
+    "C9_shuffle_shards",
+    "C11_temperature_sample",
+    "E1_batch_sessionize",
+    "E3_cohort_retention",
+    "M2_tumbling_window",
+    "M3_sliding_window",
+    "M7_stream_static_join",
+    "S9_stream_file_source",
+    "S10_foreach_batch_sink",
+    "M8_late_data_policy",
+    "M9_trigger_control",
+    "SQL24_tpch_q11",
+    "A1_group_agg",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
