@@ -472,3 +472,60 @@ def polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, g.pos, g.tok_0, g.tok_1 "
         "FROM v11_docs d, LATERAL ngrams_v11(d.text, 2) g"
     )
+
+
+@register(
+    "V12_pandas_api_parity",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       CAST(MIN(o_orderdate) AS DATE) AS first_date,
+       CAST(MAX(o_orderdate) AS DATE) AS last_date
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("udf", "pandas_api"),
+)
+def pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V12: the pandas API on Spark (``pyspark.pandas``) — the last
+    untouched public user surface (r16 verdict, missing #3) — proven
+    value-equivalent to the SQL engine on the M6/M6b "two surfaces,
+    one truth" pattern: a pandas-idiom groupby/agg over orders is
+    lowered to the same Catalyst plan family and must hash-match the
+    DuckDB oracle.
+
+    The exhibit is written pandas-first (read_parquet → groupby → agg
+    → reset_index), then ``to_spark()`` hands back the engine
+    DataFrame. Aggregates are chosen exact-on-purpose: COUNT and an
+    integer SUM (bit-deterministic in any order) and MIN/MAX dates —
+    no float accumulation, so parity is provable without the dsum
+    DECIMAL machinery (which the pandas surface cannot express).
+    pandas-on-Spark returns dates as timestamp_ntz; the final cast
+    back to DATE is the only engine-level touch-up.
+
+    Scale posture: ps.read_parquet is the SAME distributed parquet
+    scan (pushdown/pruning intact), and the groupby lowers to a
+    hash-aggregate exchange — pandas syntax, not pandas execution; no
+    driver materialization anywhere. The one surface-level cost to
+    know about: pyspark.pandas maintains a default index; reset_index
+    + immediate to_spark keeps it out of the plan. ANSI off comes from
+    RUNTIME_CONFS (the pandas API's permissive-cast contract).
+    """
+    apply_runtime_confs(spark)
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    g = (
+        pdf.groupby("o_orderstatus")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            cust_sum=("o_custkey", "sum"),
+            first_date=("o_orderdate", "min"),
+            last_date=("o_orderdate", "max"),
+        )
+        .reset_index()
+    )
+    out = g.to_spark()
+    return out.withColumn("first_date", F.col("first_date").cast("date")).withColumn(
+        "last_date", F.col("last_date").cast("date")
+    )
