@@ -102,13 +102,14 @@ _MODULES = (
 # ROUND-17 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r16 at
 # r17 HEAD (last-green histogram entering r17: r12=47, r13=50, r14=50,
-# r15=50, r16=50). The THREE r17 newborns (M6c_tws_timer_close,
-# V12_pandas_api_parity, S20_xml_roundtrip) have no green row yet and
-# are front-loaded per the standing newborn precedent; the remaining
-# 47 = the full 47-name r12 backlog (including the eight names
-# displaced by the r16 births). A1_group_agg (oldest r13) was
-# displaced by the V12 birth and heads the r18 queue. Staleness floor
-# advances r12 -> r13 when this window goes green.
+# r15=50, r16=50). The FOUR r17 newborns (M6c_tws_timer_close,
+# V12_pandas_api_parity, S20_xml_roundtrip,
+# S21_simple_stream_manifest) have no green row yet and are
+# front-loaded per the standing newborn precedent; the remaining 46 =
+# the r12 backlog minus its newest name (SQL24_tpch_q11, displaced
+# with A1_group_agg — both head the r18 queue). Staleness floor
+# advances r12 -> r13 when this window goes green (SQL24 stays r12
+# vintage until r18).
 #
 # ROUND-18 QUEUE: the oldest vintage left is r13 — run
 # `python scripts/next_window.py --stale` next round (it front-loads
@@ -117,6 +118,7 @@ DRIVER_PRIORITY = (
     "M6c_tws_timer_close",
     "V12_pandas_api_parity",
     "S20_xml_roundtrip",
+    "S21_simple_stream_manifest",
     "J13_self_join",
     "J1b_salted_skew_join",
     "J14_bloom_pruned_join",
@@ -163,12 +165,11 @@ DRIVER_PRIORITY = (
     "S10_foreach_batch_sink",
     "M8_late_data_policy",
     "M9_trigger_control",
-    "SQL24_tpch_q11",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 250
+EXPECTED_MIN_QUERIES = 251
 
 _loaded = False
 

@@ -705,3 +705,60 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _stage("x3_meta_xml", sf_dir)
     sio.sink_xml(meta, out, row_tag="record")
     return sio.scan_xml(spark, out, meta.schema, row_tag="record")
+
+
+@register(
+    "S21_simple_stream_manifest",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    tags=("sources", "datasource", "streaming"),
+)
+def simple_stream_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: the THIRD reader surface of the Python DataSource API —
+    ``SimpleDataSourceStreamReader`` (sources/manifest_source.py) —
+    completing the set after S18 (batch) and S19 (partition-planned
+    stream). The exhibit tails a landing-zone MANIFEST: one JSONL line
+    per registered document (the auditable ingestion record
+    TEST.md:158-163's production posture implies), streamed through
+    ``format("docmanifest")`` and value-checked against the documents
+    table.
+
+    The manifest is produced by Spark's own JSON sink (coalesce(1) —
+    a manifest is a control-plane artifact, deliberately one file; no
+    .collect() anywhere), then the simple reader tails it on the
+    driver: offsets are line counts, ``read(start)`` returns the new
+    rows AND the next offset in one call, ``readBetweenOffsets``
+    replays a committed range deterministically on recovery (pinned
+    with a parquet-sink restart in tests/test_manifest_source.py).
+
+    Scale posture: this API reads ON THE DRIVER by design — Spark
+    scopes it to small control-plane feeds, which a manifest is (one
+    line per document, not per byte). The data plane (the PDFs
+    themselves) streams through the partitioned S19 reader; if a
+    manifest ever outgrew a driver tail, the upgrade path is the same
+    offset algebra on DataSourceStreamReader."""
+    apply_runtime_confs(spark)
+    import glob as _glob
+    import shutil
+
+    from test_dataengineer2026_spark.sources.manifest_source import (
+        DocManifestDataSource,
+    )
+    from test_dataengineer2026_spark.staging import staged_dir
+    from test_dataengineer2026_spark.streaming.jobs import run_to_memory
+
+    spark.dataSource.register(DocManifestDataSource)
+    base = staged_dir(sf_dir, "doc_manifest")
+    json_out = os.path.join(base, "json_out")
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.coalesce(1).write.mode("overwrite").json(json_out)
+    manifest = os.path.join(base, "manifest.jsonl")
+    part = next(
+        f
+        for f in sorted(_glob.glob(os.path.join(json_out, "part-*")))
+        if not f.endswith(".crc")
+    )
+    shutil.copyfile(part, manifest)
+    s = spark.readStream.format("docmanifest").load(manifest)
+    return run_to_memory(s, "s21_manifest", "append")
