@@ -102,20 +102,20 @@ _MODULES = (
 # ROUND-17 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r16 at
 # r17 HEAD (last-green histogram entering r17: r12=47, r13=50, r14=50,
-# r15=50, r16=50). The FOUR r17 newborns (M6c_tws_timer_close,
-# V12_pandas_api_parity, S20_xml_roundtrip,
+# r15=50, r16=50). The FIVE r17 newborns (M6c_tws_timer_close,
+# M16b_timer_state_reader, V12_pandas_api_parity, S20_xml_roundtrip,
 # S21_simple_stream_manifest) have no green row yet and are
-# front-loaded per the standing newborn precedent; the remaining 46 =
-# the r12 backlog minus its newest name (SQL24_tpch_q11, displaced
-# with A1_group_agg — both head the r18 queue). Staleness floor
-# advances r12 -> r13 when this window goes green (SQL24 stays r12
-# vintage until r18).
+# front-loaded per the standing newborn precedent; the remaining 45 =
+# the r12 backlog minus its two newest names (M9_trigger_control,
+# SQL24_tpch_q11 — displaced with A1_group_agg, all three head the
+# r18 queue). The r12 staleness floor clears except those two names.
 #
 # ROUND-18 QUEUE: the oldest vintage left is r13 — run
 # `python scripts/next_window.py --stale` next round (it front-loads
 # any r18 newborns automatically).
 DRIVER_PRIORITY = (
     "M6c_tws_timer_close",
+    "M16b_timer_state_reader",
     "V12_pandas_api_parity",
     "S20_xml_roundtrip",
     "S21_simple_stream_manifest",
@@ -164,12 +164,11 @@ DRIVER_PRIORITY = (
     "S9_stream_file_source",
     "S10_foreach_batch_sink",
     "M8_late_data_policy",
-    "M9_trigger_control",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 251
+EXPECTED_MIN_QUERIES = 252
 
 _loaded = False
 

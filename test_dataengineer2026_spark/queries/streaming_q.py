@@ -1151,3 +1151,91 @@ def statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         nulled("value.fp_id").alias("first_purchase_id"),
         F.col("value.nb").alias("n_before_first_purchase"),
     )
+
+
+@register(
+    "M16b_timer_state_reader",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id, (epoch_us(MAX(ts)) // 1000) AS last_ms
+  FROM events GROUP BY user_id
+), wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) AS wm_ms FROM events
+)
+SELECT p.user_id,
+       CAST(p.last_ms + {_M6C_GAP_MS} AS BIGINT) AS expires_at_ms
+FROM per_user p, wm
+WHERE p.last_ms + {_M6C_GAP_MS} > wm.wm_ms
+""",
+    tags=("streaming", "stateful", "timers", "observability"),
+)
+def timer_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16b: the TIMER half of the state-store reader —
+    ``option("readRegisteredTimers", "true")`` over M6c's session-closer
+    checkpoint. M6c certifies the FIRED set (timers the final watermark
+    passed); this reads back the SURVIVORS — users whose last event is
+    within the 6 h gap of stream end, whose timers are still registered
+    awaiting a watermark that never came. Fired + surviving partitions
+    the user population exactly, and both halves are DuckDB-checked:
+    the oracle here is the strict complement of M6c's (> instead of
+    <=, same floor-to-ms integer arithmetic; see M6c's probed boundary
+    contract in SCALE.md §25).
+
+    Observability rationale (TEST.md:162, same as M16): "which sessions
+    are still open, and when will they time out?" is THE on-call
+    question for a sessionizing pipeline, and the timer state is the
+    only place the answer lives — the output stream by definition only
+    shows sessions already closed.
+
+    Scale posture: like M16, a batch scan over state files — one task
+    per state partition, O(|live timers|) not O(|data|), no input
+    replay. The reader resolves the store format from checkpoint
+    metadata; the RocksDB conf is only needed to RUN the upstream
+    query."""
+    apply_runtime_confs(spark)
+    import os
+
+    from test_dataengineer2026_spark import pbcompat
+    from test_dataengineer2026_spark.staging import staged_dir
+
+    if not pbcompat.ensure(spark):
+        raise RuntimeError(
+            "M16b needs a protobuf runtime to RUN the M6c session closer "
+            "whose checkpoint it reads; none is installed and the "
+            "pbcompat fallback is unavailable"
+        )
+    ckpt = os.path.join(staged_dir(sf_dir, "timer_state_stage"), "ckpt")
+    if not os.path.exists(os.path.join(ckpt, "commits")):
+        s = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            result = s.groupBy("user_id").transformWithStateInPandas(
+                make_session_closer(),
+                outputStructType="user_id long, n_events long, closed_at_ms long",
+                outputMode="append",
+                timeMode="eventTime",
+            )
+            q = (
+                result.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if prev_provider is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev_provider)
+    timers = (
+        spark.read.format("statestore")
+        .option("readRegisteredTimers", "true")
+        .load(ckpt)
+    )
+    return timers.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("expiration_timestamp_ms").alias("expires_at_ms"),
+    )
