@@ -102,21 +102,26 @@ _MODULES = (
 # ROUND-17 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r16 at
 # r17 HEAD (last-green histogram entering r17: r12=47, r13=50, r14=50,
-# r15=50, r16=50). The FIVE r17 newborns (M6c_tws_timer_close,
-# M16b_timer_state_reader, V12_pandas_api_parity, S20_xml_roundtrip,
+# r15=50, r16=50). The SEVEN r17 newborns (M6c_tws_timer_close,
+# M16b_timer_state_reader, V12_pandas_api_parity, SQL30_recursive_cte,
+# SQL31_declarative_sql_udf, S20_xml_roundtrip,
 # S21_simple_stream_manifest) have no green row yet and are
-# front-loaded per the standing newborn precedent; the remaining 45 =
-# the r12 backlog minus its two newest names (M9_trigger_control,
-# SQL24_tpch_q11 — displaced with A1_group_agg, all three head the
-# r18 queue). The r12 staleness floor clears except those two names.
+# front-loaded per the standing newborn precedent; the remaining 43 =
+# the r12 backlog minus its four newest names (M8_late_data_policy,
+# M9_trigger_control, S10_foreach_batch_sink, SQL24_tpch_q11 —
+# displaced with A1_group_agg, all five head the r18 queue). Every
+# name in this window was replayed MATCH at sf0.01 in-round before
+# commit.
 #
-# ROUND-18 QUEUE: the oldest vintage left is r13 — run
-# `python scripts/next_window.py --stale` next round (it front-loads
-# any r18 newborns automatically).
+# ROUND-18 QUEUE: the oldest vintage left is the four displaced r12
+# names — run `python scripts/next_window.py --stale` next round (it
+# front-loads any r18 newborns automatically).
 DRIVER_PRIORITY = (
     "M6c_tws_timer_close",
     "M16b_timer_state_reader",
     "V12_pandas_api_parity",
+    "SQL30_recursive_cte",
+    "SQL31_declarative_sql_udf",
     "S20_xml_roundtrip",
     "S21_simple_stream_manifest",
     "J13_self_join",
@@ -162,13 +167,11 @@ DRIVER_PRIORITY = (
     "M3_sliding_window",
     "M7_stream_static_join",
     "S9_stream_file_source",
-    "S10_foreach_batch_sink",
-    "M8_late_data_policy",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 252
+EXPECTED_MIN_QUERIES = 254
 
 _loaded = False
 

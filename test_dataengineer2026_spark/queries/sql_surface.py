@@ -1032,3 +1032,132 @@ def execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "EXECUTE IMMEDIATE sql29_stmt USING 'orders' AS tbl, 100000.0 AS cutoff"
     )
+
+
+@register(
+    "SQL30_recursive_cte",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+           event_type AS dst
+    FROM events
+  ) t WHERE src IS NOT NULL AND src <> dst
+),
+reach(node, hops) AS (
+  SELECT CAST('signup' AS STRING) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 4
+)
+SELECT node AS event_type, CAST(MIN(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY node
+""",
+    tags=("sql", "recursive"),
+)
+def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL30: Spark 4's RECURSIVE CTE — the declarative iteration
+    surface this repo's graph family (GR1/GR2, dedup components) has
+    so far expressed only as driver-side DataFrame loops, and whose
+    ``WITH RECURSIVE`` syntax appeared only in DuckDB ORACLE strings.
+    Here the recursion runs IN SPARK: event-type reachability from
+    'signup' over the observed per-user transition graph (LAG window →
+    distinct edges, ≤ |event_type|² ≈ 25 rows), anchor + self-join
+    step bounded at 4 hops, MIN(hops) per reached node. The oracle is
+    the character-identical recursion in DuckDB — both engines iterate
+    the same monotone fixpoint, so the fired set and depths must agree
+    exactly.
+
+    Determinism: path multiplicity differs from row order never —
+    UNION ALL recursion enumerates paths, and MIN(hops) collapses them
+    order-insensitively; the depth bound caps the path count (~4^4 on
+    a ≤25-edge graph) independent of data scale.
+
+    Scale posture: the recursive step is a repeated broadcast-size
+    join — the edge list is an aggregate of the data (25 rows at ANY
+    scale), so each iteration is a tiny plan; the one data-sized pass
+    is the LAG window building edges (one shuffle on user_id). At
+    100 TB the anchor/step machinery costs what 5 rounds of a 25-row
+    join cost: nothing."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    # Materialize the (tiny) edge list ONCE: a CTE inside the recursion
+    # is re-evaluated on every iteration step, so leaving the LAG
+    # window in the recursive scope re-shuffled events 4x (measured
+    # 20.4 MB vs ~5 MB — the shuffle audit caught it). localCheckpoint
+    # truncates the lineage so each iteration re-reads 25 rows, which
+    # is also the 100 TB posture: build the data-sized aggregate one
+    # time, iterate over the aggregate.
+    edges = spark.sql(
+        """
+SELECT DISTINCT src, dst FROM (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+         event_type AS dst
+  FROM events
+) t WHERE src IS NOT NULL AND src <> dst
+"""
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("sql30_edges")
+    return spark.sql(
+        """
+WITH RECURSIVE reach(node, hops) AS (
+  SELECT CAST('signup' AS STRING) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN sql30_edges e ON e.src = r.node
+  WHERE r.hops < 4
+)
+SELECT node AS event_type, CAST(MIN(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY node
+"""
+    )
+
+
+@register(
+    "SQL31_declarative_sql_udf",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_toks,
+       CAST(COUNT(DISTINCT CASE WHEN len(string_split(text, ' ')) > 100
+                                THEN doc_id END) AS BIGINT) AS n_long_docs
+FROM documents GROUP BY lang
+""",
+    tags=("sql", "udf"),
+)
+def declarative_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL31: DECLARATIVE SQL UDFs (Spark 4's ``CREATE FUNCTION ...
+    RETURNS ... RETURN expr``) — user-defined functions with NO Python
+    in the data path, the surface V6 (Python-registered SQL UDF) is
+    usually reached for but shouldn't be: the body inlines into the
+    Catalyst plan at analysis time, keeping whole-stage codegen intact
+    where a Python UDF would cut it. A scalar function (whitespace
+    token count) and a predicate built on it drive a per-lang rollup;
+    the oracle recomputes both inline (an inlined function and its
+    hand-expansion are THE SAME plan, which is the point).
+
+    Scale posture: zero — that is the feature. The function is sugar
+    over expressions; the plan is scan → hash agg, pushdown and
+    codegen untouched (contrast V1/V6, where the same logic pays the
+    Arrow boundary)."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION tok_n(s STRING) "
+        "RETURNS INT RETURN size(split(s, ' '))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_long_doc(s STRING) "
+        "RETURNS BOOLEAN RETURN tok_n(s) > 100"
+    )
+    return spark.sql(
+        """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok_n(text)) AS BIGINT) AS total_toks,
+       CAST(COUNT(DISTINCT CASE WHEN is_long_doc(text) THEN doc_id END) AS BIGINT)
+         AS n_long_docs
+FROM documents GROUP BY lang
+"""
+    )
