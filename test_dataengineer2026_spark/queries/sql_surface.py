@@ -1088,7 +1088,10 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 20.4 MB vs ~5 MB — the shuffle audit caught it). localCheckpoint
     # truncates the lineage so each iteration re-reads 25 rows, which
     # is also the 100 TB posture: build the data-sized aggregate one
-    # time, iterate over the aggregate.
+    # time, iterate over the aggregate. (localCheckpoint stores on
+    # executors — right for local mode; on a multi-node cluster where
+    # executor loss must survive the recursion, use reliable
+    # checkpoint() or stage the aggregate as a table instead.)
     edges = spark.sql(
         """
 SELECT DISTINCT src, dst FROM (
