@@ -1983,3 +1983,83 @@ def test_statestore_reader_exposes_list_and_map_state(spark, tmp_path):
         for r in mn.collect()
     }
     assert maps == {1: {"a": 2, "b": 1}, 2: {"a": 1}}
+
+
+def test_tws_timers_fire_after_restart(spark, tmp_path):
+    """Timer state is CHECKPOINT-DURABLE and fires across a query
+    restart (r17: the operational half of the M6c/M16b pair). Run 1
+    registers a per-user event-time timer (never fired — nothing
+    advances the watermark past it) and terminates. Run 2 on the SAME
+    checkpoint lands only a far-future tick: the close row it emits
+    can only come from the RECOVERED timer and value state — the new
+    batch carries no user-1 events, so n_at_close proves the counts
+    were restored, and closed_at_ms proves the expiry was."""
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        _M6C_GAP_MS,
+        _ROCKSDB_PROVIDER,
+        make_session_closer,
+    )
+
+    _tws_ready_or_skip(spark)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sch = "user_id long, ts timestamp"
+
+    def ts(s):
+        import datetime
+
+        return datetime.datetime.fromisoformat(s)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+
+    def run_once():
+        s = (
+            spark.readStream.schema(sch)
+            .parquet(str(feed))
+            .withWatermark("ts", "0 seconds")
+        )
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_session_closer(),
+            outputStructType="user_id long, n_events long, closed_at_ms long",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    try:
+        # run 1: two user-1 events; its timer (last + gap) never fires
+        _land_one_file(spark, feed, 0, [(1, ts("2024-01-01 00:00:00")),
+                                        (1, ts("2024-01-01 00:05:00"))], sch)
+        run_once()
+        assert spark.read.schema(
+            "user_id long, n_events long, closed_at_ms long"
+        ).parquet(sink).count() == 0  # registered, not fired
+
+        # run 2, same checkpoint: a tick long past user 1's expiry
+        _land_one_file(spark, feed, 1, [(99, ts("2024-03-01 00:00:00"))], sch)
+        run_once()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    rows = {
+        r["user_id"]: (r["n_events"], r["closed_at_ms"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    base = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC in ms
+    assert rows == {1: (2, base + 5 * 60_000 + _M6C_GAP_MS)}
