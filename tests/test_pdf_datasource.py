@@ -740,3 +740,23 @@ def test_stream_partitions_exclude_post_offset_landings(tmp_path):
     # and a replay of the SAME range stays identical (exactly-once resume)
     replay = [os.path.basename(f) for p in r.partitions(o0, o1) for f in p.files]
     assert replay == batch1
+
+
+def test_pushdown_empty_in_and_contradictory_equals(tmp_path):
+    """Degenerate pushed predicates must plan empty, never crash:
+    IN () (Catalyst can emit it after partition-pruning rewrites) and
+    two contradictory equalities (AND-intersected to an empty probe)
+    both yield the single-empty-partition plan."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    _touch_pdfs(tmp_path, 3)
+
+    r = PdfCorpusReader({"path": str(tmp_path)})
+    assert list(r.pushFilters([In(("doc_id",), ())])) == []
+    parts = r.partitions()
+    assert len(parts) == 1 and parts[0].files == []
+
+    r2 = PdfCorpusReader({"path": str(tmp_path)})
+    assert list(r2.pushFilters([EqualTo(("doc_id",), 0), EqualTo(("doc_id",), 2)])) == []
+    parts2 = r2.partitions()
+    assert len(parts2) == 1 and parts2[0].files == []
