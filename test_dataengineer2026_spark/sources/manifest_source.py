@@ -88,7 +88,15 @@ class ManifestSimpleStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         lines = _read_lines(self.path)
         lo = start["line"]
-        return iter([_to_row(ln) for ln in lines[lo:]]), {"line": len(lines)}
+        # Never regress the offset: a manifest that SHRANK (truncated or
+        # replaced — a contract violation, the log is append-only) must
+        # not hand Spark an end offset below the committed start; emit
+        # an empty batch at the old watermark instead of corrupting the
+        # offset log.
+        return (
+            iter([_to_row(ln) for ln in lines[lo:]]),
+            {"line": max(lo, len(lines))},
+        )
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         lines = _read_lines(self.path)

@@ -130,3 +130,21 @@ def test_exactly_once_across_restarts(spark, tmp_path):
         + [(i, "en", 100 + i) for i in range(5, 8)]
     )
     assert got == want
+
+
+def test_shrunk_manifest_never_regresses_offset(tmp_path):
+    """Contract violation handled safely: if the append-only manifest
+    SHRANK (truncated/replaced), read(start) must return an empty batch
+    at the old watermark — a regressing end offset would corrupt
+    Spark's offset log."""
+    mf = str(tmp_path / "m.jsonl")
+    _append(mf, *[_rec(i) for i in range(5)])
+    r = ManifestSimpleStreamReader({"path": mf})
+    _rows, end = r.read({"line": 0})
+    assert end == {"line": 5}
+
+    with open(mf, "w") as fh:  # truncate to 2 records
+        pass
+    _append(mf, _rec(0), _rec(1))
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == {"line": 5}  # held, not regressed
