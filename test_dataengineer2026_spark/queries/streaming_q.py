@@ -282,6 +282,22 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _has_committed_batch(ckpt: str) -> bool:
+    """True iff the checkpoint at ``ckpt`` has AT LEAST ONE committed
+    microbatch. Spark creates ``commits/`` at stream START, before any
+    batch commits, so a bare directory test would treat a checkpoint
+    whose build died mid-run as complete and read partial state; only a
+    non-dot entry in commits/ (the per-batch commit marker files, named
+    "0", "1", ...) proves a batch actually finished."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    try:
+        return any(not n.startswith(".") for n in os.listdir(commits))
+    except OSError:
+        return False
+
+
 def make_funnel_processor():
     """StatefulProcessor running the SAME ``_funnel_fold`` as M6, for
     transformWithStateInPandas (M6b and its restart-recovery pin). The
@@ -383,8 +399,12 @@ def make_session_closer():
 
         def handleInputRows(self, key, rows, timerValues):
             df = pd.concat(list(rows))
-            n0, _last0 = tuple(self.st.get()) if self.st.exists() else (0, -1)
-            last_ms = int(df["ts"].astype("int64").max() // 1_000_000)
+            n0, last0 = tuple(self.st.get()) if self.st.exists() else (0, -1)
+            # max() keeps the session expiry monotone when a key's rows
+            # arrive across microbatches out of event-time order (e.g.
+            # maxFilesPerTrigger with a late feed) — the stored last_ms
+            # must never regress below an already-seen event time.
+            last_ms = max(last0, int(df["ts"].astype("int64").max() // 1_000_000))
             self.st.update((n0 + len(df), last_ms))
             for t in list(self.h.listTimers()):
                 self.h.deleteTimer(t)  # one live timer per key
@@ -1112,7 +1132,12 @@ def statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             "installed and the pbcompat fallback is unavailable"
         )
     ckpt = os.path.join(staged_dir(sf_dir, "statestore_stage"), "ckpt")
-    if not os.path.exists(os.path.join(ckpt, "commits")):
+    if not _has_committed_batch(ckpt):
+        # Same mid-run-death guard as M16b: a commits/ dir with no
+        # committed batch is a partial checkpoint — wipe and rebuild.
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         s = read_events_stream(spark, sf_dir)
         conf_key = "spark.sql.streaming.stateStore.providerClass"
         prev_provider = spark.conf.get(conf_key, None)
@@ -1205,7 +1230,14 @@ def timer_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pbcompat fallback is unavailable"
         )
     ckpt = os.path.join(staged_dir(sf_dir, "timer_state_stage"), "ckpt")
-    if not os.path.exists(os.path.join(ckpt, "commits")):
+    if not _has_committed_batch(ckpt):
+        # A commits/ dir with no committed batch means a prior in-process
+        # build attempt died mid-run (Spark creates the dir at stream
+        # start, before any batch commits). Rebuilding over that partial
+        # checkpoint would read back incomplete timer state, so wipe it.
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
         s = read_events_stream(spark, sf_dir).withWatermark("ts", "0 seconds")
         conf_key = "spark.sql.streaming.stateStore.providerClass"
         prev_provider = spark.conf.get(conf_key, None)

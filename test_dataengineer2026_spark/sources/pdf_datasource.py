@@ -200,12 +200,13 @@ class PdfCorpusReader(DataSourceReader):
         read-side half."""
         files = sorted(glob.glob(os.path.join(self.path, "*.pdf")))
         if self.doc_probe is not None:
-            wanted = {str(d) for d in self.doc_probe}
-            files = [
-                f
-                for f in files
-                if os.path.splitext(os.path.basename(f))[0] in wanted
-            ]
+            # Int-parse the stem, mirroring _in_range (r17 advisor): a
+            # zero-padded stem like 007.pdf carries doc_id 7 (int("007")
+            # is what _extract emits), so string-matching str(7) == "7"
+            # against "007" would silently DROP its rows for a consumed
+            # `doc_id = 7` filter while the range path kept them. One
+            # parsing rule for both pruning paths.
+            files = [f for f in files if self._stem_id(f) in self.doc_probe]
         if self.doc_lo is not None or self.doc_hi is not None:
             files = [f for f in files if self._in_range(f)]
         k = self.files_per_partition
@@ -220,14 +221,23 @@ class PdfCorpusReader(DataSourceReader):
         # return 0 rows (r16 advisor, high).
         return parts or [PdfFilesPartition([])]
 
-    def _in_range(self, path: str) -> bool:
-        """Range-prune by the file-name stem (the doc_id). A stem that
-        does not parse as an int is excluded: it could never yield a row
-        satisfying an integer range predicate (and would crash
-        _extract's int() anyway — the corpus contract is int stems)."""
+    @staticmethod
+    def _stem_id(path: str):
+        """The doc_id a file would emit: its stem parsed as an int, or
+        None for a non-int stem (which could never satisfy an integer
+        doc_id predicate — and would crash _extract's int() anyway; the
+        corpus contract is int stems). The ONE parsing rule shared by
+        equality/IN and range pruning, so the two paths can never keep
+        and drop the same file."""
         try:
-            doc_id = int(os.path.splitext(os.path.basename(path))[0])
+            return int(os.path.splitext(os.path.basename(path))[0])
         except ValueError:
+            return None
+
+    def _in_range(self, path: str) -> bool:
+        """Range-prune by the file-name stem (the doc_id)."""
+        doc_id = self._stem_id(path)
+        if doc_id is None:
             return False
         if self.doc_lo is not None and doc_id < self.doc_lo:
             return False

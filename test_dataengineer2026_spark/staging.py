@@ -11,13 +11,15 @@ overwrite each other's staged files mid-scan. The contract here:
 * path = ``<repo>/.tmp/<kind>/<md5(sf_dir)[:10]>-<pid>`` — the hash
   disambiguates sf paths the old flattening collided (``/a/b_c`` vs
   ``/a/b/c``), the pid isolates concurrent processes;
-* sibling dirs are pruned when their owner is DEAD (``os.kill(pid, 0)``);
-  the age fallback (older than a day) applies ONLY when the pid probe is
-  inconclusive (recycled pid owned by another user) or the name carries
-  no pid — it exists because a recycled pid can belong to an unrelated
-  live process forever, and no legitimate staged store survives a day
-  (the writing query reads it within minutes). The current process's own
-  dir and any provably-live sibling are never age-pruned;
+* ONLY sibling dirs matching our own ``<hex10>-<pid>`` naming are ever
+  pruned — anything else under ``.tmp/<kind>/`` is foreign and untouched.
+  A matching sibling is pruned when its owner is DEAD (``os.kill(pid,
+  0)``); the age fallback (older than a day) applies ONLY when the pid
+  probe is inconclusive (recycled pid owned by another user) — it exists
+  because a recycled pid can belong to an unrelated live process
+  forever, and no legitimate staged store survives a day (the writing
+  query reads it within minutes). The current process's own dir and any
+  provably-live sibling are never age-pruned;
 * an ``atexit`` reaper removes the current process's own dir at
   interpreter exit, by which time every lazy read has been collected.
 
@@ -30,8 +32,13 @@ from __future__ import annotations
 import atexit
 import hashlib
 import os
+import re
 import shutil
 import time
+
+#: Exactly the names staged_dir() mints — md5-prefix, dash, pid. Foreign
+#: dirs under .tmp/<kind>/ never match and are never pruned.
+_STAGE_NAME_RE = re.compile(r"[0-9a-f]{10}-[0-9]+")
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -59,24 +66,24 @@ def _prune_siblings(root: str) -> None:
         # age only breaks the tie when the pid probe is inconclusive
         # (recycled pid owned by another user → PermissionError) or the
         # name carries no pid at all.
-        try:
-            pid = int(d.rsplit("-", 1)[-1])
-        except ValueError:
-            pid = None
+        # Only dirs WE created (hex10-pid naming) are ever touched: the
+        # hygiene pass must never rmtree something a user or another
+        # tool parked under .tmp/<kind>/ (r17 advisor — the age
+        # fallback previously applied to any name without a pid
+        # suffix, widening the delete surface beyond our own stores).
+        if not _STAGE_NAME_RE.fullmatch(d):
+            continue
+        pid = int(d.rsplit("-", 1)[-1])
         if pid == os.getpid():
             continue
-        alive = False
-        if pid is not None:
-            try:
-                os.kill(pid, 0)
-                alive = True  # provably ours-and-live or another live proc
-            except ProcessLookupError:
-                shutil.rmtree(sib, ignore_errors=True)
-                continue
-            except PermissionError:
-                pass  # inconclusive: alive but owned elsewhere, or recycled
-        if alive:
+        try:
+            os.kill(pid, 0)
+            continue  # provably live (ours or another proc): never pruned
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
             continue
+        except PermissionError:
+            pass  # inconclusive: alive but owned elsewhere, or recycled
         try:
             if time.time() - os.path.getmtime(sib) > MAX_STAGE_AGE_SEC:
                 shutil.rmtree(sib, ignore_errors=True)

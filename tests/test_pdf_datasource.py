@@ -341,6 +341,30 @@ def test_pushdown_prunes_files_by_doc_id(tmp_path):
     assert len([f for p in r3.partitions() for f in p.files]) == 10
 
 
+def test_pushdown_equality_int_parses_zero_padded_stems(tmp_path):
+    """r17 advisor: a zero-padded stem (007.pdf emits doc_id 7 via
+    _extract's int()) must be KEPT by a consumed `doc_id = 7` probe —
+    string-matching str(7) against "007" silently lost the rows, and
+    since the filter was consumed Spark never re-applied it. Equality/IN
+    and range pruning now share one int-parsing rule (_stem_id)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    (tmp_path / "007.pdf").write_bytes(b"%PDF-fake")
+    (tmp_path / "8.pdf").write_bytes(b"%PDF-fake")
+    (tmp_path / "notanint.pdf").write_bytes(b"%PDF-fake")
+
+    r = PdfCorpusReader({"path": str(tmp_path)})
+    list(r.pushFilters([EqualTo(("doc_id",), 7)]))
+    flat = [os.path.basename(f) for p in r.partitions() for f in p.files]
+    assert flat == ["007.pdf"]
+
+    # the two pruning paths agree: range >= 7 keeps the same file
+    r2 = PdfCorpusReader({"path": str(tmp_path)})
+    list(r2.pushFilters([GreaterThanOrEqual(("doc_id",), 7)]))
+    flat2 = [os.path.basename(f) for p in r2.partitions() for f in p.files]
+    assert flat2 == ["007.pdf", "8.pdf"]
+
+
 def test_pushdown_engages_end_to_end(spark, tmp_path):
     """Behavioral proof the pruning really runs inside a query: the
     corpus contains a file whose stem is not an integer — any reader

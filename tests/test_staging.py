@@ -50,11 +50,32 @@ def test_dead_sibling_pruned_regardless_of_age(tmp_path):
     assert not dead.exists()
 
 
-def test_age_fallback_only_for_inconclusive_names(tmp_path):
-    """A dir whose name carries no pid has an inconclusive probe: fresh
-    ones are kept, day-old ones fall to the age rule."""
+def test_foreign_names_never_pruned(tmp_path):
+    """r17 advisor: dirs that don't match our <hex10>-<pid> naming were
+    parked under .tmp/<kind>/ by someone else — the hygiene pass must
+    never delete them, no matter how old."""
     fresh = _mkold(tmp_path, "no-pid-here", 10)
     stale = _mkold(tmp_path, "also-no-pid", staging.MAX_STAGE_AGE_SEC + 3600)
+    near_miss = _mkold(  # hex prefix wrong length: still foreign
+        tmp_path, "abcdef12345-99999", staging.MAX_STAGE_AGE_SEC + 3600
+    )
+    staging._prune_siblings(str(tmp_path))
+    assert fresh.exists()
+    assert stale.exists()
+    assert near_miss.exists()
+
+
+def test_age_fallback_only_for_inconclusive_probe(tmp_path, monkeypatch):
+    """A staging-named sibling whose pid probe is INCONCLUSIVE
+    (PermissionError: pid recycled by another user) falls to the age
+    rule: fresh kept, day-old pruned."""
+
+    def _deny(pid, sig):
+        raise PermissionError
+
+    monkeypatch.setattr(staging.os, "kill", _deny)
+    fresh = _mkold(tmp_path, "abcdef1234-424242", 10)
+    stale = _mkold(tmp_path, "abcdef1234-424243", staging.MAX_STAGE_AGE_SEC + 3600)
     staging._prune_siblings(str(tmp_path))
     assert fresh.exists()
     assert not stale.exists()

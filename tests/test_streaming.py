@@ -2063,3 +2063,25 @@ def test_tws_timers_fire_after_restart(spark, tmp_path):
     }
     base = 1_704_067_200_000  # 2024-01-01 00:00:00 UTC in ms
     assert rows == {1: (2, base + 5 * 60_000 + _M6C_GAP_MS)}
+
+
+def test_has_committed_batch_guard(tmp_path):
+    """r17 advisor: Spark creates commits/ at stream START, so a bare
+    os.path.exists(commits) treated a checkpoint whose build died before
+    any batch committed as complete — a same-process retry then read
+    partial timer state. The guard demands a real commit marker file."""
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        _has_committed_batch,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    assert not _has_committed_batch(str(ckpt))  # no checkpoint at all
+
+    (ckpt / "commits").mkdir(parents=True)
+    assert not _has_committed_batch(str(ckpt))  # dir exists, zero commits
+
+    (ckpt / "commits" / ".hidden.crc").write_text("")
+    assert not _has_committed_batch(str(ckpt))  # dot-files don't count
+
+    (ckpt / "commits" / "0").write_text("v1")
+    assert _has_committed_batch(str(ckpt))  # batch 0 committed
