@@ -54,6 +54,14 @@ SIMHASH_BITS = 24
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
+#: Document-frequency cap for the capped inverted-index path (D3b): a
+#: shingle appearing in more than DF_CAP docs is dropped from the
+#: posting list before the pair join. At the synthetic corpus's df
+#: distribution (p99 ≈ 5) this prunes only the stopword-shingle tail;
+#: at web scale it is the difference between O(sum df^2) blowing up on
+#: "of the" and a bounded candidate set.
+DF_CAP = 5
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group rows by content digest; keeper = min id per digest."""

@@ -99,79 +99,76 @@ _MODULES = (
     "nested_q",
 )
 
-# ROUND-17 WINDOW: computed mechanically by
-# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r16 at
-# r17 HEAD (last-green histogram entering r17: r12=47, r13=50, r14=50,
-# r15=50, r16=50). The SEVEN r17 newborns (M6c_tws_timer_close,
-# M16b_timer_state_reader, V12_pandas_api_parity, SQL30_recursive_cte,
-# SQL31_declarative_sql_udf, S20_xml_roundtrip,
-# S21_simple_stream_manifest) have no green row yet and are
-# front-loaded per the standing newborn precedent; the remaining 43 =
-# the r12 backlog minus its four newest names (M8_late_data_policy,
-# M9_trigger_control, S10_foreach_batch_sink, SQL24_tpch_q11 —
-# displaced with A1_group_agg, all five head the r18 queue). Every
-# name in this window was replayed MATCH at sf0.01 in-round before
-# commit.
+# ROUND-18 WINDOW: computed mechanically by
+# `python scripts/next_window.py --stale` on CORRECTNESS_r01-r17 at
+# r18 HEAD (last-green histogram entering r18: r12=4, r13=50, r14=50,
+# r15=50, r16=50, r17=50). Heads = the four r12-vintage names the r17
+# rotation displaced (S10_foreach_batch_sink, M8_late_data_policy,
+# M9_trigger_control, SQL24_tpch_q11) — clearing the r12 backlog
+# entirely — followed by the oldest r13 vintage. r18 newborns are
+# front-loaded per the standing precedent, each displacing the newest
+# name from the stale tail.
 #
-# ROUND-18 QUEUE: the oldest vintage left is the four displaced r12
-# names — run `python scripts/next_window.py --stale` next round (it
-# front-loads any r18 newborns automatically).
+# ROUND-19 QUEUE: pure mechanical rotation — run
+# `python scripts/next_window.py --stale` (it front-loads any r19
+# newborns automatically); the oldest vintage left will be the r13
+# remainder this window could not fit.
 DRIVER_PRIORITY = (
-    "M6c_tws_timer_close",
-    "M16b_timer_state_reader",
-    "V12_pandas_api_parity",
-    "SQL30_recursive_cte",
-    "SQL31_declarative_sql_udf",
-    "S20_xml_roundtrip",
-    "S21_simple_stream_manifest",
-    "J13_self_join",
-    "J1b_salted_skew_join",
-    "J14_bloom_pruned_join",
-    "W2_lag_lead",
-    "W3_running_agg",
-    "W4_ntile_percent",
-    "W7_scd2_dimension",
-    "O1_sort",
-    "O2_sort_within_partitions",
-    "O3_limit_topk",
-    "U1_union_all",
-    "U2_union_distinct",
-    "U3_intersect",
-    "U4_except",
-    "F1_string_funcs",
-    "F4_math_funcs",
-    "F5_conditional_funcs",
-    "F6_cast_funcs",
-    "F7_array_funcs",
-    "F8_map_funcs",
-    "F11_hash_funcs",
-    "J9_range_join",
-    "D3_ngram_jaccard",
-    "D4_simhash",
-    "J12b_srp_lsh_ann",
-    "J12d_ivf_kmeans_ann",
-    "D6_neardup_clusters",
-    "D7_containment_dedup",
-    "D8_paragraph_dedup",
-    "D9_canonical_selection",
-    "T3_quality_score",
-    "T4_fingerprint",
-    "C3_mixture_weights",
-    "C7_quota_sample",
-    "C8_length_percentiles",
-    "C9_shuffle_shards",
-    "C11_temperature_sample",
-    "E1_batch_sessionize",
-    "E3_cohort_retention",
-    "M2_tumbling_window",
-    "M3_sliding_window",
-    "M7_stream_static_join",
-    "S9_stream_file_source",
+    "M6d_tws_processing_timer",
+    "D3b_ngram_jaccard_capped",
+    "W10_pattern_funnel",
+    "S10_foreach_batch_sink",
+    "M8_late_data_policy",
+    "M9_trigger_control",
+    "SQL24_tpch_q11",
+    "A1_group_agg",
+    "A6_grouping_sets_rollup",
+    "A14_cube",
+    "A15_grouped_percentiles",
+    "A16_heavy_hitters",
+    "GR4_bfs_levels",
+    "J1_inner_equi_join",
+    "J7_broadcast_join",
+    "J16_null_safe_join",
+    "W1_rank_topn",
+    "W4b_ntile_global",
+    "W5_dedup_keep_latest",
+    "W6_cdc_merge",
+    "W8_activity_streaks",
+    "W9_trailing_time_window",
+    "M11_chained_window_agg",
+    "V5_mm_binary_features",
+    "V1_scalar_pandas_udf",
+    "V2_grouped_map_udf",
+    "V3_grouped_agg_udaf",
+    "SQL3_cte_window",
+    "V6_sql_udf_registration",
+    "SQL5_tpch_q10",
+    "SQL7_tpch_q14",
+    "SQL8_tpch_q17",
+    "SQL9_tpch_q19",
+    "SQL10_tpch_q22",
+    "X3_extract_metadata",
+    "X4_extract_resources",
+    "X5_extract_reserves",
+    "X2_extract_table_cells",
+    "X8_null_fill_contract",
+    "X9_validate_extraction",
+    "X6_extract_economics",
+    "X7_normalize_numeric",
+    "S8_partitioned_parquet_roundtrip",
+    "S1_binary_file_scan",
+    "S5_text_scan",
+    "S6_json_sink_roundtrip",
+    "S7_csv_sink_roundtrip",
+    "S3_csv_roundtrip",
+    "S4_json_roundtrip",
+    "S11_bucketed_join",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 254
+EXPECTED_MIN_QUERIES = 257
 
 _loaded = False
 

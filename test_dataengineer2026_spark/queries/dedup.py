@@ -124,11 +124,64 @@ WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: exact n-gram Jaccard via inverted shingle index (explode +
     self-join on shingle + co-occurrence count). The exact-recall
-    baseline that D2 approximates; at scale add a document-frequency cap
-    on shingles (df_cap) to bound the join fan-out."""
+    baseline that D2 approximates; D3b runs the same pipeline with the
+    document-frequency cap active — the knob that bounds the join
+    fan-out at scale."""
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
     return D.neardup_pairs_inverted(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register(
+    "D3b_ngram_jaccard_capped",
+    oracle=f"""
+WITH {_SETS_CTE},
+posting AS (
+  SELECT doc, len(sh) AS set_size, unnest(sh) AS shingle FROM sets
+),
+kept AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= {D.DF_CAP}
+),
+capped AS (
+  SELECT p.doc, p.set_size, p.shingle FROM posting p JOIN kept k USING (shingle)
+),
+pair_counts AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         COUNT(*) AS n_shared
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) AS jac
+FROM pair_counts
+WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
+""",
+    tags=("dedup", "jaccard"),
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3b: D3's inverted-index Jaccard with the document-frequency cap
+    ACTIVE (df_cap=DF_CAP=5) — the scale path exercised under the full
+    oracle gate, not just documented. Shingles in more than df_cap docs
+    are dropped from the posting list BEFORE the pair join, so the
+    candidate fan-out is bounded by sum(min(df, cap)^2) instead of
+    sum(df^2); set sizes stay UNCAPPED, so the reported jac is a lower
+    bound on true Jaccard (a dropped stopword-shingle can only remove
+    shared mass). The cap is not a no-op here: at sf0.001 it changes
+    the answer (22 pairs vs D3's 28) and at every sf it prunes real
+    posting rows, both mirrored exactly by the oracle.
+
+    Scale notes: the df computation is one extra groupBy on the posting
+    key — map-side combinable, same shuffle key as the pair join's
+    build side, and the `kept` list is a semi-join the optimizer can
+    turn into a bloom-pruned scan. At 100 TB this is the ONLY version
+    of D3 you would run."""
+    apply_runtime_confs(spark)
+    d = tables.load(spark, sf_dir, "documents")
+    return D.neardup_pairs_inverted(
+        d, "text", "doc_id", n=3, threshold=0.8, df_cap=D.DF_CAP
+    )
 
 
 @register(

@@ -26,6 +26,7 @@ from test_dataengineer2026_spark.streaming.jobs import (
     read_events_stream,
     read_events_stream_multifile,
     run_to_memory,
+    run_to_memory_until,
     stage_events_multifile,
 )
 
@@ -490,6 +491,111 @@ def tws_timer_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="eventTime",
         )
         return run_to_memory(result, "m6c_timer_close", "append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+
+def make_idle_flusher():
+    """StatefulProcessor for M6d: per-key count flushed by a
+    PROCESSING-TIME timer — the wall-clock half of the timer surface
+    (M6c covers event time). Registers one already-expired timer per
+    key on first sight; the timer sweep of the next batch emits the
+    accumulated count. Lazy import, same reason as
+    make_funnel_processor."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _IdleFlusher(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.h = handle
+            self.st = handle.getValueState("cnt", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n0 = tuple(self.st.get())[0] if self.st.exists() else 0
+            self.st.update((n0 + sum(len(df) for df in rows),))
+            if not list(self.h.listTimers()):
+                # Register in the PAST: fires at the very next timer
+                # sweep. In production this would be now + idle_ms; the
+                # exhibit keeps the flush deterministic instead of
+                # wall-clock-dependent.
+                self.h.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() - 1
+                )
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            n = tuple(self.st.get())[0]
+            yield pd.DataFrame([{"user_id": key[0], "n_events": n}])
+
+        def close(self) -> None:
+            pass
+
+    return _IdleFlusher()
+
+
+@register(
+    "M6d_tws_processing_timer",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+""",
+    tags=("streaming", "stateful", "timers"),
+)
+def tws_processing_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6d: PROCESSING-TIME timers in transformWithState, under the full
+    oracle gate — completing the timer matrix M6c opened (eventTime).
+    The pattern is the production "flush on idle" shape: accumulate a
+    per-key counter, register a wall-clock timer, emit the total when
+    it fires. Here the timer is registered already-expired so the flush
+    is deterministic: every user emits exactly once, with their full
+    event count.
+
+    Determinism contract (probed, r18): with timeMode="processingTime"
+    and an availableNow trigger, a timer registered in the PAST during
+    the single data batch fires in the trailing no-data batch — after
+    ALL input is consumed — so the emitted counts equal the batch
+    GROUP BY. The single-data-batch feed contract is the same one M6c
+    documents (one parquet file, no maxFilesPerTrigger); a multi-batch
+    feed would flush partial counts mid-stream by design (that IS the
+    idle-flush semantics, just not hash-comparable to a batch oracle).
+
+    Scale posture: identical to M6c — one long of state plus one timer
+    per key, partitioned by the grouping key in RocksDB; the timer
+    sweep is expiry-ordered, not a full state scan. Wall-clock timers
+    are the only way to bound output latency when a key's feed simply
+    stops — event-time timers never fire without new data."""
+    apply_runtime_confs(spark)
+    from test_dataengineer2026_spark import pbcompat
+
+    if not pbcompat.ensure(spark):
+        raise RuntimeError(
+            "M6d needs a protobuf runtime for transformWithState's "
+            "state-server protocol; none is installed and the Cloud SDK "
+            "fallback (pbcompat) is unavailable on this machine"
+        )
+    s = read_events_stream(spark, sf_dir)
+    # One flush row per key: the exact output cardinality, known from a
+    # cheap batch count — the stop condition for run_to_memory_until
+    # (availableNow cannot self-terminate under processingTime, see
+    # that helper's docstring).
+    n_users = (
+        tables.load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        result = s.groupBy("user_id").transformWithStateInPandas(
+            make_idle_flusher(),
+            outputStructType="user_id long, n_events long",
+            outputMode="append",
+            timeMode="processingTime",
+        )
+        return run_to_memory_until(result, "m6d_idle_flush", "append", n_users)
     finally:
         if prev_provider is None:
             spark.conf.unset(conf_key)

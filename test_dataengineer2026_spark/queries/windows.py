@@ -503,3 +503,99 @@ def trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_24h"),
         F.sum("vmic").over(w).alias("trailing_value_micro"),
     )
+
+
+@register(
+    "W10_pattern_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t_view_us, MIN(epoch_us(e.ts)) AS t_click_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+  GROUP BY e.user_id, v.t_view_us
+),
+p AS (
+  SELECT e.user_id, c.t_view_us, c.t_click_us, MIN(epoch_us(e.ts)) AS t_purchase_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+  GROUP BY e.user_id, c.t_view_us, c.t_click_us
+)
+SELECT user_id, t_view_us, t_click_us, t_purchase_us,
+       t_purchase_us - t_view_us AS span_us
+FROM p
+""",
+    tags=("window", "events", "funnel"),
+)
+def pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: ordered-sequence pattern detection — for each user, the
+    earliest view -> click -> purchase chain with strictly increasing
+    event times (greedy leftmost match: earliest view, then earliest
+    click after it, then earliest purchase after that). This is the
+    MATCH_RECOGNIZE-shaped capability the batch surface was missing:
+    M6/M6b count funnel STAGES statefully, E1 sessionizes by gaps; W10
+    asserts ORDER between typed steps, the shape every product-analytics
+    "did they convert after seeing it" question takes.
+
+    Implementation is windows-over-one-shuffle, not joins: a single hash
+    partition on user_id, then three chained min-over-partition windows
+    (each conditional on the previous step's timestamp — legal because a
+    window may reference a prior select's column, and Spark chains
+    Window nodes on the SAME partition spec without re-shuffling), and a
+    row_number to collapse to one row per converting user. Emitted as
+    epoch micros (BIGINT) so the value hash is engine-exact.
+
+    Scale: ONE shuffle of (user_id, type, ts) triples — event payloads
+    are pruned at the scan — then per-partition sorts. The equivalent
+    3-way self-join plan shuffles the events table three times; at
+    100 TB the window form is the only sane one. Deterministic: MIN is
+    tie-free, and the rn=1 collapse picks from identical per-user rows.
+    """
+    apply_runtime_confs(spark)
+    e = tables.load(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    wp = W.partitionBy("user_id")
+    s = s.withColumn(
+        "t_view_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("t_us"))).over(wp),
+    )
+    s = s.withColumn(
+        "t_click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("t_us") > F.col("t_view_us")),
+                F.col("t_us"),
+            )
+        ).over(wp),
+    )
+    s = s.withColumn(
+        "t_purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t_us") > F.col("t_click_us")),
+                F.col("t_us"),
+            )
+        ).over(wp),
+    )
+    rn = F.row_number().over(wp.orderBy("t_us", "event_id"))
+    return (
+        s.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & F.col("t_purchase_us").isNotNull())
+        .select(
+            "user_id",
+            "t_view_us",
+            "t_click_us",
+            "t_purchase_us",
+            (F.col("t_purchase_us") - F.col("t_view_us")).alias("span_us"),
+        )
+    )

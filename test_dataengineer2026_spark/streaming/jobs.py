@@ -363,6 +363,51 @@ def run_to_memory(
     return spark.table(name)
 
 
+def run_to_memory_until(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    expected_rows: int,
+    timeout_s: float = 300.0,
+) -> DataFrame:
+    """Run a streaming query into a memory sink until the sink holds
+    ``expected_rows`` rows, then stop it and return the table.
+
+    Exists for queries availableNow cannot self-terminate: with
+    timeMode="processingTime" a transformWithState query stays active
+    after its timers fire (probed r18: rows emitted, isActive still
+    True after 180 s) — wall-clock timers imply potential future work,
+    so Spark never reports the stream done. The caller knows the exact
+    output cardinality (one flush row per key), which is a stronger
+    stop condition than any idle heuristic. Raises on deadline so a
+    wedged stream fails loudly instead of returning a partial table."""
+    import time
+
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while spark.table(name).count() < expected_rows:
+            if q.awaitTermination(0.5):
+                break  # terminated on its own: sink is final
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stream {name!r}: sink stuck at "
+                    f"{spark.table(name).count()}/{expected_rows} rows "
+                    f"after {timeout_s}s"
+                )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def stage_events_dup_feed(spark: SparkSession, sf_dir: str) -> str:
     """Stage events as TWO files: the full table, then a re-delivery of
     every 5th event (exact duplicate rows, same event time) — the
