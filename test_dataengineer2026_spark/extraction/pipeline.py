@@ -56,13 +56,27 @@ def extract_all(pages: DataFrame) -> dict[str, DataFrame]:
 
 
 def run_corpus(
-    spark: SparkSession, input_dir: str, output_dir: str, fmt: str = "json"
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    fmt: str = "json",
+    single_file: bool = False,
 ) -> dict[str, DataFrame]:
     """CLI shape: python -m test_dataengineer2026_spark.extraction.pipeline
-    --input data/ --output output/ (TEST.md:61-62, 131-138)."""
+    --input data/ --output output/ (TEST.md:61-62, 131-138).
+
+    Writes are PARALLEL by default (one file per task — the only
+    posture that scales to the spec's 10k-PDF production tier,
+    TEST.md:158-163). ``single_file=True`` (CLI ``--single-file``)
+    restores the one-file-per-table convenience shape for small
+    hand-off runs; it serializes each sink through one task, so it is
+    an explicit opt-in, never the default (r17 verdict #5 — the old
+    unconditional coalesce(1) made every corpus run single-threaded at
+    the sink)."""
     tables = extract_all(parse_pages(scan_pdfs(spark, input_dir)))
     for name, df in tables.items():
-        writer = df.coalesce(1).write.mode("overwrite")
+        out = df.coalesce(1) if single_file else df
+        writer = out.write.mode("overwrite")
         if fmt == "json":
             writer.json(f"{output_dir}/{name}")
         elif fmt == "csv":
@@ -81,5 +95,17 @@ if __name__ == "__main__":  # pragma: no cover
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
+    ap.add_argument(
+        "--single-file",
+        action="store_true",
+        help="coalesce each output table to one file (small hand-off "
+        "runs only; serializes the sink through one task)",
+    )
     args = ap.parse_args()
-    run_corpus(get_session("extraction"), args.input, args.output, args.format)
+    run_corpus(
+        get_session("extraction"),
+        args.input,
+        args.output,
+        args.format,
+        single_file=args.single_file,
+    )

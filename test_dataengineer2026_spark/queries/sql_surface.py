@@ -1077,31 +1077,41 @@ def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: the recursive step is a repeated broadcast-size
     join — the edge list is an aggregate of the data (25 rows at ANY
     scale), so each iteration is a tiny plan; the one data-sized pass
-    is the LAG window building edges (one shuffle on user_id). At
-    100 TB the anchor/step machinery costs what 5 rounds of a 25-row
-    join cost: nothing."""
+    is the LAG window building edges (one shuffle on user_id). The
+    aggregate is staged as a durable parquet table (not
+    localCheckpoint, whose executor-stored blocks die with an executor
+    mid-recursion). At 100 TB the anchor/step machinery costs what 5
+    rounds of a 25-row join cost: nothing."""
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
+    import os
+
+    from test_dataengineer2026_spark.staging import staged_dir
+
     # Materialize the (tiny) edge list ONCE: a CTE inside the recursion
     # is re-evaluated on every iteration step, so leaving the LAG
     # window in the recursive scope re-shuffled events 4x (measured
-    # 20.4 MB vs ~5 MB — the shuffle audit caught it). localCheckpoint
-    # truncates the lineage so each iteration re-reads 25 rows, which
-    # is also the 100 TB posture: build the data-sized aggregate one
-    # time, iterate over the aggregate. (localCheckpoint stores on
-    # executors — right for local mode; on a multi-node cluster where
-    # executor loss must survive the recursion, use reliable
-    # checkpoint() or stage the aggregate as a table instead.)
-    edges = spark.sql(
-        """
+    # 20.4 MB vs ~5 MB — the shuffle audit caught it). r17 used
+    # localCheckpoint, which stores blocks on EXECUTORS — losing one
+    # mid-recursion kills the query on a real cluster. Staging the
+    # aggregate as a parquet table is the cluster-safe equivalent:
+    # durable storage, lineage truncated to a scan, each iteration
+    # re-reads 25 rows. That is also the 100 TB posture — build the
+    # data-sized aggregate one time, iterate over the aggregate.
+    # coalesce(1) is sound HERE (unlike a data-sized sink): the edge
+    # list is bounded by |event_type|^2 ≈ 25 rows at any scale.
+    stage = os.path.join(staged_dir(sf_dir, "sql30_edges_stage"), "edges")
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        spark.sql(
+            """
 SELECT DISTINCT src, dst FROM (
   SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
          event_type AS dst
   FROM events
 ) t WHERE src IS NOT NULL AND src <> dst
 """
-    ).localCheckpoint()
-    edges.createOrReplaceTempView("sql30_edges")
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage).createOrReplaceTempView("sql30_edges")
     return spark.sql(
         """
 WITH RECURSIVE reach(node, hops) AS (

@@ -294,11 +294,12 @@ def test_compact_survives_unwritable_sidecar(monkeypatch, capsys):
 
 def test_wait_for_idle_blocks_on_steal(monkeypatch):
     """The entry gate must not bless a low-load box while the host is
-    stealing: it re-checks a 5 s steal window until clean or timeout,
-    and never sleeps forever."""
-    steal_readings = iter([3.2, 0.3, 0.07])  # two dirty windows (the
-    # second under the OLD 0.5 gate — dirty since the r15 tighten to
-    # 0.25), then a clean idle-floor reading
+    stealing: it re-checks 5 s steal windows until TWO consecutive
+    idle-floor readings (r17 verdict #2), and never sleeps forever."""
+    steal_readings = iter([3.2, 0.3, 0.07, 0.05])  # two dirty windows
+    # (the second under the OLD 0.5 gate — dirty since the r15 tighten
+    # to 0.25), then the two consecutive quiet readings the r18
+    # confirmed-quiet tier demands
     sleeps: list[float] = []
     monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
     monkeypatch.setattr(
@@ -306,10 +307,46 @@ def test_wait_for_idle_blocks_on_steal(monkeypatch):
     )
     monkeypatch.setattr(bench.time, "sleep", sleeps.append)
     waited, timed_out = bench._wait_for_idle()
-    # waited covers the two dirty 5 s windows plus the 15 s backoffs
-    assert waited == 5 + 15 + 5 + 15
+    # two dirty 5 s windows with 15 s backoffs, then the two quiet
+    # windows sampled BACK-TO-BACK (no backoff between them)
+    assert waited == 5 + 15 + 5 + 15 + 5 + 5
     assert sleeps == [15, 15]
     assert timed_out is False
+
+
+def test_wait_for_idle_single_quiet_window_is_not_enough(monkeypatch):
+    """One idle-floor window followed by a dirty one must NOT pass: the
+    confirmed-quiet tier requires QUIET_WINDOWS consecutive readings,
+    so an isolated lucky probe between neighbor bursts can't bless the
+    draw. The pass only comes when two quiet windows land in a row."""
+    steal_readings = iter([0.05, 3.0, 0.04, 0.06])
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(
+        bench, "_steal_window_pct", lambda seconds=5.0: next(steal_readings)
+    )
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+    waited, timed_out = bench._wait_for_idle()
+    # quiet(5) + dirty(5, resets the streak) + backoff(15) + quiet(5)
+    # + quiet(5) back-to-back
+    assert waited == 5 + 5 + 15 + 5 + 5
+    assert sleeps == [15]
+    assert timed_out is False
+
+
+def test_wait_for_idle_fallback_tier_after_half_budget(monkeypatch):
+    """A persistently 0.1-0.25%% box (above the idle floor, under the
+    dirty/clean separator) must still enter — via the old single-window
+    gate — once HALF the wait budget is spent, rather than flipping a
+    clean-enough run to contended. Before the half-budget mark the
+    quiet tier keeps refusing it."""
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    monkeypatch.setattr(bench, "_steal_window_pct", lambda seconds=5.0: 0.15)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    waited, timed_out = bench._wait_for_idle(max_wait=100)
+    assert timed_out is False
+    assert waited >= 50  # not accepted before the half-budget mark
+    assert waited < 100  # accepted by the fallback, not timed out
 
 
 def test_wait_for_idle_resamples_load_after_steal_window(monkeypatch):
@@ -321,7 +358,9 @@ def test_wait_for_idle_resamples_load_after_steal_window(monkeypatch):
         (0.5, 0, 0),  # entry check: clean
         (9.0, 0, 0),  # post-steal-window re-sample: spiked -> loop
         (0.5, 0, 0),  # second entry check: clean
-        (0.5, 0, 0),  # second re-sample: still clean -> pass
+        (0.5, 0, 0),  # second re-sample: clean -> quiet streak 1
+        (0.5, 0, 0),  # third entry check (back-to-back window): clean
+        (0.5, 0, 0),  # third re-sample: clean -> quiet streak 2, pass
     ])
     monkeypatch.setattr(bench.os, "getloadavg", lambda: next(loads))
     monkeypatch.setattr(bench, "_steal_window_pct", lambda seconds=5.0: 0.1)
@@ -330,7 +369,7 @@ def test_wait_for_idle_resamples_load_after_steal_window(monkeypatch):
     waited, timed_out = bench._wait_for_idle()
     assert timed_out is False
     assert sleeps == [15]  # one backoff for the blocked first pass
-    assert waited == 5 + 15  # the dirty window plus its backoff
+    assert waited == 5 + 15 + 5 + 5  # blocked window + backoff + 2 quiet
 
 
 def test_wait_for_idle_honors_retry_budget(monkeypatch):

@@ -119,3 +119,27 @@ def test_integer_overflow_semantics_cross_engine(spark):
     assert (int(val), typ) == (big + 1, "HUGEINT")
     with pytest.raises(duckdb.Error, match="[Oo]ut of [Rr]ange"):
         con.execute(f"SELECT ({big}::BIGINT) + (1::BIGINT)").fetchone()
+
+
+def test_v12_restores_ansi_and_timezone_contract(spark):
+    """r17 verdict #7: pyspark.pandas (V12) requires ANSI off and
+    speaks timestamp_ntz for dates — a future driver window that
+    schedules V12 immediately before an ANSI-sensitive SQL query must
+    not inherit drifted session state. The contract is that EVERY
+    query opens with apply_runtime_confs, so V12 itself must leave the
+    session on the RUNTIME_CONFS settings (ANSI off, UTC) even when it
+    starts from a sabotaged session."""
+    from test_dataengineer2026_spark.registry import queries
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        rows = queries()["V12_pandas_api_parity"](spark, SF_DIR).collect()
+        assert rows  # the query itself ran under the sabotage
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # and the permissive-cast semantics the oracles assume are back
+        assert spark.sql("SELECT CAST('x' AS INT)").first()[0] is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -1347,3 +1347,18 @@ def test_runtime_bloom_filter_join_contract(spark):
         f"ON l.l_orderkey = o.o_orderkey WHERE o.o_totalprice > 400000"
     ).fetchone()[0]
     assert got == want
+
+
+def test_sql30_recursion_iterates_over_staged_scan(spark):
+    """SQL30's r18 materialization contract (r17 verdict #3): the edge
+    aggregate the recursion iterates over must be a DURABLE parquet
+    scan — not localCheckpoint (executor-stored blocks die with an
+    executor mid-recursion) and not the inline LAG window (re-shuffles
+    events once per iteration; the r17 shuffle audit measured 20.4 MB
+    vs 2.3 MB). Running the query must leave sql30_edges resolving to
+    a parquet relation with no Window/events-scan inside it."""
+    QS["SQL30_recursive_cte"](spark, SF_DIR_MID).collect()
+    p = plan_string(spark.table("sql30_edges"), "simple")
+    assert "parquet" in p.lower(), p
+    assert "Window" not in p, p
+    assert "events" not in p, p  # lineage truncated to the staged table
