@@ -117,6 +117,10 @@ DRIVER_PRIORITY = (
     "M6d_tws_processing_timer",
     "D3b_ngram_jaccard_capped",
     "W10_pattern_funnel",
+    "SQL32_pipe_syntax",
+    "SQL33_lateral_topn",
+    "V13_udtf_table_argument",
+    "DQ4_observe_metrics",
     "S10_foreach_batch_sink",
     "M8_late_data_policy",
     "M9_trigger_control",
@@ -160,15 +164,11 @@ DRIVER_PRIORITY = (
     "S1_binary_file_scan",
     "S5_text_scan",
     "S6_json_sink_roundtrip",
-    "S7_csv_sink_roundtrip",
-    "S3_csv_roundtrip",
-    "S4_json_roundtrip",
-    "S11_bucketed_join",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 257
+EXPECTED_MIN_QUERIES = 261
 
 _loaded = False
 

@@ -259,3 +259,67 @@ def financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("order_value"),
         )
     )
+
+
+@register(
+    "DQ4_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT)
+         AS n_nonpositive_qty,
+       CAST(COUNT(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 END)
+            AS BIGINT) AS n_discount_oob,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,6))
+            AS DOUBLE) AS total_price
+FROM lineitem
+""",
+    tags=("quality", "observe"),
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: the ``Dataset.observe`` / ``Observation`` API — data-quality
+    counters collected AS A SIDE EFFECT of a pass the pipeline is
+    already paying for, the production alternative to DQ1's dedicated
+    validation scan. The exhibit attaches row-count, two
+    constraint-violation counters (count_if), and an exact-decimal
+    price sum to a lineitem pass, drives the pass with a noop write
+    (the metrics piggyback on that single scan — no second job, unlike
+    DQ1 which IS a scan), and returns the observed metrics row. The
+    oracle recomputes the same four aggregates directly, so the
+    side-channel values are hash-checked, not just smoke-checked.
+
+    The one-row createDataFrame at the end is metrics plumbing, not a
+    driver-side compute path: the aggregation itself ran distributed
+    inside the observed pass (AggregatingAccumulator), and only the
+    final 4-value metric map crosses to the driver — the same bytes a
+    StreamingQueryListener or metrics sink would ship.
+
+    Scale posture: observe() adds an accumulator to an EXISTING pass —
+    zero extra scans, zero extra shuffles; at 100 TB this is the only
+    affordable way to get per-batch DQ counters on every pipeline run
+    (a separate DQ job doubles the read bill). Restriction honored:
+    observed expressions are plain aggregates (no distinct), exactly
+    what the API supports."""
+    apply_runtime_confs(spark)
+    from pyspark.sql import Observation
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    obs = Observation("dq4")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("l_quantity") <= 0).alias("n_nonpositive_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("n_discount_oob"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) "
+            "AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("total_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive_qty"], m["n_discount_oob"], m["total_price"])],
+        "n_rows bigint, n_nonpositive_qty bigint, n_discount_oob bigint, "
+        "total_price double",
+    )

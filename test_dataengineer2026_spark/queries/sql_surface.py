@@ -1174,3 +1174,81 @@ SELECT lang,
 FROM documents GROUP BY lang
 """
     )
+
+
+_SQL32_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       {_narrow(f'SUM({_DEC_QTY})')} AS sum_qty,
+       {_narrow(f'SUM({_DEC_PRICE} * ({_DEC_ONE} - {_DEC_DISC}))')} AS revenue
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("SQL32_pipe_syntax", oracle=_SQL32_ORACLE, tags=("sql", "pipe"))
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL32: Spark 4's SQL PIPE syntax (`|>`) — the linear
+    FROM-first query form (scan |> filter |> aggregate) that reads in
+    execution order instead of inside-out SQL. Same pricing-summary
+    semantics as the Q1 family, written as a pipe chain; the oracle is
+    the semantically identical classic SELECT in DuckDB (which has no
+    pipe surface), so this pins that the pipe parser lowers to exactly
+    the plan the classic form produces — values, not just shape.
+
+    Money sums ride the same exact-DECIMAL-then-narrow contract as
+    every SQL-surface aggregate (determinism.py rationale).
+
+    Scale posture: zero cost — pipe syntax is parse-level sugar; the
+    plan is the same scan -> partial agg -> final agg as SQL11/A1,
+    with the shipdate filter pushed to the parquet scan."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+|> AGGREGATE COUNT(*) AS n_items,
+             {_narrow(f'SUM({_DEC_QTY})')} AS sum_qty,
+             {_narrow(f'SUM({_DEC_PRICE} * ({_DEC_ONE} - {_DEC_DISC}))')} AS revenue
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n_items, sum_qty, revenue
+"""
+    )
+
+
+_SQL33 = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+"""
+
+
+@register("SQL33_lateral_topn", oracle=_SQL33, tags=("sql", "lateral"))
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL33: correlated LATERAL subquery join — top-2 orders by value
+    per customer, the SQL-standard form of the per-group top-N that
+    W1 expresses with window functions. SQL25 covers LATERAL VIEW
+    explode (generator lateral); this is the OTHER lateral: a
+    correlated scalar subquery with ORDER BY + LIMIT evaluated per
+    outer row. Identical text runs on DuckDB as the oracle.
+
+    Determinism: (o_totalprice DESC, o_orderkey) is a total order, so
+    the kept 2 rows per customer are unique; prices pass through
+    unchanged from parquet (no arithmetic), so DOUBLE compares exact.
+
+    Scale posture: Spark decorrelates this (DecorrelateInnerQuery +
+    rank rewrite) rather than looping per outer row — .explain shows
+    a window/rank over a join on o_custkey, i.e. the same single
+    shuffle W1 pays, NOT |customer| subquery executions. That rewrite
+    is what makes the SQL-standard form safe at 100 TB."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_SQL33)

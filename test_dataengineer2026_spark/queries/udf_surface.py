@@ -529,3 +529,67 @@ def pandas_api_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("first_date", F.col("first_date").cast("date")).withColumn(
         "last_date", F.col("last_date").cast("date")
     )
+
+
+@register(
+    "V13_udtf_table_argument",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       (list(event_id ORDER BY ts, event_id)
+          FILTER (WHERE event_type = 'purchase'))[1] AS first_purchase_id
+FROM events GROUP BY user_id
+""",
+    tags=("udf", "udtf", "table_argument"),
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V13: UDTF with a TABLE argument — ``f(TABLE(t) PARTITION BY k
+    ORDER BY o)`` (Spark 3.5/4.x), the surface that turns a Python
+    UDTF into a full GROUP-WISE analytic operator: Spark shuffles the
+    table on the PARTITION BY key, sorts each group by the ORDER BY,
+    and feeds one UDTF instance per group, rows in order. V4/V10/V11
+    cover scalar-argument UDTFs (one eval per row, no grouping); this
+    is the missing shape — the same contract as applyInPandas but
+    reachable from pure SQL text.
+
+    The exhibit depends on BOTH clauses: n_events needs the partition
+    (all of a user's rows in one instance), first_purchase_id needs
+    the order (the FIRST purchase by (ts, event_id) — the UDTF just
+    takes the first purchase row it SEES, which is only correct
+    because Spark delivered rows sorted). The oracle recomputes it
+    with an ordered filtered list aggregate.
+
+    Scale posture: one shuffle on user_id + per-partition sort —
+    identical exchange shape to a window query; the UDTF runs
+    arrow-batched per group. State is two scalars per group,
+    independent of group size."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, first_purchase_id bigint")
+    class FirstPurchase:
+        def __init__(self):
+            self.user_id = None
+            self.n = 0
+            self.first_purchase = None
+
+        def eval(self, row):
+            self.user_id = row["user_id"]
+            self.n += 1
+            if self.first_purchase is None and row["event_type"] == "purchase":
+                self.first_purchase = row["event_id"]
+
+        def terminate(self):
+            yield self.user_id, self.n, self.first_purchase
+
+    spark.udtf.register("v13_first_purchase", FirstPurchase)
+    return spark.sql(
+        """
+SELECT * FROM v13_first_purchase(
+  TABLE(SELECT user_id, event_type, event_id, ts FROM events)
+  PARTITION BY user_id
+  ORDER BY (ts, event_id)
+)
+"""
+    )
