@@ -2085,3 +2085,60 @@ def test_has_committed_batch_guard(tmp_path):
 
     (ckpt / "commits" / "0").write_text("v1")
     assert _has_committed_batch(str(ckpt))  # batch 0 committed
+
+
+def test_run_to_memory_until_stops_at_expected_rows(spark, tmp_path):
+    """run_to_memory_until exists because availableNow cannot
+    self-terminate under processingTime timeMode (M6d): pin that the
+    helper returns the sink once the expected cardinality lands, stops
+    the query, and that a wedged stream raises instead of silently
+    returning a partial table."""
+    import pandas as pd
+
+    from test_dataengineer2026_spark.streaming.jobs import run_to_memory_until
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": [1, 1, 2], "v": [10, 20, 30]}).to_parquet(
+        src / "a.parquet"
+    )
+    s = spark.readStream.schema("k long, v long").parquet(str(src))
+    agg = s.groupBy("k").count()
+    out = run_to_memory_until(agg, "until_ok", "complete", expected_rows=2)
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 2), (2, 1)]
+    # the query was stopped (or terminated) — no active stream remains
+    assert all(
+        q.name != "until_ok" or not q.isActive
+        for q in spark.streams.active
+    )
+
+
+def test_run_to_memory_until_natural_termination_returns_final_sink(
+    spark, tmp_path
+):
+    """A stream that terminates ON ITS OWN before reaching
+    expected_rows returns the final sink rather than raising: the
+    sink cannot grow after termination, so waiting longer (or raising
+    TimeoutError) would be wrong — for M6d the downstream oracle gate
+    is what catches a genuinely short result. The TimeoutError branch
+    guards the opposite case (a stream that neither terminates nor
+    reaches the count — the tws/processingTime anomaly the helper
+    exists for) which no plain file-source availableNow stream can
+    reproduce: those always self-terminate, as this test demonstrates."""
+    import pandas as pd
+
+    from test_dataengineer2026_spark.streaming.jobs import run_to_memory_until
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": [1], "v": [10]}).to_parquet(src / "a.parquet")
+    s = spark.readStream.schema("k long, v long").parquet(str(src))
+    agg = s.groupBy("k").count()
+    out = run_to_memory_until(
+        agg, "until_short", "complete", expected_rows=99, timeout_s=30
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 1)]
+    assert all(
+        q.name != "until_short" or not q.isActive
+        for q in spark.streams.active
+    )
