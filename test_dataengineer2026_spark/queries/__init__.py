@@ -121,6 +121,8 @@ DRIVER_PRIORITY = (
     "SQL33_lateral_topn",
     "V13_udtf_table_argument",
     "DQ4_observe_metrics",
+    "M17_stream_stream_full_outer",
+    "A18_listagg",
     "S10_foreach_batch_sink",
     "M8_late_data_policy",
     "M9_trigger_control",
@@ -162,13 +164,11 @@ DRIVER_PRIORITY = (
     "X7_normalize_numeric",
     "S8_partitioned_parquet_roundtrip",
     "S1_binary_file_scan",
-    "S5_text_scan",
-    "S6_json_sink_roundtrip",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 261
+EXPECTED_MIN_QUERIES = 263
 
 _loaded = False
 

@@ -640,3 +640,48 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n_events"))
     )
     return spine.join(active, "day").join(volume, "day")
+
+
+@register(
+    "A18_listagg",
+    oracle="""
+SELECT r.r_name AS region,
+       COUNT(*) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    tags=("aggregation", "listagg"),
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: ordered string aggregation — Spark 4.0's ``listagg(...)
+    WITHIN GROUP (ORDER BY ...)`` (SQL:2016), the last ISO-standard
+    aggregate the registry lacked. A8's collect_list needed an
+    explicit array_sort to be deterministic; listagg carries the
+    order in the aggregate itself, which is also the only way the
+    SQL-text surface can express it. DuckDB's string_agg with an
+    ORDER BY clause is the exact oracle twin.
+
+    Determinism: the WITHIN GROUP order (n_name, unique per group) is
+    a total order, so the concatenation is byte-identical on both
+    engines.
+
+    Scale posture: ordered listagg is a sort-based aggregate — each
+    group's values sort WITHIN the hash-aggregate buffer, no extra
+    exchange beyond the groupBy shuffle; the output row is O(group
+    values), so at 100 TB you run it on pre-bounded groups (as here:
+    25 nations over 5 regions), never on unbounded text groups —
+    same discipline as A8."""
+    apply_runtime_confs(spark)
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations"),
+        )
+    )

@@ -1001,7 +1001,16 @@ WITH v AS (
   SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
   WHERE event_type = 'purchase'
 ), m AS (
-  SELECT MAX(ts) AS committed_max FROM events
+  -- min(max v_ts, max p_ts): each filtered stream advances its own
+  -- watermark and the default multipleWatermarkPolicy is MIN (r18
+  -- probe on M17). With this data the max event overall is a view, so
+  -- the old MAX(ts) basis happened to agree on the left deadline —
+  -- this form is the one that stays correct if a regeneration ends
+  -- the stream on a non-view event.
+  SELECT LEAST(MAX(CASE WHEN event_type = 'view' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+           AS committed_max
+  FROM events
 ), matched AS (
   SELECT v.view_id, v.user_id, p.purchase_id
   FROM v JOIN p
@@ -1065,6 +1074,107 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
     )
     return run_to_memory(joined, "m13_ssj_outer", "append")
+
+
+@register(
+    "M17_stream_stream_full_outer",
+    oracle="""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), m AS (
+  -- the final GLOBAL watermark basis: each side's watermark tracks the
+  -- max event time IT has seen (views and purchases are separate
+  -- filtered streams), and Spark's default multipleWatermarkPolicy is
+  -- MIN — so the committed watermark is min(max v_ts, max p_ts) - 1h,
+  -- NOT max(all events ts) - 1h (probed r18: two purchases in the
+  -- 1934 s gap between max purchase ts and global max ts stay HELD)
+  SELECT LEAST(MAX(CASE WHEN event_type = 'view' THEN ts END),
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+           AS committed_max
+  FROM events
+), matched AS (
+  SELECT v.view_id, v.user_id, p.purchase_id
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND p.p_ts > v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+), null_right AS (
+  SELECT CAST(NULL AS BIGINT) AS view_id, p.user_id, p.purchase_id
+  FROM p, m
+  WHERE NOT EXISTS (SELECT 1 FROM matched mt WHERE mt.purchase_id = p.purchase_id)
+    AND epoch_us(p.p_ts) <= epoch_us(m.committed_max) - 3600000000
+), null_left AS (
+  SELECT v.view_id, v.user_id, CAST(NULL AS BIGINT) AS purchase_id
+  FROM v, m
+  WHERE NOT EXISTS (SELECT 1 FROM matched mt WHERE mt.view_id = v.view_id)
+    AND epoch_us(v.v_ts) + 3600000000
+        <= epoch_us(m.committed_max) - 3600000000
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM null_left
+UNION ALL SELECT * FROM null_right
+""",
+    tags=("streaming", "join", "outer"),
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: stream-stream FULL OUTER interval join — completes the
+    outer-join matrix M10 (inner) and M13 (left outer) opened. Both
+    sides now emit their unmatched rows once the watermark proves no
+    match can arrive, under DIFFERENT eviction deadlines that fall out
+    of the asymmetric join condition: a view's match window is
+    (v_ts, v_ts + 1h], so it closes at watermark > v_ts + 1h (M13's
+    rule); a purchase's candidate views lie in [p_ts - 1h, p_ts), a
+    window that can still be fed by future input only while the
+    watermark is BELOW p_ts — so the purchase's null row emits once
+    wm >= p_ts, a full hour EARLIER relative to its own timestamp.
+    The oracle replays both deadlines against the final watermark —
+    which is min(max view ts, max purchase ts) - 1h, because each
+    filtered stream advances its own watermark and Spark's default
+    multipleWatermarkPolicy takes the MIN (probed r18: purchases
+    landing after the last purchase-stream watermark advance stay
+    held even though the global event max is later). Matched pairs
+    are M10's exact set.
+
+    Scale posture: identical to M13 — state on both sides bounded by
+    the interval + watermark delay, eviction is what makes the join
+    runnable forever; full outer adds no state, only the two
+    null-emission paths at eviction time."""
+    apply_runtime_confs(spark)
+    views = (
+        read_events_stream_multifile(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream_multifile(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval 1 hour"
+        ),
+        "full_outer",
+    ).select(
+        "view_id",
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+        "purchase_id",
+    )
+    return run_to_memory(joined, "m17_ssj_full", "append")
 
 
 @register(
