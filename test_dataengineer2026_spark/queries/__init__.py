@@ -102,17 +102,23 @@ _MODULES = (
 # ROUND-18 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r17 at
 # r18 HEAD (last-green histogram entering r18: r12=4, r13=50, r14=50,
-# r15=50, r16=50, r17=50). Heads = the four r12-vintage names the r17
-# rotation displaced (S10_foreach_batch_sink, M8_late_data_policy,
+# r15=50, r16=50, r17=50). The NINE r18 newborns (M6d processing-time
+# timers, D3b capped Jaccard, W10 pattern funnel, SQL32 pipe syntax,
+# SQL33 lateral top-N, V13 UDTF table argument, DQ4 observe metrics,
+# M17 full-outer stream-stream join, A18 listagg) are front-loaded per
+# the standing precedent, each displacing the newest name from the
+# stale tail; then the four r12-vintage names the r17 rotation
+# displaced (S10_foreach_batch_sink, M8_late_data_policy,
 # M9_trigger_control, SQL24_tpch_q11) — clearing the r12 backlog
-# entirely — followed by the oldest r13 vintage. r18 newborns are
-# front-loaded per the standing precedent, each displacing the newest
-# name from the stale tail.
+# entirely — followed by the oldest r13 vintage. Every name in this
+# window was replayed MATCH at sf0.01 in-round before commit.
 #
 # ROUND-19 QUEUE: pure mechanical rotation — run
 # `python scripts/next_window.py --stale` (it front-loads any r19
 # newborns automatically); the oldest vintage left will be the r13
-# remainder this window could not fit.
+# remainder this window could not fit (S5_text_scan,
+# S6_json_sink_roundtrip, S7_csv_sink_roundtrip, S3/S4 roundtrips,
+# S11_bucketed_join head that queue).
 DRIVER_PRIORITY = (
     "M6d_tws_processing_timer",
     "D3b_ngram_jaccard_capped",

@@ -162,15 +162,18 @@ WHERE CAST(n_shared AS DOUBLE) / (size_a + size_b - n_shared) >= 0.8
 )
 def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3b: D3's inverted-index Jaccard with the document-frequency cap
-    ACTIVE (df_cap=DF_CAP=5) — the scale path exercised under the full
+    ACTIVE (df_cap=DF_CAP=15) — the scale path exercised under the full
     oracle gate, not just documented. Shingles in more than df_cap docs
     are dropped from the posting list BEFORE the pair join, so the
     candidate fan-out is bounded by sum(min(df, cap)^2) instead of
     sum(df^2); set sizes stay UNCAPPED, so the reported jac is a lower
     bound on true Jaccard (a dropped stopword-shingle can only remove
-    shared mass). The cap is not a no-op here: at sf0.001 it changes
-    the answer (22 pairs vs D3's 28) and at every sf it prunes real
-    posting rows, both mirrored exactly by the oracle.
+    shared mass). The cap bites exactly where scale does (probed at
+    all three sfs): at sf0.1 it drops 8% of posting rows and cuts the
+    pair set 256 -> 82, while at sf0.001/0.01 the flatter df
+    distribution passes every shingle through and D3b == D3 — the df
+    groupBy + semi-join machinery runs (and is oracle-mirrored) at
+    every sf either way.
 
     Scale notes: the df computation is one extra groupBy on the posting
     key — map-side combinable, same shuffle key as the pair join's
