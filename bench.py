@@ -257,6 +257,14 @@ SELF_LOAD_ALLOWANCE = 2.0
 #: retry and selection keeps the cleanest window either way.
 START_LOAD_EPSILON = 0.05
 
+#: Per-core canary stretch beyond which a high end-loadavg counts as a
+#: real competitor rather than suite self-load (see is_contended). Idle
+#: canary on this box reads 0.34-0.37 s with occasional first-sample
+#: inflation to ~0.54; a guest-local competitor at suite end competes
+#: for cores and stretches it well past 1.5x, while the suite's own
+#: (finished) work cannot stretch a canary that runs AFTER it.
+CANARY_STRETCH_TOLERANCE = 1.5
+
 
 def is_contended(
     gate_timed_out: bool,
@@ -267,6 +275,8 @@ def is_contended(
     max_steal_pct: float = MAX_STEAL_PCT,
     load_at_start: float = 0.0,
     start_epsilon: float = START_LOAD_EPSILON,
+    canary_baseline: float | None = None,
+    canary_at_end: float | None = None,
 ) -> bool:
     """A round is contended if the entry gate gave up, OR the 1-min load
     right after the timed suite reads above gate + self-load allowance —
@@ -278,10 +288,29 @@ def is_contended(
     jitter epsilon (r12 judge finding: the gate can pass on a momentary
     DIP and the suite then starts half-busy — r12's official record
     started at loadavg 2.1 > the 2.0 gate yet counted clean because
-    end-load and steal were fine)."""
+    end-load and steal were fine).
+
+    END-LOAD REFINEMENT (r18, measured): the +2.0 self-load allowance
+    was calibrated in r6 when the suite's tail was sparse (entry 1.11
+    -> end 1.36). The suite now finishes 12 queries in 10-15 s of
+    dense 32-thread stages, and the 1-min loadavg is an EMA: a cold
+    attempt whose final minute is mostly saturated reads 4-6 at suite
+    end from its OWN work (measured live in r18 draw 3: load_start
+    0.66, suite steal 0.03%, zero guest co-processes — end 5.62, and
+    the attempt was the round's best steal-clean cold evidence). So
+    when the caller supplies a post-suite canary, a high end-load only
+    arms contention if the canary ALSO stretched (> baseline x
+    CANARY_STRETCH_TOLERANCE): a competitor still running at suite end
+    stretches a single-core canary executed after the suite, while the
+    suite's own completed work cannot. Fractional host steal (which a
+    canary misses, r9) stays the steal gate's job. Callers that do not
+    pass canaries (and every pre-r18 test pin) keep the old rule."""
+    end_load_dirty = load_at_end > max_load + self_allowance
+    if end_load_dirty and canary_baseline and canary_at_end is not None:
+        end_load_dirty = canary_at_end > canary_baseline * CANARY_STRETCH_TOLERANCE
     return (
         gate_timed_out
-        or load_at_end > max_load + self_allowance
+        or end_load_dirty
         or load_at_start > max_load + start_epsilon
         or steal_pct > max_steal_pct
     )
@@ -392,6 +421,14 @@ def main() -> None:
         timings_a, cold_a, reran_a = _run_suite(spark, qs)
         load_at_end = round(os.getloadavg()[0], 2)
         steal_mid, total_mid = _cpu_ticks()
+        canary_a = _canary_sec()
+        # The canary baseline is the idle floor observed so far this
+        # process (the pre-attempt canary can itself catch first-sample
+        # inflation, e.g. 0.535 in an r18 draw whose later samples read
+        # 0.349) — min() is the conservative floor estimate.
+        canary_floor = min(
+            [canary_before] + [a["canary_sec"] for a in attempts]
+        )
         steal_a = (
             round(100.0 * (steal_mid - steal0) / (total_mid - total0), 2)
             if total_mid > total0
@@ -402,6 +439,8 @@ def main() -> None:
             load_at_end,
             steal_pct=steal_a,
             load_at_start=load_at_start,
+            canary_baseline=canary_floor,
+            canary_at_end=canary_a,
         )
         attempts.append(
             {
@@ -411,6 +450,7 @@ def main() -> None:
                 "gate_timed_out": gate_timed_out,
                 "load_start": load_at_start,
                 "load_end": load_at_end,
+                "canary_sec": canary_a,
             }
         )
         payloads.append((timings_a, cold_a, reran_a))

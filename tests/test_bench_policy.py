@@ -534,3 +534,35 @@ def test_quiet_shutdown_order():
             raise RuntimeError("gateway gone")
 
     bench._quiet_shutdown(_Broken())  # must not raise
+
+
+def test_end_load_needs_canary_corroboration_when_available():
+    """r18 refinement: the +2.0 end-load allowance was calibrated on a
+    sparse r6 suite; today's dense 10-15 s suite drives the 1-min
+    loadavg EMA to 4-6 at suite end from its OWN work (measured: draw
+    3 read end 5.62 at 0.03% steal on a box with zero guest
+    co-processes). With a post-suite canary supplied, a high end-load
+    arms contention only if the canary ALSO stretched — a competitor
+    still running stretches a single-core loop executed after the
+    suite; finished self-load cannot."""
+    # high end-load + stable canary: self-load, NOT contended
+    assert not bench.is_contended(
+        False, 5.62, max_load=2.0,
+        canary_baseline=0.35, canary_at_end=0.37,
+    )
+    # high end-load + stretched canary: a real competitor, contended
+    assert bench.is_contended(
+        False, 5.62, max_load=2.0,
+        canary_baseline=0.35, canary_at_end=0.80,
+    )
+    # canaries absent (pre-r18 call shape): the old rule stands
+    assert bench.is_contended(False, 5.62, max_load=2.0)
+    # a stable canary never bails out the OTHER signals
+    assert bench.is_contended(
+        False, 1.2, max_load=2.0, steal_pct=0.4,
+        canary_baseline=0.35, canary_at_end=0.36,
+    )
+    assert bench.is_contended(
+        True, 1.2, max_load=2.0,
+        canary_baseline=0.35, canary_at_end=0.36,
+    )
