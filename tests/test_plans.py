@@ -1362,3 +1362,13 @@ def test_sql30_recursion_iterates_over_staged_scan(spark):
     assert "parquet" in p.lower(), p
     assert "Window" not in p, p
     assert "events" not in p, p  # lineage truncated to the staged table
+
+
+def test_sql32_pipe_lowers_to_pushed_filter_agg(spark):
+    """SQL32's claim is that pipe syntax is parse-level sugar: the |>
+    chain must produce the same physical shape as the classic SELECT —
+    a hash aggregate over a parquet scan with the shipdate predicate
+    PUSHED into the scan, never a post-scan filter of the full table."""
+    p = plan_string(QS["SQL32_pipe_syntax"](spark, SF_DIR_MID), "formatted")
+    assert "HashAggregate" in p, p
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
