@@ -447,3 +447,37 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(n, s["grp"].eqNullSafe(n["n_grp"]), "inner")
         .select("s_suppkey", "n_nationkey", "grp")
     )
+
+
+_J18 = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NULLIF(c_custkey, 42) NOT IN (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+)
+"""
+
+
+@register("J18_null_aware_anti_join", oracle=_J18, tags=("join", "anti", "null"))
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18: NULL-AWARE anti join — SQL's ``NOT IN (subquery)``, whose
+    three-valued logic J6's left_anti CANNOT express: a NULL probe is
+    neither in nor not-in the set, so its row is dropped (customer 42,
+    whose probe NULLIF nulls out, vanishes here although the naive
+    anti join would keep it), and one NULL in the subquery would empty
+    the whole result. Identical SQL text runs on DuckDB; the value
+    difference vs a naive anti join is IN the result (row 42's
+    absence), so the semantics are hash-checked, not just planned.
+
+    Scale posture: Spark compiles this to a null-aware anti join —
+    the join condition carries the isnull disjunction, and because a
+    single subquery NULL annihilates the result, the build side must
+    be visible to every task: Spark REQUIRES a broadcast for NAAJ
+    (BroadcastHashJoin/BNLJ LeftAnti). That is the right call exactly
+    when the NOT IN list is an aggregate-sized set (here: customers
+    with >400k orders); a data-sized NOT IN should be rewritten to
+    NOT EXISTS (null-naive, shuffle-able) by the query author — the
+    two-query pair J6/J18 documents that tradeoff."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(_J18)
