@@ -898,3 +898,134 @@ def test_funnel_fold_is_batch_split_invariant(events, data):
         state, out = _funnel_fold(state, to_pdf(ordered[lo:hi]))
     assert state == truth_state
     assert out == truth_out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user_id
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(min_value=0, max_value=50),  # second offset
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_w10_funnel_matches_python_reference(spark, rows):
+    """W10: the windowed greedy funnel must agree with a direct Python
+    reference (earliest view, earliest later click, earliest later
+    purchase; strict > between steps) on arbitrary event soups —
+    including same-timestamp ties and missing steps the generator's
+    corpus rarely produces."""
+    import datetime
+    import tempfile
+
+    from test_dataengineer2026_spark import registry
+
+    def ref():
+        by_user = {}
+        for uid, et, sec in rows:
+            by_user.setdefault(uid, []).append((sec, et))
+        out = {}
+        for uid, evs in by_user.items():
+            views = [s for s, t in evs if t == "view"]
+            if not views:
+                continue
+            tv = min(views)
+            clicks = [s for s, t in evs if t == "click" and s > tv]
+            if not clicks:
+                continue
+            tc = min(clicks)
+            purchases = [s for s, t in evs if t == "purchase" and s > tc]
+            if not purchases:
+                continue
+            out[uid] = (tv, tc, min(purchases))
+        return out
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=sec), uid, et, 0.0, "{}")
+            for i, (uid, et, sec) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got_rows = registry.queries()["W10_pattern_funnel"](spark, d).collect()
+    base_us = int(
+        base.replace(tzinfo=datetime.timezone.utc).timestamp()
+    ) * 1_000_000
+    got = {
+        r["user_id"]: (
+            (r["t_view_us"] - base_us) // 1_000_000,
+            (r["t_click_us"] - base_us) // 1_000_000,
+            (r["t_purchase_us"] - base_us) // 1_000_000,
+        )
+        for r in got_rows
+    }
+    assert got == ref()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+                min_size=0,
+                max_size=6,
+            ),
+            st.lists(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_not_in_three_valued_logic_matches_python(spark, cases):
+    """J18's semantic foundation: ``x NOT IN (subquery)`` under SQL
+    three-valued logic — a NULL probe never passes, and a single NULL
+    in the subquery EMPTIES the result (the annihilation case the
+    parquet-backed J18 exhibit cannot show because the base tables
+    carry no NULLs). All generated cases batch into ONE correlated
+    query via a case_id column."""
+
+    def ref(left, right):
+        if not right:
+            # NOT IN over an EMPTY set performs no comparisons, so it is
+            # vacuously TRUE for every probe — including NULL (found by
+            # hypothesis falsifying the first draft of this reference;
+            # Spark and the SQL standard agree)
+            return set(left)
+        if any(y is None for y in right):
+            return set()
+        rs = set(right)
+        return {x for x in left if x is not None and x not in rs}
+
+    l_rows = [(ci, x) for ci, (left, _) in enumerate(cases) for x in left]
+    r_rows = [(ci, y) for ci, (_, right) in enumerate(cases) for y in right]
+    spark.createDataFrame(
+        l_rows or [(-1, None)], "case_id int, x int"
+    ).createOrReplaceTempView("naaj_l")
+    spark.createDataFrame(
+        r_rows or [(-1, None)], "case_id int, y int"
+    ).createOrReplaceTempView("naaj_r")
+    got_rows = spark.sql(
+        """
+SELECT case_id, x FROM naaj_l l
+WHERE x NOT IN (SELECT y FROM naaj_r r WHERE r.case_id = l.case_id)
+"""
+    ).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["case_id"], set()).add(r["x"])
+    for ci, (left, right) in enumerate(cases):
+        expected = ref(left, right)
+        # an empty right side keeps every non-NULL probe (vacuous NOT IN)
+        assert got.get(ci, set()) == expected, (ci, left, right)
