@@ -498,12 +498,15 @@ def tws_timer_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(conf_key, prev_provider)
 
 
-def make_idle_flusher():
+def make_idle_flusher(delay_ms: int = -1):
     """StatefulProcessor for M6d: per-key count flushed by a
     PROCESSING-TIME timer — the wall-clock half of the timer surface
-    (M6c covers event time). Registers one already-expired timer per
-    key on first sight; the timer sweep of the next batch emits the
-    accumulated count. Lazy import, same reason as
+    (M6c covers event time). Registers one timer per key on first
+    sight at now + ``delay_ms``; the default -1 (already expired)
+    fires at the very next timer sweep, keeping the M6d exhibit
+    deterministic, while a positive delay is the production
+    idle-flush shape (used by the restart-durability test to leave a
+    live future timer in the checkpoint). Lazy import, same reason as
     make_funnel_processor."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -519,12 +522,11 @@ def make_idle_flusher():
             n0 = tuple(self.st.get())[0] if self.st.exists() else 0
             self.st.update((n0 + sum(len(df) for df in rows),))
             if not list(self.h.listTimers()):
-                # Register in the PAST: fires at the very next timer
-                # sweep. In production this would be now + idle_ms; the
-                # exhibit keeps the flush deterministic instead of
-                # wall-clock-dependent.
+                # delay_ms=-1 registers in the PAST: fires at the very
+                # next timer sweep, keeping the exhibit deterministic
+                # instead of wall-clock-dependent.
                 self.h.registerTimer(
-                    timerValues.getCurrentProcessingTimeInMs() - 1
+                    timerValues.getCurrentProcessingTimeInMs() + delay_ms
                 )
             return iter(())
 

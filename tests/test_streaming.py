@@ -2142,3 +2142,95 @@ def test_run_to_memory_until_natural_termination_returns_final_sink(
         q.name != "until_short" or not q.isActive
         for q in spark.streams.active
     )
+
+
+def test_processing_time_timers_fire_after_restart(spark, tmp_path):
+    """Processing-time timer state is CHECKPOINT-DURABLE and fires
+    across a query restart — the wall-clock mirror of the event-time
+    pin above, and M6d's operational half. Run 1 counts two user-1
+    rows and registers a timer ~20 s in the FUTURE, then stops before
+    it can fire (sink provably empty). Run 2 on the SAME checkpoint
+    sees only a user-99 row; the user-1 flush row it eventually emits
+    can only come from the RECOVERED timer and value state — and its
+    n_events=2 proves the counts came back with it."""
+    import time
+
+    from test_dataengineer2026_spark.queries.streaming_q import (
+        _ROCKSDB_PROVIDER,
+        make_idle_flusher,
+    )
+
+    _tws_ready_or_skip(spark)
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sch = "user_id long, v long"
+    out_sch = "user_id long, n_events long"
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+
+    def start_query(delay_ms):
+        s = spark.readStream.schema(sch).parquet(str(feed))
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            make_idle_flusher(delay_ms),
+            outputStructType=out_sch,
+            outputMode="append",
+            timeMode="processingTime",
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def wait_for_commit(deadline_s=120):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if any(
+                not n.startswith(".")
+                for n in __import__("os").listdir(f"{ckpt}/commits")
+            ) if __import__("os").path.isdir(f"{ckpt}/commits") else False:
+                return
+            time.sleep(0.5)
+        raise TimeoutError("no batch committed")
+
+    try:
+        # run 1: timer lands ~20 s in the future; stop before it fires
+        _land_one_file(spark, feed, 0, [(1, 10), (1, 20)], sch)
+        q1 = start_query(delay_ms=20_000)
+        wait_for_commit()
+        q1.stop()
+        assert (
+            spark.read.schema(out_sch).parquet(sink).count() == 0
+        )  # registered, not fired
+
+        # run 2, same checkpoint: only a user-99 row arrives; poll the
+        # sink until the RECOVERED user-1 timer expires and flushes
+        _land_one_file(spark, feed, 1, [(99, 1)], sch)
+        q2 = start_query(delay_ms=3_600_000)  # user-99's own timer: far future
+        t0 = time.time()
+        fired = {}
+        while time.time() - t0 < 120:
+            fired = {
+                r["user_id"]: r["n_events"]
+                for r in spark.read.schema(out_sch).parquet(sink).collect()
+            }
+            if 1 in fired:
+                break
+            time.sleep(2)
+        q2.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_provider)
+
+    assert fired.get(1) == 2, fired  # counts restored with the timer
+    assert 99 not in fired  # run 2's own far-future timer never fired
