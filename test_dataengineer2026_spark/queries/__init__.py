@@ -102,10 +102,10 @@ _MODULES = (
 # ROUND-18 WINDOW: computed mechanically by
 # `python scripts/next_window.py --stale` on CORRECTNESS_r01-r17 at
 # r18 HEAD (last-green histogram entering r18: r12=4, r13=50, r14=50,
-# r15=50, r16=50, r17=50). The TEN r18 newborns (M6d processing-time
+# r15=50, r16=50, r17=50). The TWELVE r18 newborns (M6d processing-time
 # timers, D3b capped Jaccard, W10 pattern funnel, SQL32 pipe syntax,
 # SQL33 lateral top-N, V13 UDTF table argument, DQ4 observe metrics,
-# M17 full-outer stream-stream join, A18 listagg, J18 null-aware anti join) are front-loaded per
+# M17 full-outer stream-stream join, A18 listagg, J18 null-aware anti join, F15 try_* arithmetic, SQL34 PIVOT clause) are front-loaded per
 # the standing precedent, each displacing the newest name from the
 # stale tail; then the four r12-vintage names the r17 rotation
 # displaced (S10_foreach_batch_sink, M8_late_data_policy,
@@ -130,6 +130,8 @@ DRIVER_PRIORITY = (
     "M17_stream_stream_full_outer",
     "A18_listagg",
     "J18_null_aware_anti_join",
+    "F15_try_arithmetic",
+    "SQL34_pivot_clause",
     "S10_foreach_batch_sink",
     "M8_late_data_policy",
     "M9_trigger_control",
@@ -168,13 +170,11 @@ DRIVER_PRIORITY = (
     "X8_null_fill_contract",
     "X9_validate_extraction",
     "X6_extract_economics",
-    "X7_normalize_numeric",
-    "S8_partitioned_parquet_roundtrip",
 )
 
 # Every name the registry must contain after load_all() — a deleted or
 # mis-listed module must fail loudly, not silently shrink the driver surface.
-EXPECTED_MIN_QUERIES = 264
+EXPECTED_MIN_QUERIES = 266
 
 _loaded = False
 

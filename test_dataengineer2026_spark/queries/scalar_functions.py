@@ -476,3 +476,61 @@ def nested_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("line_summary"),
     )
+
+
+@register(
+    "F15_try_arithmetic",
+    oracle="""
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CASE WHEN l_linenumber = 1 THEN NULL
+       ELSE l_extendedprice / (l_linenumber - 1) END AS per_prior_line,
+  CASE WHEN l_orderkey > 1 THEN NULL
+       ELSE l_orderkey * 4611686018427387904 END AS scaled_key,
+  CASE WHEN l_orderkey > 0 THEN NULL
+       ELSE 9223372036854775807 + l_orderkey END AS bumped_max,
+  l_quantity AS qty
+FROM lineitem
+WHERE l_orderkey < 40
+""",
+    tags=("functions", "try", "null"),
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: the ``try_*`` arithmetic family — the NULL-on-failure
+    escape hatch that makes ANSI mode deployable: try_divide returns
+    NULL on /0, try_multiply and try_add return NULL on BIGINT
+    overflow, all WITHOUT depending on the session's ansi setting
+    (under plain operators the same inputs either throw [ANSI on] or
+    silently wrap/null inconsistently [ANSI off] — try_* is the one
+    spelling with a portable contract). The oracle mirrors each
+    failure condition with an explicit CASE guard, since DuckDB has no
+    try_ spelling and ERRORS on overflow — the guard keeps the failing
+    branch unevaluated, which is itself the semantics under test.
+
+    Rows are bounded (l_orderkey < 40) so every outcome class appears:
+    per_prior_line NULL exactly on line 1 (division by linenumber-1 =
+    0), scaled_key = orderkey * 2^62 overflowing exactly when
+    orderkey > 1, bumped_max = long-max + orderkey overflowing for
+    every positive orderkey.
+
+    Scale posture: row-level codegen expressions, zero shuffle; the
+    predicate pushes to the scan. try_* is strictly cheaper than the
+    ANSI-throw path at scale because a poisoned row yields a NULL to
+    filter, not a task failure to retry."""
+    apply_runtime_confs(spark)
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 40).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), (F.col("l_linenumber") - 1).cast("double")
+        ).alias("per_prior_line"),
+        F.try_multiply(
+            F.col("l_orderkey"), F.lit(4611686018427387904)
+        ).alias("scaled_key"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("l_orderkey")
+        ).alias("bumped_max"),
+        F.col("l_quantity").alias("qty"),
+    )

@@ -1252,3 +1252,51 @@ def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     tables.register_views(spark, sf_dir)
     return spark.sql(_SQL33)
+
+
+_SQL34_ORACLE = f"""
+SELECT c.c_nationkey AS nationkey,
+       {_narrow("SUM(CASE WHEN o.o_orderstatus = 'O' THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END)")} AS open_total,
+       {_narrow("SUM(CASE WHEN o.o_orderstatus = 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END)")} AS filled_total,
+       {_narrow("SUM(CASE WHEN o.o_orderstatus = 'P' THEN CAST(o.o_totalprice AS DECIMAL(18,4)) END)")} AS partial_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("SQL34_pivot_clause", oracle=_SQL34_ORACLE, tags=("sql", "pivot"))
+def pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL34: the SQL ``PIVOT`` clause — the parser surface of the
+    pivot A7 exercises through the DataFrame API (groupBy().pivot()),
+    completing the pair the same way SQL25/F7 pair LATERAL VIEW with
+    the explode function. Order value per nation pivoted across the
+    three order statuses, exact-decimal sums per the repo convention;
+    the oracle is the classic conditional-aggregation spelling (DuckDB
+    PIVOT exists but its column-naming scheme differs — the CASE form
+    is the portable twin, and proving the two equal IS the point:
+    PIVOT is sugar over grouped conditional aggregation).
+
+    A pivot cell with no underlying rows is NULL on both engines
+    (SUM over the empty branch), so the shapes agree without any
+    zero-fill fixups.
+
+    Scale posture: Spark rewrites PIVOT into ONE aggregate with a
+    pivot-value-indexed buffer — a single shuffle on the groupBy key,
+    never one pass per pivot value; the IN list must be literal
+    (enumerated columns at plan time), which is what bounds the output
+    schema at 100 TB."""
+    apply_runtime_confs(spark)
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT * FROM (
+  SELECT c.c_nationkey AS nationkey, o.o_orderstatus AS st,
+         CAST(o.o_totalprice AS DECIMAL(18,4)) AS price
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+PIVOT (
+  CAST(CAST(SUM(price) AS DECIMAL(18,6)) AS DOUBLE)
+  FOR st IN ('O' AS open_total, 'F' AS filled_total, 'P' AS partial_total)
+)
+"""
+    )
