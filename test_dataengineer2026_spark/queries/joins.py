@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import tables
-from test_dataengineer2026_spark.determinism import dsum, sql_dsum
+from test_dataengineer2026_spark.determinism import MONEY2, dsum, sql_dsum
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -32,7 +32,7 @@ from test_dataengineer2026_spark.session import apply_runtime_confs
 @register(
     "J1_inner_equi_join",
     oracle=f"""
-SELECT o.o_orderpriority, COUNT(*) AS n_lines, {sql_dsum('l.l_extendedprice')} AS total_price
+SELECT o.o_orderpriority, COUNT(*) AS n_lines, {sql_dsum('l.l_extendedprice', MONEY2)} AS total_price
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderstatus = 'F'
@@ -51,7 +51,7 @@ def inner_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum("l_extendedprice").alias("total_price"),
+            dsum("l_extendedprice", MONEY2).alias("total_price"),
         )
     )
 
@@ -204,7 +204,7 @@ def left_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "J7_broadcast_join",
     oracle=f"""
 SELECT r.r_name AS region_name, COUNT(*) AS n_lines,
-       {sql_dsum('l.l_extendedprice')} AS revenue
+       {sql_dsum('l.l_extendedprice', MONEY2)} AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -228,7 +228,7 @@ def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            dsum("l_extendedprice").alias("revenue"),
+            dsum("l_extendedprice", MONEY2).alias("revenue"),
         )
     )
 

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import tables
-from test_dataengineer2026_spark.determinism import dsum, sql_dsum
+from test_dataengineer2026_spark.determinism import MONEY2, dsum, sql_dsum
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 from test_dataengineer2026_spark.streaming.jobs import (
@@ -107,7 +107,7 @@ def funnel_state_fn(key, pdfs: Iterator[pd.DataFrame], state):
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS n,
-       {sql_dsum('value')} AS total_value
+       {sql_dsum('value', MONEY2)} AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -121,7 +121,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", MONEY2).alias("total_value"))
         .select(
             F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
             "event_type",
@@ -129,7 +129,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "m2_tumbling", "complete")
+    return run_to_memory(agg, "m2_tumbling", "complete", final_no_data_batch=False)
 
 
 @register(
@@ -161,7 +161,7 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return run_to_memory(agg, "m3_sliding", "complete")
+    return run_to_memory(agg, "m3_sliding", "complete", final_no_data_batch=False)
 
 
 @register(
@@ -185,7 +185,7 @@ WITH ordered AS (
 SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        COUNT(*) AS n_events,
-       {sql_dsum('value')} AS total_value
+       {sql_dsum('value', MONEY2)} AS total_value
 FROM numbered
 GROUP BY user_id, session_id
 """,
@@ -198,7 +198,7 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_events_stream(spark, sf_dir)
     agg = (
         s.groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", MONEY2).alias("total_value"))
         .select(
             "user_id",
             F.date_format(F.col("session_window.start"), _TS_FMT).alias(
@@ -208,7 +208,7 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "m4_session", "complete")
+    return run_to_memory(agg, "m4_session", "complete", final_no_data_batch=False)
 
 
 @register(
@@ -227,7 +227,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = s.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return run_to_memory(dedup, "m5_dedup", "append")
+    return run_to_memory(dedup, "m5_dedup", "append", final_no_data_batch=False)
 
 
 #: One truth for BOTH stateful surfaces: M6 and M6b register the
@@ -625,7 +625,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return run_to_memory(agg, "m7_enrich", "complete")
+    return run_to_memory(agg, "m7_enrich", "complete", final_no_data_batch=False)
 
 
 @register(
@@ -643,7 +643,7 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     s = read_events_stream_multifile(spark, sf_dir)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return run_to_memory(agg, "s9_file_source", "complete")
+    return run_to_memory(agg, "s9_file_source", "complete", final_no_data_batch=False)
 
 
 @register(

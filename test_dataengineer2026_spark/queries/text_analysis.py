@@ -229,12 +229,17 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T: TF-IDF — term frequency per doc (explode+count), document
     frequency per term, idf = ln(N/df) (rounded: libm), top term per doc.
 
-    Two shuffles (tf groupBy, df groupBy) + a shuffle join on ``term``.
-    The df table is NOT broadcast-hinted: at 100 TB the vocabulary
-    (typos, URLs, code tokens) reaches 10^8-10^9 terms — unbounded, so
-    the join shuffles on its natural key and AQE may still downgrade to
-    broadcast at runtime when the measured size is small. Only the 1-row
-    doc count is broadcast.
+    df comes from a COUNT window over the tf table partitioned by
+    ``term``, not from a groupBy+self-join: the join formulation scans
+    and explodes the corpus twice (no exchange reuse across the two
+    differently-projected branches) and pays two extra exchanges to
+    align on ``term`` (r18 before-plan: 2 scans, 2 Generates, 4
+    Exchanges). The window reuses the single tf pass and adds exactly
+    one exchange on ``term`` (guide §2.4: two operations keyed the same
+    way share one exchange). Same values: count(*) over (partition by
+    term) == the joined df. At 100 TB the window shuffles the same
+    bytes the join's left side shuffled — one fewer full pass either
+    way. Only the 1-row doc count is broadcast.
     """
     apply_runtime_confs(spark)
     d = tables.load(spark, sf_dir, "documents")
@@ -243,10 +248,10 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = W.partitionBy("term")
     scored = (
-        tf.join(df_t, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

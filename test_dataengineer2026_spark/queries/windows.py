@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import tables
-from test_dataengineer2026_spark.determinism import FINAL, MONEY, dec, dnarrow
+from test_dataengineer2026_spark.determinism import FINAL, MONEY2, dec, dnarrow
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -90,8 +90,8 @@ def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "W3_running_agg",
     oracle=f"""
 SELECT o_custkey, o_orderkey,
-       CAST(CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER w AS {FINAL}) AS DOUBLE) AS running_spend,
-       CAST(CAST(SUM(CAST(o_totalprice AS {MONEY})) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       CAST(CAST(SUM(CAST(o_totalprice AS {MONEY2})) OVER w AS {FINAL}) AS DOUBLE) AS running_spend,
+       CAST(CAST(SUM(CAST(o_totalprice AS {MONEY2})) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS {FINAL}) AS DOUBLE)
          / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_3
@@ -112,7 +112,7 @@ def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     cum = base.rowsBetween(W.unboundedPreceding, W.currentRow)
     mov = base.rowsBetween(-2, W.currentRow)
-    price = dec("o_totalprice", MONEY)
+    price = dec("o_totalprice", MONEY2)
     return o.select(
         "o_custkey",
         "o_orderkey",

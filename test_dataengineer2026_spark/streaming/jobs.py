@@ -271,14 +271,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks every timestamp 1000x)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     d = stage_events_dir(sf_dir)
-    batch = spark.read.parquet(d)
-    if dict(batch.dtypes).get("ts") == "bigint":
+    # Per-session memo of the footer probe: spark.read.parquet re-lists
+    # and re-reads footers (~0.1 s at sf0.1, measured r18) and EVERY
+    # streaming query pays it per build. Staged files are symlinks into
+    # an immutable sf_dir (same contract as tables.load's memo), so the
+    # probed schema cannot change within a driver process.
+    cache: dict[str, object] | None = getattr(spark, "_graft_stream_schema", None)
+    if cache is None:
+        cache = {}
+        spark._graft_stream_schema = cache
+    schema = cache.get(d)
+    if schema is None:
+        batch = spark.read.parquet(d)
+        schema = "nanos" if dict(batch.dtypes).get("ts") == "bigint" else batch.schema
+        cache[d] = schema
+    if schema == "nanos":
         return (
             spark.readStream.schema(EVENTS_SCHEMA)
             .parquet(d)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
-    return spark.readStream.schema(batch.schema).parquet(d)
+    return spark.readStream.schema(schema).parquet(d)
 
 
 class MetricsListener:
@@ -348,18 +361,40 @@ def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str,
+    final_no_data_batch: bool = True,
 ) -> Callable[[SparkSession], DataFrame]:
     """Run a bounded streaming query into a memory sink and return the
-    materialized result table."""
+    materialized result table.
+
+    ``final_no_data_batch=False`` skips the trailing empty micro-batch
+    availableNow otherwise schedules after the last data batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``). That batch
+    exists to advance the watermark so APPEND-mode windows finalize and
+    event-time TIMERS fire — callers in those families must keep it.
+    For complete-mode aggregations (state re-emitted wholesale every
+    batch) and arrival-emitting append dedup it re-runs the full
+    state-store pass to emit literally the same table again: measured
+    ~40% of M4's wall at sf0.1 (r18, guide §1 measure-first). The conf
+    is session-level; it is set just before start and restored after
+    termination — bounded availableNow runs are sequential here.
+    """
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(conf_key, "true")
+    if not final_no_data_batch:
+        spark.conf.set(conf_key, "false")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if not final_no_data_batch:
+            spark.conf.set(conf_key, old)
     return spark.table(name)
 
 

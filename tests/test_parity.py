@@ -329,6 +329,34 @@ def test_fixture_text_is_ascii():
         con.close()
 
 
+def test_narrow_money_column_bounds():
+    """determinism.MONEY2 (decimal(8,2)) is only value-exact for columns
+    whose data carries <=2 fractional digits and |x| < 1e6 — the cast
+    would otherwise ROUND (changing the declared query's result) or
+    overflow to NULL. Pin those bounds for every column an oracle sums
+    under MONEY2 (A1/J1/J7: l_extendedprice, W3: o_totalprice,
+    F9b/M2/M4: events.value), so a regenerated fixture that violates
+    them fails HERE with a pointer instead of as a hash mismatch."""
+    con = _duck_mid()
+    try:
+        for table, col in (
+            ("lineitem", "l_extendedprice"),
+            ("orders", "o_totalprice"),
+            ("events", "value"),
+        ):
+            bad = con.execute(
+                f"SELECT COUNT(*) FROM {table} WHERE abs({col}) >= 1e6 "
+                f"OR {col} != CAST(CAST({col} AS DECIMAL(8,2)) AS DOUBLE)"
+            ).fetchone()[0]
+            assert bad == 0, (
+                f"{table}.{col}: {bad} values exceed the MONEY2 "
+                f"(decimal(8,2)) contract (2dp, |x| < 1e6) — widen those "
+                f"dsum call sites back to MONEY before anything else"
+            )
+    finally:
+        con.close()
+
+
 def test_registry_lint():
     """Registry hygiene: every query is named by family convention,
     carries a non-empty DuckDB oracle (the driver's hard gate), has
