@@ -28,15 +28,6 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let AQE re-partition CACHED plans too (off by default only to keep
-    # a cached table's output partitioning stable for reuse). The LSH /
-    # similarity pipelines cache small candidate tables mid-query; with
-    # this off, every cache materializes at the full configured shuffle
-    # width and every downstream stage inherits those tiny partitions
-    # (r18 measured: D2 runs 225 tasks without vs ~90 with, ~0.4 s at
-    # sf0.1). Partition counts derive from AQE's byte targets, so the
-    # same setting is right at any scale — not a local-core-count tune.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Arrow for every pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ANSI off: we use try_cast explicitly where safety matters and want
