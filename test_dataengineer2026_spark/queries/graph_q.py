@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.lineage import release_checkpoint
+from test_dataengineer2026_spark.tables import parallelize
 from test_dataengineer2026_spark.registry import register
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
@@ -209,7 +210,16 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = degree_table(pairs)
-    tri = triangles_oriented(orient_by_degree(pairs, deg))
+    # Widen the wedge-enumeration input explicitly: AQE sizes reduce
+    # partitions by INPUT bytes (the oriented edge table is ~12 MB at
+    # sf0.1 -> 1-2 coalesced partitions), but the self-join's OUTPUT is
+    # the wedge set (~1e8 rows here) — compute explodes after the
+    # exchange, which byte-based coalescing cannot see. Hash-distributing
+    # on the wedge center spreads enumeration over every core (out-degree
+    # is O(sqrt(m))-bounded under the degree orientation, so no single
+    # center dominates); both self-join sides reuse this one exchange.
+    # r18 measured: 79 s / 24 tasks -> 17 s / 119 tasks warm at sf0.1.
+    tri = triangles_oriented(parallelize(orient_by_degree(pairs, deg), "src"))
     pernode = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

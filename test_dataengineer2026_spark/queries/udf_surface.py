@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from test_dataengineer2026_spark import tables
 from test_dataengineer2026_spark.registry import register
+from test_dataengineer2026_spark.tables import parallelize
 from test_dataengineer2026_spark.session import apply_runtime_confs
 
 
@@ -289,8 +290,21 @@ def cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.
     """
     apply_runtime_confs(spark)
-    o = tables.load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    e = tables.load(spark, sf_dir, "events").select("user_id", "value")
+    # Width must track the PYTHON work, not the shuffle bytes: the body
+    # runs once per key (~15k keys at sf0.1), and AQE's byte-based
+    # coalescing packs those calls onto 2-3 tasks (the keyed rows are
+    # only a few MB). Hash-distributing each side on its key before the
+    # cogroup pins the per-key calls across every core — the cogroup
+    # reuses the explicit exchanges, so no extra shuffle is added.
+    # r18 measured: 14.3 s / 5 tasks -> 2.7 s / 34 tasks warm at sf0.1.
+    o = parallelize(
+        tables.load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "o_custkey",
+    )
+    e = parallelize(
+        tables.load(spark, sf_dir, "events").select("user_id", "value"),
+        "user_id",
+    )
     out = (
         o.groupBy("o_custkey")
         .cogroup(e.groupBy("user_id"))

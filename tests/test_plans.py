@@ -1372,3 +1372,32 @@ def test_sql32_pipe_lowers_to_pushed_filter_agg(spark):
     p = plan_string(QS["SQL32_pipe_syntax"](spark, SF_DIR_MID), "formatted")
     assert "HashAggregate" in p, p
     assert "PushedFilters: [" in p and "l_shipdate" in p.split("PushedFilters")[1][:200], p
+
+
+def test_gr2_wedge_stage_explicitly_widened(spark):
+    """GR2's r18 width contract: the wedge-enumeration self-join input
+    carries an explicit hash repartition on the wedge center (src).
+    AQE sizes reduce partitions by INPUT bytes, and the oriented edge
+    table is tiny next to its wedge OUTPUT (~1e8 rows at sf0.1), so
+    without the explicit exchange the enumeration collapses onto 1-2
+    coalesced tasks (measured r18: 79 s / 24 tasks -> 17 s / 119 tasks
+    warm). REPARTITION_BY_NUM is the marker of a user repartition AQE
+    may not coalesce away."""
+    p = plan_string(QS["GR2_triangle_count"](spark, SF_DIR_MID), "formatted")
+    import re
+
+    m = re.search(r"hashpartitioning\(src#\d+L?, (\d+)\), REPARTITION_BY_NUM", p)
+    assert m, p
+    assert int(m.group(1)) == spark.sparkContext.defaultParallelism, p
+
+
+def test_v8_cogroup_sides_explicitly_widened(spark):
+    """V8's r18 width contract: both cogroup inputs carry an explicit
+    hash repartition on their key. The Python body runs once per key,
+    so task width must track the per-key CALL count, not the shuffle
+    bytes AQE coalesces on (measured r18: 14.3 s / 5 tasks -> 2.7 s /
+    34 tasks warm at sf0.1). The cogroup reuses these exchanges — no
+    extra shuffle is introduced."""
+    p = plan_string(QS["V8_cogrouped_pandas"](spark, SF_DIR_MID), "formatted")
+    assert p.count("REPARTITION_BY_NUM") >= 2, p
+    assert "FlatMapCoGroupsInPandas" in p or "CoGroup" in p, p
