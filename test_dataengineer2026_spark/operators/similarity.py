@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from test_dataengineer2026_spark.functions.vector import cosine, dot, l2_norm, l2sq, srp_sign_bits
+from test_dataengineer2026_spark.tables import parallelize
 
 SRP_TABLES = 4
 SRP_BITS = 6
@@ -281,8 +282,15 @@ def srp_neighbor_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate similar-pair search: SRP bucket collisions verified
-    with exact cosine >= threshold."""
-    b = srp_buckets(df, id_col, vec_col)
+    with exact cosine >= threshold.
+
+    The bucket table is hash-redistributed then CACHED before the
+    self-join: the SRP sign bits cost SRP_PLANES x DIM interpreted
+    lambda ops per vector, so (a) a small single-file scan would pin
+    that compute to one task (same rationale as D2's shingle pass), and
+    (b) an uncached table would evaluate the bits once per join side.
+    r18 measured on J12b at sf0.1: 7.0 s -> 2.5 s warm, identical pairs."""
+    b = srp_buckets(parallelize(df, id_col), id_col, vec_col).cache()
     cands = (
         b.alias("a")
         .join(
