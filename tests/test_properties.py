@@ -842,6 +842,16 @@ def test_empty_input_semantic_boundary_pins(spark, all_empty_sf_dir, name):
         ),
         min_size=0,
         max_size=40,
+        # event_id is the feed's PRIMARY KEY (unique at every sf —
+        # verified against all three fixtures). Without it (ts,
+        # event_id) is not a total order and "n before first purchase"
+        # is ill-defined in BOTH engines (the oracle's ROW_NUMBER ...
+        # ORDER BY ts, event_id breaks the tie arbitrarily), so split
+        # invariance cannot hold: hypothesis found
+        # [(0,0,'view'), (0,0,'purchase')] where the single-batch fold
+        # and a 2-batch fold disagree on nb (r19). The property is
+        # stated on the feed contract's key space.
+        unique_by=lambda e: e[1],
     ),
     st.data(),
 )
