@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -80,7 +81,6 @@ def main() -> None:
         jobs0 = None
         for i in range(args.reps + 1):
             spark.catalog.clearCache()
-            ids_before = set(tracker.getJobIdsForGroup() or [])
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -106,7 +106,7 @@ def main() -> None:
                     n_stages += 1
                     n_tasks += si.numTasks
         sc.setJobGroup(None, None)
-        med = sorted(samples)[len(samples) // 2]
+        med = round(statistics.median(samples), 3)
         rec = {
             "name": name,
             "warm_samples": samples,

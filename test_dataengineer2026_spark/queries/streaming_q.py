@@ -28,9 +28,34 @@ from test_dataengineer2026_spark.streaming.jobs import (
     run_to_memory,
     run_to_memory_until,
     stage_events_multifile,
+    stateful_shuffle_partitions,
 )
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _state_parts(spark: SparkSession, sf_dir: str, feed: str = "plain") -> int:
+    """State-partition count for this query's staged feed, from the
+    scale-adaptive policy in streaming/jobs.py (r18 verdict #1, guide
+    §5): partitions track estimated keyed-state BYTES, not the local
+    core count — at sandbox SFs the per-batch cost is store machinery
+    (load/commit/maintenance per partition per store per batch;
+    listener-measured r19: M13's summed per-batch commit_ms was 50-150 s
+    across 32 partitions x 4 join stores for 13k state rows), at real
+    scale the same formula fans out to thousands of partitions. The
+    stage builders are idempotent and fingerprint-memoized, so calling
+    them again here is cheap."""
+    from test_dataengineer2026_spark.streaming import jobs
+
+    if feed == "multi":
+        d = jobs.stage_events_multifile(spark, sf_dir)
+    elif feed == "late":
+        d = jobs.stage_events_late_feed(spark, sf_dir)
+    elif feed == "dups":
+        d = jobs.stage_events_dup_feed(spark, sf_dir)
+    else:
+        d = jobs.stage_events_dir(sf_dir)
+    return stateful_shuffle_partitions(d)
 
 #: M6 state layout: full running aggregate so multi-batch feeds
 #: accumulate instead of emitting per-batch partials; fp_ts/fp_id use -1
@@ -129,7 +154,13 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "m2_tumbling", "complete", final_no_data_batch=False)
+    return run_to_memory(
+        agg,
+        "m2_tumbling",
+        "complete",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 @register(
@@ -161,7 +192,13 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return run_to_memory(agg, "m3_sliding", "complete", final_no_data_batch=False)
+    return run_to_memory(
+        agg,
+        "m3_sliding",
+        "complete",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 @register(
@@ -208,7 +245,13 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, "m4_session", "complete", final_no_data_batch=False)
+    return run_to_memory(
+        agg,
+        "m4_session",
+        "complete",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 @register(
@@ -227,7 +270,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = s.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return run_to_memory(dedup, "m5_dedup", "append", final_no_data_batch=False)
+    return run_to_memory(
+        dedup,
+        "m5_dedup",
+        "append",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 #: One truth for BOTH stateful surfaces: M6 and M6b register the
@@ -273,6 +322,13 @@ def stateful_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # NO bytes-sized state-partition policy here (measured r19): the
+    # per-batch cost of a PYTHON-stateful operator is the per-key state
+    # server round trip (handleInputRows + state get/update per user),
+    # which needs compute width — A/B at sf0.1: width 1 = 7.3 s, width
+    # 8/32 = 2.2 s warm. Session width (= executor cores on a cluster)
+    # is the right operating point; store machinery is secondary for
+    # this family.
     return run_to_memory(result, "m6_funnel", "update")
 
 
@@ -368,6 +424,9 @@ def transform_with_state_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeMode="none",
         )
+        # session width, not the bytes policy: Python-stateful ops are
+        # per-key-round-trip bound (see M6; A/B r19: width 1 = 10.5 s,
+        # width 8/32 = 3.7-4.4 s warm)
         return run_to_memory(result, "m6b_funnel", "update")
     finally:
         if prev_provider is None:
@@ -490,6 +549,7 @@ def tws_timer_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="eventTime",
         )
+        # session width, not the bytes policy (Python-stateful: see M6)
         return run_to_memory(result, "m6c_timer_close", "append")
     finally:
         if prev_provider is None:
@@ -597,6 +657,7 @@ def tws_processing_timer(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeMode="processingTime",
         )
+        # session width, not the bytes policy (Python-stateful: see M6)
         return run_to_memory_until(result, "m6d_idle_flush", "append", n_users)
     finally:
         if prev_provider is None:
@@ -625,7 +686,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return run_to_memory(agg, "m7_enrich", "complete", final_no_data_batch=False)
+    return run_to_memory(
+        agg,
+        "m7_enrich",
+        "complete",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 @register(
@@ -643,7 +710,13 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     s = read_events_stream_multifile(spark, sf_dir)
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return run_to_memory(agg, "s9_file_source", "complete", final_no_data_batch=False)
+    return run_to_memory(
+        agg,
+        "s9_file_source",
+        "complete",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir, "multi"),
+    )
 
 
 @register(
@@ -717,7 +790,12 @@ def watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return run_to_memory(agg, "m1_watermark_append", "append")
+    return run_to_memory(
+        agg,
+        "m1_watermark_append",
+        "append",
+        shuffle_partitions=_state_parts(spark, sf_dir, "multi"),
+    )
 
 
 @register(
@@ -755,7 +833,12 @@ def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return run_to_memory(agg, "m8_late_policy", "update")
+    return run_to_memory(
+        agg,
+        "m8_late_policy",
+        "update",
+        shuffle_partitions=_state_parts(spark, sf_dir, "late"),
+    )
 
 
 @register(
@@ -856,7 +939,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # advances the watermark to evict state and cannot produce rows
     # (measured r18: 2.9 s of M10's 7.8 s wall). Outer variants M13/M17
     # KEEP it - their null emission happens on watermark eviction.
-    return run_to_memory(joined, "m10_ssj", "append", final_no_data_batch=False)
+    return run_to_memory(
+        joined,
+        "m10_ssj",
+        "append",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir),
+    )
 
 
 @register(
@@ -918,7 +1007,12 @@ def chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(daily, "m11_chained_windows", "append")
+    return run_to_memory(
+        daily,
+        "m11_chained_windows",
+        "append",
+        shuffle_partitions=_state_parts(spark, sf_dir, "multi"),
+    )
 
 
 @register(
@@ -967,7 +1061,12 @@ def stream_observability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 day"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        sink = run_to_memory(agg, "m12_observability", "update")
+        sink = run_to_memory(
+            agg,
+            "m12_observability",
+            "update",
+            shuffle_partitions=_state_parts(spark, sf_dir, "late"),
+        )
         listener.await_terminated()
     finally:
         listener.detach(spark)
@@ -1080,7 +1179,12 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         "purchase_id",
     )
-    return run_to_memory(joined, "m13_ssj_outer", "append")
+    return run_to_memory(
+        joined,
+        "m13_ssj_outer",
+        "append",
+        shuffle_partitions=_state_parts(spark, sf_dir, "multi"),
+    )
 
 
 @register(
@@ -1181,7 +1285,12 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
         "purchase_id",
     )
-    return run_to_memory(joined, "m17_ssj_full", "append")
+    return run_to_memory(
+        joined,
+        "m17_ssj_full",
+        "append",
+        shuffle_partitions=_state_parts(spark, sf_dir, "multi"),
+    )
 
 
 @register(
@@ -1219,7 +1328,13 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropDuplicatesWithinWatermark emits first occurrences on arrival;
     # the no-data batch only evicts expired keys (state hygiene the
     # data batches already exercise as the watermark advances).
-    return run_to_memory(dedup, "m14_dedup_wm", "append", final_no_data_batch=False)
+    return run_to_memory(
+        dedup,
+        "m14_dedup_wm",
+        "append",
+        final_no_data_batch=False,
+        shuffle_partitions=_state_parts(spark, sf_dir, "dups"),
+    )
 
 
 @register(
@@ -1368,6 +1483,10 @@ def statestore_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf_key = "spark.sql.streaming.stateStore.providerClass"
         prev_provider = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        # build runs at session width, not the bytes policy: it is the
+        # same Python-stateful funnel as M6b (per-key round-trip bound —
+        # see M6); the count is captured into the checkpoint at batch 0
+        # and the reader scans one task per recorded partition either way
         try:
             result = s.groupBy("user_id").transformWithStateInPandas(
                 make_funnel_processor(),
@@ -1468,6 +1587,7 @@ def timer_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf_key = "spark.sql.streaming.stateStore.providerClass"
         prev_provider = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        # build runs at session width, same reasoning as M16's (see there)
         try:
             result = s.groupBy("user_id").transformWithStateInPandas(
                 make_session_closer(),

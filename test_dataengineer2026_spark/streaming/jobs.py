@@ -357,11 +357,57 @@ class MetricsListener:
             time.sleep(0.1)
 
 
+#: State-partition sizing policy (guide §5, r18 verdict #1): the fixed
+#: per-batch cost of a stateful operator is state-store MACHINERY —
+#: store load + delta commit + maintenance per partition per state store
+#: per micro-batch — while the useful work scales with keyed-state
+#: bytes. Partition count must therefore track estimated state volume,
+#: never the local core count: ceil(feed_bytes x expansion / target
+#: bytes per partition). At sandbox SFs (feeds of a few MB) that is 1-2
+#: partitions, eliminating ~97% of the store machinery; at a 100 TB
+#: feed the same formula yields thousands of partitions, each holding
+#: ~STATE_TARGET_BYTES of state (the documented RocksDB/HDFS-store
+#: sweet spot range). Both knobs are env-tunable for cluster runs.
+STATE_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STATE_TARGET_BYTES", str(64 << 20))
+)
+#: parquet (zstd/snappy, columnar) -> in-store row bytes expansion; the
+#: conservative side (over-estimating state) only adds partitions.
+STATE_EXPANSION = float(os.environ.get("SPARK_GRAFT_STATE_EXPANSION", "4.0"))
+
+
+def stateful_shuffle_partitions(staged: str) -> int:
+    """Partition count for a stateful stream over the staged feed at
+    ``staged`` (a directory of parquet leaves / symlinks). Uses on-disk
+    feed bytes as the state-volume proxy — an over-estimate for
+    watermark-bounded state (eviction keeps live state below total
+    feed), which errs toward more partitions, never fewer.
+
+    Checkpoint compatibility: Spark records the shuffle-partition count
+    in the checkpoint's offset metadata at batch 0 and REUSES the
+    recorded value on every restart regardless of the session conf
+    (pinned in tests/test_streaming.py::
+    test_state_partition_policy_checkpoint_restore), so resizing the
+    session default can never corrupt an existing stateful checkpoint.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(staged):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.stat(os.path.join(root, f)).st_size
+                except OSError:
+                    pass
+    est_state = total * STATE_EXPANSION
+    return max(1, -(-int(est_state) // STATE_TARGET_BYTES))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str,
     final_no_data_batch: bool = True,
+    shuffle_partitions: int | None = None,
 ) -> Callable[[SparkSession], DataFrame]:
     """Run a bounded streaming query into a memory sink and return the
     materialized result table.
@@ -374,15 +420,35 @@ def run_to_memory(
     For complete-mode aggregations (state re-emitted wholesale every
     batch) and arrival-emitting append dedup it re-runs the full
     state-store pass to emit literally the same table again: measured
-    ~40% of M4's wall at sf0.1 (r18, guide §1 measure-first). The conf
-    is session-level; it is set just before start and restored after
-    termination — bounded availableNow runs are sequential here.
+    ~40% of M4's wall at sf0.1 (r18, guide §1 measure-first).
+
+    ``shuffle_partitions`` (normally ``stateful_shuffle_partitions(...)``)
+    pins the state-partition count for THIS bounded run — state sharding
+    is by key hash, so the result set is partition-count-independent;
+    only the per-batch store-machinery cost changes.
+
+    Both confs are session-level; they are set just before start and
+    restored after termination. Bounded availableNow runs are sequential
+    here — asserted below so a future concurrent caller fails loudly
+    instead of having its conf silently clobbered mid-stream (r18
+    advisor).
     """
     spark = stream_df.sparkSession
-    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    old = spark.conf.get(conf_key, "true")
+    active = spark.streams.active
+    assert not active, (
+        f"run_to_memory mutates session-wide streaming confs and must "
+        f"not run concurrently with active streams: {[q.name for q in active]}"
+    )
+    restore: list[tuple[str, str | None]] = []
+
+    def _set(key: str, value: str) -> None:
+        restore.append((key, spark.conf.get(key, None)))
+        spark.conf.set(key, value)
+
     if not final_no_data_batch:
-        spark.conf.set(conf_key, "false")
+        _set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    if shuffle_partitions is not None:
+        _set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -393,8 +459,11 @@ def run_to_memory(
         )
         q.awaitTermination()
     finally:
-        if not final_no_data_batch:
-            spark.conf.set(conf_key, old)
+        for key, old in reversed(restore):
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
     return spark.table(name)
 
 
@@ -404,6 +473,7 @@ def run_to_memory_until(
     output_mode: str,
     expected_rows: int,
     timeout_s: float = 300.0,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming query into a memory sink until the sink holds
     ``expected_rows`` rows, then stop it and return the table.
@@ -415,10 +485,24 @@ def run_to_memory_until(
     so Spark never reports the stream done. The caller knows the exact
     output cardinality (one flush row per key), which is a stronger
     stop condition than any idle heuristic. Raises on deadline so a
-    wedged stream fails loudly instead of returning a partial table."""
+    wedged stream fails loudly instead of returning a partial table.
+
+    ``shuffle_partitions`` pins the state-partition count exactly as in
+    ``run_to_memory`` (set before start, restored after the stream
+    stops — the count is captured into the checkpoint at batch 0)."""
     import time
 
     spark = stream_df.sparkSession
+    active = spark.streams.active
+    assert not active, (
+        f"run_to_memory_until mutates session-wide streaming confs and "
+        f"must not run concurrently with active streams: "
+        f"{[q.name for q in active]}"
+    )
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key, None)
+    if shuffle_partitions is not None:
+        spark.conf.set(conf_key, str(shuffle_partitions))
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -440,6 +524,8 @@ def run_to_memory_until(
     finally:
         if q.isActive:
             q.stop()
+        if shuffle_partitions is not None and old is not None:
+            spark.conf.set(conf_key, old)
     return spark.table(name)
 
 

@@ -335,23 +335,28 @@ def test_narrow_money_column_bounds():
     would otherwise ROUND (changing the declared query's result) or
     overflow to NULL. Pin those bounds for every column an oracle sums
     under MONEY2 (A1/J1/J7: l_extendedprice, W3: o_totalprice,
-    F9b/M2/M4: events.value), so a regenerated fixture that violates
-    them fails HERE with a pointer instead of as a hash mismatch."""
+    F9b/M2/M4: events.value) and the one summed under QTY
+    (A1: l_quantity, decimal(8,4) — same round-trip contract at its own
+    precision, |x| < 1e4; r18 advisor), so a regenerated fixture that
+    violates them fails HERE with a pointer instead of as a hash
+    mismatch."""
     con = _duck_mid()
     try:
-        for table, col in (
-            ("lineitem", "l_extendedprice"),
-            ("orders", "o_totalprice"),
-            ("events", "value"),
+        for table, col, dectype, bound in (
+            ("lineitem", "l_extendedprice", "DECIMAL(8,2)", "1e6"),
+            ("orders", "o_totalprice", "DECIMAL(8,2)", "1e6"),
+            ("events", "value", "DECIMAL(8,2)", "1e6"),
+            ("lineitem", "l_quantity", "DECIMAL(8,4)", "1e4"),
         ):
             bad = con.execute(
-                f"SELECT COUNT(*) FROM {table} WHERE abs({col}) >= 1e6 "
-                f"OR {col} != CAST(CAST({col} AS DECIMAL(8,2)) AS DOUBLE)"
+                f"SELECT COUNT(*) FROM {table} WHERE abs({col}) >= {bound} "
+                f"OR {col} != CAST(CAST({col} AS {dectype}) AS DOUBLE)"
             ).fetchone()[0]
             assert bad == 0, (
-                f"{table}.{col}: {bad} values exceed the MONEY2 "
-                f"(decimal(8,2)) contract (2dp, |x| < 1e6) — widen those "
-                f"dsum call sites back to MONEY before anything else"
+                f"{table}.{col}: {bad} values exceed the {dectype} "
+                f"narrow-accumulator contract (round-trip exact, "
+                f"|x| < {bound}) — widen those dsum call sites back to "
+                f"MONEY before anything else"
             )
     finally:
         con.close()

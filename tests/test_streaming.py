@@ -2234,3 +2234,113 @@ def test_processing_time_timers_fire_after_restart(spark, tmp_path):
 
     assert fired.get(1) == 2, fired  # counts restored with the timer
     assert 99 not in fired  # run 2's own far-future timer never fired
+
+
+def test_state_partition_policy_sizes_by_bytes(tmp_path):
+    """stateful_shuffle_partitions (r19, guide §5): partitions track
+    estimated keyed-state BYTES (feed bytes x expansion / target), never
+    the local core count — tiny sandbox feeds collapse to 1 partition
+    (eliminating per-partition store machinery), while a cluster-scale
+    feed fans out linearly. Pinned against synthetic file sizes so a
+    future knob change that silently re-couples the count to cores
+    fails here."""
+    from test_dataengineer2026_spark.streaming.jobs import (
+        STATE_EXPANSION,
+        STATE_TARGET_BYTES,
+        stateful_shuffle_partitions,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    # empty feed: still a valid (1-partition) stream
+    assert stateful_shuffle_partitions(str(feed)) == 1
+    # a few MB (every sandbox feed): 1 partition
+    (feed / "a.parquet").write_bytes(b"\0" * (2 << 20))
+    assert stateful_shuffle_partitions(str(feed)) == 1
+    # non-parquet files are not part of the feed estimate
+    (feed / "_STAGED").write_bytes(b"\0" * (64 << 20))
+    assert stateful_shuffle_partitions(str(feed)) == 1
+    # cluster-scale feed: count scales linearly with bytes
+    big = 100 * STATE_TARGET_BYTES
+    (feed / "b.parquet").write_bytes(b"")
+    os.truncate(feed / "b.parquet", int(big / STATE_EXPANSION))
+    n = stateful_shuffle_partitions(str(feed))
+    assert 100 <= n <= 101, n  # the 2 MB file adds at most one
+
+
+def test_state_partition_policy_checkpoint_restore(spark, tmp_path):
+    """Checkpoint-compatibility of the state-partition policy (r18
+    verdict #1 'done' criterion): a stateful query BORN at the
+    policy-sized width must restart correctly under any later session
+    width — Spark records the birth count in the checkpoint and reuses
+    it, so resizing the policy (new round, changed knobs, cluster move)
+    can never corrupt an existing checkpoint. Exact results after
+    restart + state physically sharded at the BIRTH width are both
+    asserted."""
+    import shutil
+
+    from test_dataengineer2026_spark import tables
+    from test_dataengineer2026_spark.streaming.jobs import (
+        stateful_shuffle_partitions,
+    )
+
+    e = tables.load(spark, "/root/testdata/sf0.001", "events")
+    cut = "2024-01-20 00:00:00"
+    stage = tmp_path / "feed"
+    stage.mkdir()
+    spool = tmp_path / "spool"
+    for i, h in enumerate(
+        (e.filter(F.col("ts") < cut), e.filter(F.col("ts") >= cut))
+    ):
+        h.coalesce(1).write.mode("overwrite").parquet(str(spool / f"h{i}"))
+
+    def land(i):
+        part = next(
+            f for f in os.listdir(spool / f"h{i}") if f.endswith(".parquet")
+        )
+        shutil.copy(str(spool / f"h{i}" / part), str(stage / f"b{i}.parquet"))
+
+    land(0)
+    born_with = stateful_shuffle_partitions(str(stage))
+    assert born_with == 1  # sandbox-sized feed -> machinery-minimal width
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(qname, width):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        try:
+            s = spark.readStream.schema(schema).parquet(str(stage))
+            q = (
+                s.groupBy("event_type")
+                .count()
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return {
+            r["event_type"]: r["count"] for r in spark.table(qname).collect()
+        }
+
+    run_once("policy_run1", born_with)
+    land(1)
+    # restart under a DIFFERENT session width (policy re-derived after a
+    # knob change, or a plain cluster conf): recorded width must win
+    got2 = run_once("policy_run2", born_with + 7)
+    want = {
+        r["event_type"]: r["count"]
+        for r in e.groupBy("event_type").count().collect()
+    }
+    assert got2 == want, (got2, want)
+    state_dirs = [
+        d
+        for d in os.listdir(os.path.join(ckpt, "state", "0"))
+        if d.isdigit()
+    ]
+    assert len(state_dirs) == born_with, (state_dirs, born_with)
