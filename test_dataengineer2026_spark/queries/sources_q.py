@@ -617,9 +617,20 @@ def python_datasource_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = os.path.join(staged_dir(sf_dir, "pdf_corpus"), "pdfs")
     docs.write.format("pdfcorpus").mode("overwrite").save(corpus)
+    # filesPerPartition scales with the corpus (r19, guide §2.2/§6 —
+    # fewer, larger partitions): the old constant 16 was right at
+    # sf0.01 (~32 tasks) but exploded to 313 reader tasks at sf0.1,
+    # and the Python-datasource per-TASK overhead dominated the scan
+    # (interleaved A/B: 2.6-3.7 s at 16 files/part vs 0.48 s at
+    # ~corpus/parallelism; renders+extracts total 0.3 s serial).
+    # Sink-side widening was also A/B'd and REJECTED: the repartition
+    # exchange + 32 task commits cost 2.7 s vs 0.9 s for the 1-task
+    # write — the render is too cheap to farm out at this scale.
+    fpp = max(16, -(-tables.table_rows(sf_dir, "documents")
+                    // spark.sparkContext.defaultParallelism))
     return (
         spark.read.format("pdfcorpus")
-        .option("filesPerPartition", "16")
+        .option("filesPerPartition", str(fpp))
         .load(corpus)
     )
 
@@ -656,9 +667,14 @@ def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = os.path.join(staged_dir(sf_dir, "pdf_corpus_stream"), "pdfs")
     docs.write.format("pdfcorpus").mode("overwrite").save(corpus)
+    # corpus-scaled filesPerPartition, same A/B evidence as S18 (see
+    # there): per-task Python-datasource overhead dominated at the old
+    # constant 16 once the corpus outgrew it.
+    fpp = max(16, -(-tables.table_rows(sf_dir, "documents")
+                    // spark.sparkContext.defaultParallelism))
     s = (
         spark.readStream.format("pdfcorpus")
-        .option("filesPerPartition", "16")
+        .option("filesPerPartition", str(fpp))
         .load(corpus)
     )
     return run_to_memory(s, "s19_pdf_stream", "append")

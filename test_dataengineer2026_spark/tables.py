@@ -137,6 +137,13 @@ def _scan_layout(sf_dir: str, name: str) -> tuple[int, int]:
     return out
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Total rows in a base table, from parquet footers only (no Spark
+    job; memoized per process). For sizing decisions — e.g. scaling a
+    custom source's files-per-partition to the corpus."""
+    return _scan_layout(sf_dir, name)[1]
+
+
 def widen_if_narrow(
     df: DataFrame,
     sf_dir: str,
