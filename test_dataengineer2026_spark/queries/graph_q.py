@@ -389,6 +389,13 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # early rounds in one plan; localCheckpoint materializes the
         # round (O(nodes) longs) and resets the lineage, the same
         # discipline as connected_components (operators/dedup.py).
+        # Checkpointing every k-th round instead was A/B'd and REJECTED
+        # (r19): an uncheckpointed round's subtree is referenced twice
+        # by the next round and is recomputed WITHIN the checkpoint job
+        # (533 -> 886 completed tasks at k=2; a .cache() on the interim
+        # round cannot dedup intra-job either, 913 tasks) — a ~0.5 s
+        # local driver-latency win bought with ~66% more compute, which
+        # inverts at real scale where each round shuffles O(edges).
         # The per-round plan shape is pinned separately on bfs_round
         # (tests/test_plans.py) since the checkpoint hides executed
         # rounds from the final plan.
