@@ -43,7 +43,24 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: TPC-H-Q1-style pricing summary over lineitem."""
     apply_runtime_confs(spark)
     one = F.lit(1).cast(RATE)
-    li = tables.load(spark, sf_dir, "lineitem")
+    # Scale-adaptive scan widening (r19, guide §2.5/§6 — verdict #6):
+    # the single-row-group fixture feeds ONE task, fusing the scan and
+    # the wide-decimal partial aggregation (the measured cost, r18
+    # decomposition) onto one core. widen_if_narrow hash-spreads the
+    # rows only when the layout cannot feed the session's cores AND the
+    # per-split row count is large; at a real multi-file layout it is a
+    # no-op (pinned in tests/test_plans.py). Interleaved A/B at sf0.1:
+    # med 1.17 -> 0.80 s, values identical (exact decimal sums are
+    # order-independent). The same widening on T5 was A/B'd and
+    # REJECTED (0.75 -> 0.82 s: explode per-row work is too light to
+    # buy back the exchange).
+    li = tables.widen_if_narrow(
+        tables.load(spark, sf_dir, "lineitem"),
+        sf_dir,
+        "lineitem",
+        key="l_orderkey",
+        min_rows_per_split=100_000,
+    )
     disc_price = dec("l_extendedprice", MONEY) * (one - dec("l_discount", RATE))
     charge = disc_price * (one + dec("l_tax", RATE))
     # QTY narrows the quantity accumulator to the unscaled-long sum path

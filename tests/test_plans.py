@@ -1401,3 +1401,68 @@ def test_v8_cogroup_sides_explicitly_widened(spark):
     p = plan_string(QS["V8_cogrouped_pandas"](spark, SF_DIR_MID), "formatted")
     assert p.count("REPARTITION_BY_NUM") >= 2, p
     assert "FlatMapCoGroupsInPandas" in p or "CoGroup" in p, p
+
+
+def test_widen_if_narrow_is_layout_adaptive(spark, tmp_path):
+    """widen_if_narrow (r19, guide §2.5/§6): repartition ONLY when the
+    physical layout cannot feed the session's cores AND rows/split is
+    large. Three pins: (a) a single big-row-count file widens (the
+    fixture case A1 hits); (b) the same rows spread across >= cores
+    files do NOT widen — at real scale the helper must add ZERO
+    exchanges; (c) a narrow layout with too few rows per split does not
+    widen (tiny dims never pay a shuffle)."""
+    import pyspark.sql.functions as F
+
+    from test_dataengineer2026_spark import tables as T
+
+    cores = spark.sparkContext.defaultParallelism
+    rows = spark.range(10_000).select(
+        F.col("id").alias("l_orderkey"), (F.col("id") % 7).alias("v")
+    )
+
+    # (a) single file, many rows -> widened
+    single = tmp_path / "single" / "lineitem.parquet"
+    rows.coalesce(1).write.parquet(str(tmp_path / "single_tmp"))
+    import os
+    import shutil
+
+    os.makedirs(single.parent, exist_ok=True)
+    part = next(
+        f
+        for f in os.listdir(tmp_path / "single_tmp")
+        if f.endswith(".parquet")
+    )
+    shutil.move(str(tmp_path / "single_tmp" / part), str(single))
+    df = T.widen_if_narrow(
+        spark.read.parquet(str(single)),
+        str(tmp_path / "single"),
+        "lineitem",
+        key="l_orderkey",
+        min_rows_per_split=1_000,
+    )
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in p, p
+
+    # (b) >= cores files -> native width, no added exchange
+    multi = tmp_path / "multi" / "lineitem.parquet"
+    rows.repartition(cores).write.parquet(str(multi))
+    df2 = T.widen_if_narrow(
+        spark.read.parquet(str(multi)),
+        str(tmp_path / "multi"),
+        "lineitem",
+        key="l_orderkey",
+        min_rows_per_split=1_000,
+    )
+    p2 = df2._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in p2, p2
+
+    # (c) single file, few rows per split -> no widen
+    df3 = T.widen_if_narrow(
+        spark.read.parquet(str(single)),
+        str(tmp_path / "single"),
+        "lineitem",
+        key="l_orderkey",
+        min_rows_per_split=100_000,
+    )
+    p3 = df3._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" not in p3, p3
