@@ -289,7 +289,16 @@ def srp_neighbor_pairs(
     lambda ops per vector, so (a) a small single-file scan would pin
     that compute to one task (same rationale as D2's shingle pass), and
     (b) an uncached table would evaluate the bits once per join side.
-    r18 measured on J12b at sf0.1: 7.0 s -> 2.5 s warm, identical pairs."""
+    r18 measured on J12b at sf0.1: 7.0 s -> 2.5 s warm, identical pairs.
+
+    Cache hygiene (r19, guide §5 'unpersist when done'): the candidate
+    pair set is materialized EAGERLY via localCheckpoint so the bucket
+    cache can be released before returning — the returned frame reads
+    the (small) checkpointed pair table, never the cache, so a
+    long-lived session calling this repeatedly (D5 + J12b share it)
+    does not accumulate bucket-table blocks in storage memory (pinned
+    in tests/test_similarity.py). The checkpoint also cuts the verify
+    join's lineage: the SRP pass runs exactly once per call."""
     b = srp_buckets(parallelize(df, id_col), id_col, vec_col).cache()
     cands = (
         b.alias("a")
@@ -301,7 +310,9 @@ def srp_neighbor_pairs(
         )
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .distinct()
+        .localCheckpoint()  # eager: both cache reads happen HERE
     )
+    b.unpersist()
     va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
     vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
     return (

@@ -101,3 +101,24 @@ def test_pq_codes_are_compact_and_deterministic(spark, emb):
     a = sorted((r.id, r.m, r.code) for r in enc.collect())
     b = sorted((r.id, r.m, r.code) for r in S.pq_encode(emb, cb).collect())
     assert a == b
+
+
+def test_srp_neighbor_pairs_releases_bucket_cache(spark, emb):
+    """Cache hygiene (r18 advisor / verdict #7): srp_neighbor_pairs is
+    called from TWO queries (D5, J12b), so a bucket-table cache entry
+    that outlives the call accumulates storage-memory pressure in a
+    long-lived shared session. The candidate pairs are checkpointed
+    eagerly and the cache released BEFORE the function returns — no
+    CacheManager entry may survive, and the returned frame must still
+    produce pairs without it."""
+    from test_dataengineer2026_spark.operators.similarity import (
+        srp_neighbor_pairs,
+    )
+
+    spark.catalog.clearCache()
+    jsc = spark._jsparkSession.sharedState().cacheManager()
+    out = srp_neighbor_pairs(emb)
+    assert jsc.isEmpty(), (
+        "srp_neighbor_pairs left a CacheManager entry behind"
+    )
+    assert out.count() > 0  # frame is usable after the release
