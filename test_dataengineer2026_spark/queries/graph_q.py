@@ -210,15 +210,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = degree_table(pairs)
-    # Widen the wedge-enumeration input explicitly: AQE sizes reduce
+    # Widen the triangle-enumeration input explicitly: AQE sizes reduce
     # partitions by INPUT bytes (the oriented edge table is ~12 MB at
-    # sf0.1 -> 1-2 coalesced partitions), but the self-join's OUTPUT is
-    # the wedge set (~1e8 rows here) — compute explodes after the
-    # exchange, which byte-based coalescing cannot see. Hash-distributing
-    # on the wedge center spreads enumeration over every core (out-degree
-    # is O(sqrt(m))-bounded under the degree orientation, so no single
-    # center dominates); both self-join sides reuse this one exchange.
-    # r18 measured: 79 s / 24 tasks -> 17 s / 119 tasks warm at sf0.1.
+    # sf0.1 -> 1-2 coalesced partitions), but the enumeration's OUTPUT
+    # is the triangle set (~1.2e8 rows here) — compute explodes after
+    # the exchange, which byte-based coalescing cannot see. The
+    # adjacency build (groupBy src) reuses this one exchange, so the
+    # repartition costs nothing extra. r18 measured 79 s / 24 tasks ->
+    # 17 s / 119 tasks from the widening alone; r19 rewrote the
+    # enumeration itself from wedge-join+closure-join to per-edge
+    # out-neighborhood intersection (operators/graph.py docstring has
+    # the algorithm and A/B: 14.1 -> 4.1 s warm, identical counts).
     tri = triangles_oriented(parallelize(orient_by_degree(pairs, deg), "src"))
     pernode = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))

@@ -1375,20 +1375,25 @@ def test_sql32_pipe_lowers_to_pushed_filter_agg(spark):
 
 
 def test_gr2_wedge_stage_explicitly_widened(spark):
-    """GR2's r18 width contract: the wedge-enumeration self-join input
-    carries an explicit hash repartition on the wedge center (src).
-    AQE sizes reduce partitions by INPUT bytes, and the oriented edge
-    table is tiny next to its wedge OUTPUT (~1e8 rows at sf0.1), so
-    without the explicit exchange the enumeration collapses onto 1-2
-    coalesced tasks (measured r18: 79 s / 24 tasks -> 17 s / 119 tasks
-    warm). REPARTITION_BY_NUM is the marker of a user repartition AQE
-    may not coalesce away."""
+    """GR2's width + algorithm contract: the triangle-enumeration input
+    carries an explicit hash repartition on src (r18: AQE sizes reduce
+    partitions by INPUT bytes, and the oriented edge table is tiny next
+    to its triangle OUTPUT — ~1.2e8 rows at sf0.1 — so without the
+    explicit exchange enumeration collapses onto 1-2 coalesced tasks;
+    79 s / 24 tasks -> 17 s / 119 tasks warm). REPARTITION_BY_NUM is
+    the marker of a user repartition AQE may not coalesce away.
+    r19 additionally pins the enumeration FORM: per-edge out-
+    neighborhood intersection (array_intersect over sorted adjacency
+    arrays) instead of the wedge self-join + closure join, which
+    materialized every candidate wedge as a join row (14.1 -> 4.1 s
+    warm at sf0.1, identical counts — operators/graph.py)."""
     p = plan_string(QS["GR2_triangle_count"](spark, SF_DIR_MID), "formatted")
     import re
 
     m = re.search(r"hashpartitioning\(src#\d+L?, (\d+)\), REPARTITION_BY_NUM", p)
     assert m, p
     assert int(m.group(1)) == spark.sparkContext.defaultParallelism, p
+    assert "array_intersect" in p, p
 
 
 def test_v8_cogroup_sides_explicitly_widened(spark):
