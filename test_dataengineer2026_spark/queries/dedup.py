@@ -626,7 +626,19 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text ever reaches the pair join (hashes only).
     """
     apply_runtime_confs(spark)
-    d = tables.load(spark, sf_dir, "documents")
+    # Widen the scan before the per-window md5 pass (r19, guide §2.5 —
+    # the T6/D2 pattern): the single-file fixture feeds ONE task, and
+    # the span-hash pipeline is additionally evaluated TWICE (df-cap
+    # build + capped join), both serial without this. Layout-adaptive:
+    # a many-file corpus keeps its native width. Interleaved A/B at
+    # sf0.1: med 4.24 -> 2.30 s, identical pairs.
+    d = tables.widen_if_narrow(
+        tables.load(spark, sf_dir, "documents"),
+        sf_dir,
+        "documents",
+        key="doc_id",
+        min_rows_per_split=1_000,
+    )
     w = _SPAN_W
     # Tokenize ONCE in a prior projection: split() inside the transform
     # lambda would re-split the text for every window position
